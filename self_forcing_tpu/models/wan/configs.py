@@ -1,0 +1,61 @@
+"""Wan model size configs (reference wan/configs/*.py, EasyDicts).
+
+- Wan2.1-T2V-1.3B: dim 1536, 30 layers, 12 heads, ffn 8960
+  (wan/configs/wan_t2v_1_3B.py:16-29)
+- Wan2.1 14B: dim 5120, 40 layers, 40 heads, ffn 13824
+- tiny: CPU-testable geometry in the spirit of configs/tiny_test.yaml
+"""
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class WanConfig:
+    model_type: str = "t2v"          # 't2v' | 'i2v'
+    patch_size: tuple[int, int, int] = (1, 2, 2)
+    text_len: int = 512
+    in_dim: int = 16
+    dim: int = 1536
+    ffn_dim: int = 8960
+    freq_dim: int = 256
+    text_dim: int = 4096
+    out_dim: int = 16
+    num_heads: int = 12
+    num_layers: int = 30
+    local_attn_size: int = -1        # frames; -1 = global (causal_model.py:77)
+    sink_size: int = 0
+    qk_norm: bool = True
+    cross_attn_norm: bool = True
+    eps: float = 1e-6
+    # causal-specific runtime knobs (causal_model.py:512-513)
+    num_frame_per_block: int = 1
+    independent_first_frame: bool = False
+
+    @property
+    def head_dim(self) -> int:
+        return self.dim // self.num_heads
+
+    def max_attention_size(self, frame_seqlen: int) -> int:
+        """Attention window in tokens (causal_model.py:77): 21 frames when
+        global, else local_attn_size frames."""
+        if self.local_attn_size == -1:
+            return 21 * frame_seqlen
+        return self.local_attn_size * frame_seqlen
+
+
+WAN_1_3B = WanConfig()
+
+WAN_14B = WanConfig(dim=5120, ffn_dim=13824, num_heads=40, num_layers=40)
+
+# 2-head, 2-layer toy geometry; head_dim 64 keeps the f/h/w rope split valid.
+WAN_TINY = WanConfig(dim=128, ffn_dim=256, num_heads=2, num_layers=2,
+                     text_dim=64, freq_dim=32)
+
+# Default latent geometry for 81 frames @ 480x832
+# (inference.py:161-163: noise [B, 21, 16, 60, 104]).
+LATENT_FRAMES = 21
+LATENT_HEIGHT = 60
+LATENT_WIDTH = 104
+FRAME_SEQLEN = (LATENT_HEIGHT // 2) * (LATENT_WIDTH // 2)  # 1560
+SEQ_LEN = LATENT_FRAMES * FRAME_SEQLEN                     # 32760

@@ -1,0 +1,690 @@
+"""Wan2.1 DiT — bidirectional and block-causal — TPU-native.
+
+Functional re-design of the reference's ``WanModel``
+(wan/modules/model.py:497-923) and ``CausalWanModel``
+(wan/modules/causal_model.py:370-1128):
+
+- Parameters are a plain pytree; the 30 transformer blocks are *stacked*
+  along a leading axis and executed with ``lax.scan`` — one compiled block,
+  minimal code size, XLA pipelines the weight fetches.
+- The per-layer KV cache is a single static-shape array pair
+  ``[L, B, S, N, Dh]`` carried through the scan; cache indices
+  (``local_end``/``global_end``, causal_model.py:202-236) are traced i32
+  scalars so the whole chunk-wise autoregressive loop can itself be a scan.
+- The Conv3d patch embedding with kernel==stride (model.py:583-584) is
+  algebraically a reshape + matmul, which is how the MXU wants it.
+- AdaLN modulation is per-frame ([B, F, 6, D], causal_model.py:307-320);
+  the bidirectional model is the F-broadcast special case, so one block
+  implementation serves both models.
+- Cross-attention K/V over the 512 text tokens are precomputed once per
+  prompt (``precompute_context``) instead of the reference's lazily-filled
+  crossattn_cache (model.py:174-183).
+
+Tensor layout: videos are [B, F, C, H, W] at the API boundary (matching the
+reference pipelines), tokens are [B, L, D] inside.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from self_forcing_tpu.models.wan.configs import WanConfig
+from self_forcing_tpu.models.wan.rope import RopeTables, sinusoidal_embedding_1d
+from self_forcing_tpu.ops.attention import (dense_attention, decode_attention,
+                                            flash_attention)
+from self_forcing_tpu.ops.masks import IntervalMask
+
+Params = dict  # nested dict pytree of jnp arrays
+
+
+# =====================================================================
+# primitives
+# =====================================================================
+
+def linear(p: Params, x: jax.Array) -> jax.Array:
+    """x @ w + b, with optional fused LoRA delta (utils/lora.py:12-50)."""
+    out = x @ p["w"]
+    if "b" in p:
+        out = out + p["b"]
+    if "lora_A" in p:
+        out = out + ((x @ p["lora_A"]) @ p["lora_B"]) * p["lora_scale"]
+    return out
+
+
+def rms_norm(x: jax.Array, weight: jax.Array, eps: float = 1e-5) -> jax.Array:
+    """WanRMSNorm (model.py:70-86): fp32 norm, cast back, scale."""
+    xf = x.astype(jnp.float32)
+    n = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+    return n.astype(x.dtype) * weight.astype(x.dtype)
+
+
+def layer_norm(x: jax.Array, eps: float = 1e-6,
+               weight: jax.Array | None = None,
+               bias: jax.Array | None = None) -> jax.Array:
+    """WanLayerNorm (model.py:89-99): fp32 stats, cast back."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    n = ((xf - mu) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+    if weight is not None:
+        n = n * weight.astype(x.dtype) + bias.astype(x.dtype)
+    return n
+
+
+def gelu_tanh(x: jax.Array) -> jax.Array:
+    return jax.nn.gelu(x, approximate=True)
+
+
+# =====================================================================
+# parameter init
+# =====================================================================
+
+def _linear_init(key, d_in, d_out, dtype, zero=False, std=None, bias=True):
+    if zero:
+        w = jnp.zeros((d_in, d_out), dtype)
+    elif std is not None:
+        w = (jax.random.normal(key, (d_in, d_out)) * std).astype(dtype)
+    else:  # xavier uniform (model.py:907-911)
+        lim = math.sqrt(6.0 / (d_in + d_out))
+        w = jax.random.uniform(key, (d_in, d_out), dtype, -lim, lim)
+    p = {"w": w}
+    if bias:
+        p["b"] = jnp.zeros((d_out,), dtype)
+    return p
+
+
+def _attn_init(key, cfg: WanConfig, cross: bool, dtype) -> Params:
+    ks = jax.random.split(key, 6)
+    d = cfg.dim
+    p = {
+        "q": _linear_init(ks[0], d, d, dtype),
+        "k": _linear_init(ks[1], d, d, dtype),
+        "v": _linear_init(ks[2], d, d, dtype),
+        "o": _linear_init(ks[3], d, d, dtype),
+    }
+    if cfg.qk_norm:
+        p["norm_q"] = {"w": jnp.ones((d,), dtype)}
+        p["norm_k"] = {"w": jnp.ones((d,), dtype)}
+    if cross and cfg.model_type == "i2v":
+        p["k_img"] = _linear_init(ks[4], d, d, dtype)
+        p["v_img"] = _linear_init(ks[5], d, d, dtype)
+        if cfg.qk_norm:
+            p["norm_k_img"] = {"w": jnp.ones((d,), dtype)}
+    return p
+
+
+def _block_init(key, cfg: WanConfig, dtype) -> Params:
+    ks = jax.random.split(key, 5)
+    d = cfg.dim
+    p = {
+        "self_attn": _attn_init(ks[0], cfg, False, dtype),
+        "cross_attn": _attn_init(ks[1], cfg, True, dtype),
+        "ffn": {
+            "fc1": _linear_init(ks[2], d, cfg.ffn_dim, dtype),
+            "fc2": _linear_init(ks[3], cfg.ffn_dim, d, dtype),
+        },
+        "modulation": (jax.random.normal(ks[4], (1, 6, d)) / d ** 0.5).astype(dtype),
+    }
+    if cfg.cross_attn_norm:
+        p["norm3"] = {"w": jnp.ones((d,), dtype), "b": jnp.zeros((d,), dtype)}
+    return p
+
+
+def init_params(key: jax.Array, cfg: WanConfig,
+                dtype=jnp.bfloat16, causal: bool = True) -> Params:
+    """Initialize a Wan DiT parameter pytree (blocks stacked on axis 0)."""
+    ks = jax.random.split(key, 12)
+    d = cfg.dim
+    patch_in = cfg.in_dim * int(np.prod(cfg.patch_size))
+    params: Params = {
+        "patch_embedding": _linear_init(ks[0], patch_in, d, dtype),
+        "text_embedding": {
+            "fc1": _linear_init(ks[1], cfg.text_dim, d, dtype, std=0.02),
+            "fc2": _linear_init(ks[2], d, d, dtype, std=0.02),
+        },
+        "time_embedding": {
+            "fc1": _linear_init(ks[3], cfg.freq_dim, d, dtype, std=0.02),
+            "fc2": _linear_init(ks[4], d, d, dtype, std=0.02),
+        },
+        "time_projection": {"fc": _linear_init(ks[5], d, d * 6, dtype)},
+        "head": {
+            "head": _linear_init(
+                ks[6], d, cfg.out_dim * int(np.prod(cfg.patch_size)), dtype,
+                zero=True),  # zero-init output layer (model.py:923)
+            "modulation": (jax.random.normal(ks[7], (1, 2, d)) / d ** 0.5).astype(dtype),
+        },
+    }
+    block_keys = jax.random.split(ks[8], cfg.num_layers)
+    blocks = [_block_init(k, cfg, dtype) for k in block_keys]
+    params["blocks"] = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+
+    if cfg.model_type == "i2v":
+        params["img_emb"] = {
+            "norm1": {"w": jnp.ones((1280,), dtype), "b": jnp.zeros((1280,), dtype)},
+            "fc1": _linear_init(ks[9], 1280, 1280, dtype),
+            "fc2": _linear_init(ks[10], 1280, d, dtype),
+            "norm2": {"w": jnp.ones((d,), dtype), "b": jnp.zeros((d,), dtype)},
+        }
+    if causal:
+        # UniAnimate pose conditioning projection 5120 -> dim
+        # (causal_model.py:493-503); identity when dim == 5120.
+        if d != 5120:
+            params["pose_proj"] = _linear_init(ks[11], 5120, d, dtype)
+    return params
+
+
+# =====================================================================
+# pieces of the forward pass
+# =====================================================================
+
+def patchify(params: Params, cfg: WanConfig, x: jax.Array
+             ) -> tuple[jax.Array, tuple[int, int, int]]:
+    """[B, F, C, H, W] -> tokens [B, F*h*w, D]; conv == reshape+matmul.
+
+    Token feature layout (C, ph, pw) matches the torch Conv3d kernel
+    flattening so converted weights are bit-equivalent.
+    """
+    B, F, C, H, W = x.shape
+    pf, ph, pw = cfg.patch_size
+    assert pf == 1, "Wan uses temporal patch 1"
+    h, w = H // ph, W // pw
+    xt = x.reshape(B, F, C, h, ph, w, pw)
+    xt = xt.transpose(0, 1, 3, 5, 2, 4, 6)      # B F h w C ph pw
+    xt = xt.reshape(B, F * h * w, C * ph * pw)
+    return linear(params["patch_embedding"], xt), (F, h, w)
+
+
+def unpatchify(cfg: WanConfig, tokens: jax.Array,
+               grid: tuple[int, int, int]) -> jax.Array:
+    """tokens [B, L, pf*ph*pw*C] -> [B, F, C, H, W].
+
+    Output vector layout (pf, ph, pw, C) matches reference unpatchify's
+    einsum 'fhwpqrc->cfphqwr' (model.py:894-898).
+    """
+    F, h, w = grid
+    pf, ph, pw = cfg.patch_size
+    C = cfg.out_dim
+    B = tokens.shape[0]
+    u = tokens.reshape(B, F, h, w, pf, ph, pw, C)
+    u = u.transpose(0, 1, 4, 7, 2, 5, 3, 6)      # B F pf C h ph w pw
+    u = u.reshape(B, F * pf, C, h * ph, w * pw)
+    return u
+
+
+def time_embed(params: Params, cfg: WanConfig, t: jax.Array,
+               dtype) -> tuple[jax.Array, jax.Array]:
+    """t [B, F] -> (e [B, F, D], e0 [B, F, 6, D]).
+
+    sinusoidal -> Linear/SiLU/Linear (model.py:589-592), then
+    time_projection = SiLU/Linear to 6D chunks (model.py:591-592).
+    """
+    B, F = t.shape
+    emb = sinusoidal_embedding_1d(cfg.freq_dim, t.reshape(-1)).astype(dtype)
+    e = linear(params["time_embedding"]["fc2"],
+               jax.nn.silu(linear(params["time_embedding"]["fc1"], emb)))
+    e0 = linear(params["time_projection"]["fc"], jax.nn.silu(e))
+    return e.reshape(B, F, cfg.dim), e0.reshape(B, F, 6, cfg.dim)
+
+
+def embed_text(params: Params, cfg: WanConfig, context: jax.Array) -> jax.Array:
+    """Text embedding MLP over padded [B, text_len, text_dim] context
+    (model.py:585-587, zero-padded to text_len as in model.py:703-708)."""
+    B, L, _ = context.shape
+    if L < cfg.text_len:
+        context = jnp.pad(context, ((0, 0), (0, cfg.text_len - L), (0, 0)))
+    h = gelu_tanh(linear(params["text_embedding"]["fc1"], context))
+    return linear(params["text_embedding"]["fc2"], h)
+
+
+def embed_image(params: Params, clip_fea: jax.Array) -> jax.Array:
+    """MLPProj of 257 CLIP tokens for i2v (model.py:469-481)."""
+    p = params["img_emb"]
+    x = layer_norm(clip_fea, 1e-5, p["norm1"]["w"], p["norm1"]["b"])
+    x = linear(p["fc2"], jax.nn.gelu(linear(p["fc1"], x), approximate=False))
+    return layer_norm(x, 1e-5, p["norm2"]["w"], p["norm2"]["b"])
+
+
+def _heads(cfg: WanConfig, x: jax.Array) -> jax.Array:
+    B, L, _ = x.shape
+    return x.reshape(B, L, cfg.num_heads, cfg.head_dim)
+
+
+def _qkv(p: Params, cfg: WanConfig, x: jax.Array):
+    q = linear(p["q"], x)
+    k = linear(p["k"], x)
+    v = linear(p["v"], x)
+    if cfg.qk_norm:
+        q = rms_norm(q, p["norm_q"]["w"], cfg.eps)
+        k = rms_norm(k, p["norm_k"]["w"], cfg.eps)
+    return _heads(cfg, q), _heads(cfg, k), _heads(cfg, v)
+
+
+def precompute_context(params: Params, cfg: WanConfig, context: jax.Array,
+                       clip_fea: jax.Array | None = None) -> dict:
+    """Per-prompt preprocessing shared by every DiT forward.
+
+    Returns cross-attention K/V per layer, stacked [L_layers, B, Lc, N, Dh].
+    Replaces the reference's crossattn_cache (causal_inference.py:300-312).
+    For i2v, image K/V come from the separate k_img/v_img projections
+    (model.py:240-266) and are kept distinct.
+    """
+    ctx = embed_text(params, cfg, context)
+
+    def per_block(bp):
+        p = bp["cross_attn"]
+        k = linear(p["k"], ctx)
+        if cfg.qk_norm:
+            k = rms_norm(k, p["norm_k"]["w"], cfg.eps)
+        v = linear(p["v"], ctx)
+        return _heads(cfg, k), _heads(cfg, v)
+
+    k_txt, v_txt = jax.vmap(per_block)(params["blocks"])
+    out = {"k_txt": k_txt, "v_txt": v_txt}
+
+    if clip_fea is not None and cfg.model_type == "i2v":
+        img_ctx = embed_image(params, clip_fea)
+
+        def per_block_img(bp):
+            p = bp["cross_attn"]
+            k = linear(p["k_img"], img_ctx)
+            if cfg.qk_norm:
+                k = rms_norm(k, p["norm_k_img"]["w"], cfg.eps)
+            v = linear(p["v_img"], img_ctx)
+            return _heads(cfg, k), _heads(cfg, v)
+
+        k_img, v_img = jax.vmap(per_block_img)(params["blocks"])
+        out["k_img"] = k_img
+        out["v_img"] = v_img
+    return out
+
+
+def _cross_attention(bp: Params, cfg: WanConfig, x: jax.Array,
+                     ctx_kv_layer: dict) -> jax.Array:
+    """T2V/I2V cross attention with precomputed K/V (model.py:159-266)."""
+    p = bp["cross_attn"]
+    q = linear(p["q"], x)
+    if cfg.qk_norm:
+        q = rms_norm(q, p["norm_q"]["w"], cfg.eps)
+    q = _heads(cfg, q)
+    out = dense_attention(q, ctx_kv_layer["k_txt"], ctx_kv_layer["v_txt"])
+    if "k_img" in ctx_kv_layer:
+        out = out + dense_attention(q, ctx_kv_layer["k_img"],
+                                    ctx_kv_layer["v_img"])
+    B, Lq = out.shape[:2]
+    return linear(p["o"], out.reshape(B, Lq, cfg.dim))
+
+
+def _modulate(x: jax.Array, shift: jax.Array, scale_: jax.Array,
+              frame_seqlen: int) -> jax.Array:
+    """Per-frame AdaLN: x [B, F*fs, D] * (1 + scale[B,F,1,D]) + shift."""
+    B, L, D = x.shape
+    F = shift.shape[1]
+    xf = x.reshape(B, F, frame_seqlen, D)
+    out = xf * (1.0 + scale_) + shift
+    return out.reshape(B, L, D)
+
+
+def _gate(x: jax.Array, g: jax.Array, frame_seqlen: int) -> jax.Array:
+    B, L, D = x.shape
+    F = g.shape[1]
+    return (x.reshape(B, F, frame_seqlen, D) * g).reshape(B, L, D)
+
+
+def head_forward(params: Params, cfg: WanConfig, x: jax.Array,
+                 e: jax.Array, frame_seqlen: int) -> jax.Array:
+    """Final AdaLN head (causal_model.py:339-367): e is [B, F, D]."""
+    hp = params["head"]
+    mod = hp["modulation"].astype(jnp.float32)     # [1, 2, D]
+    ef = e.astype(jnp.float32)[:, :, None, :]      # [B, F, 1, D]
+    em = mod[:, None] + ef                          # [B, F, 2, D] broadcast
+    shift = em[:, :, 0:1].astype(x.dtype)
+    scale_ = em[:, :, 1:2].astype(x.dtype)
+    xn = layer_norm(x, cfg.eps)
+    return linear(hp["head"], _modulate(xn, shift, scale_, frame_seqlen))
+
+
+# =====================================================================
+# KV cache
+# =====================================================================
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class KVCache:
+    """Static-shape per-layer KV cache (causal_inference.py:278-298).
+
+    k/v: [L, B, S, N, Dh].  ``global_end`` is the absolute token index of
+    the newest cached token; ``local_end`` its position inside the (possibly
+    rolled) cache — identical bookkeeping to causal_model.py:202-236 but as
+    traced scalars shared by all layers.
+    """
+
+    k: jax.Array
+    v: jax.Array
+    global_end: jax.Array  # i32 scalar
+    local_end: jax.Array   # i32 scalar
+
+    def tree_flatten(self):
+        return ((self.k, self.v, self.global_end, self.local_end), None)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+def init_kv_cache(cfg: WanConfig, batch_size: int, frame_seqlen: int,
+                  num_frames: int, dtype=jnp.bfloat16) -> KVCache:
+    """Zeroed cache sized local_attn_size frames if windowed, else
+    num_frames (causal_inference.py:283-288)."""
+    if cfg.local_attn_size != -1:
+        S = cfg.local_attn_size * frame_seqlen
+    else:
+        S = num_frames * frame_seqlen
+    shape = (cfg.num_layers, batch_size, S, cfg.num_heads, cfg.head_dim)
+    return KVCache(
+        k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
+        global_end=jnp.zeros((), jnp.int32),
+        local_end=jnp.zeros((), jnp.int32))
+
+
+def reset_kv_cache(cache: KVCache) -> KVCache:
+    return dataclasses.replace(
+        cache,
+        global_end=jnp.zeros((), jnp.int32),
+        local_end=jnp.zeros((), jnp.int32))
+
+
+def _rolled_cache(k_layer: jax.Array, sink_tokens: int,
+                  evict: jax.Array) -> jax.Array:
+    """Shift cache content left by ``evict`` (dynamic), pinning sink tokens
+    (causal_model.py:207-223).  Gather along S; only runs under lax.cond."""
+    S = k_layer.shape[1]
+    pos = jnp.arange(S, dtype=jnp.int32)
+    src = jnp.where(pos < sink_tokens, pos, jnp.minimum(pos + evict, S - 1))
+    return jnp.take(k_layer, src, axis=1)
+
+
+# =====================================================================
+# transformer block (shared by all paths)
+# =====================================================================
+
+def _block_train(bp: Params, cfg: WanConfig, x: jax.Array, e0: jax.Array,
+                 rope_cos: jax.Array, rope_sin: jax.Array,
+                 mask: IntervalMask, ctx_kv_layer: dict,
+                 frame_seqlen: int) -> jax.Array:
+    """One WanAttentionBlock, full-sequence (train) self-attention
+    (causal_model.py:284-336)."""
+    mod = bp["modulation"].astype(jnp.float32)[:, None]          # [1,1,6,D]
+    e = (mod + e0.astype(jnp.float32)).astype(x.dtype)           # [B,F,6,D]
+    e_shift, e_scale, e_gate = e[:, :, 0:1], e[:, :, 1:2], e[:, :, 2:3]
+    f_shift, f_scale, f_gate = e[:, :, 3:4], e[:, :, 4:5], e[:, :, 5:6]
+
+    # self attention
+    xn = _modulate(layer_norm(x, cfg.eps), e_shift, e_scale, frame_seqlen)
+    q, k, v = _qkv(bp["self_attn"], cfg, xn)
+    q = _rope_pairs(q, rope_cos, rope_sin)
+    k = _rope_pairs(k, rope_cos, rope_sin)
+    attn = flash_attention(q, k, v, mask)
+    B, L = attn.shape[:2]
+    y = linear(bp["self_attn"]["o"], attn.reshape(B, L, cfg.dim))
+    x = x + _gate(y, e_gate, frame_seqlen)
+
+    # cross attention
+    if "norm3" in bp:
+        xc = layer_norm(x, cfg.eps, bp["norm3"]["w"], bp["norm3"]["b"])
+    else:
+        xc = x
+    x = x + _cross_attention(bp, cfg, xc, ctx_kv_layer)
+
+    # ffn
+    xn = _modulate(layer_norm(x, cfg.eps), f_shift, f_scale, frame_seqlen)
+    y = linear(bp["ffn"]["fc2"], gelu_tanh(linear(bp["ffn"]["fc1"], xn)))
+    return x + _gate(y, f_gate, frame_seqlen)
+
+
+def _block_decode(bp: Params, cfg: WanConfig, x: jax.Array, e0: jax.Array,
+                  rope_cos: jax.Array, rope_sin: jax.Array,
+                  k_layer: jax.Array, v_layer: jax.Array,
+                  write_at: jax.Array, attn_lo: jax.Array, attn_hi: jax.Array,
+                  ctx_kv_layer: dict, frame_seqlen: int):
+    """One block with KV-cache self-attention (causal_model.py:194-241).
+
+    Returns (x, new_k_layer, new_v_layer).
+    """
+    mod = bp["modulation"].astype(jnp.float32)[:, None]
+    e = (mod + e0.astype(jnp.float32)).astype(x.dtype)
+    e_shift, e_scale, e_gate = e[:, :, 0:1], e[:, :, 1:2], e[:, :, 2:3]
+    f_shift, f_scale, f_gate = e[:, :, 3:4], e[:, :, 4:5], e[:, :, 5:6]
+
+    xn = _modulate(layer_norm(x, cfg.eps), e_shift, e_scale, frame_seqlen)
+    q, k, v = _qkv(bp["self_attn"], cfg, xn)
+    q = _rope_pairs(q, rope_cos, rope_sin)
+    k = _rope_pairs(k, rope_cos, rope_sin)
+
+    # write new K/V into the cache at [write_at, write_at + Lq)
+    k_layer = jax.lax.dynamic_update_slice(
+        k_layer, k.astype(k_layer.dtype), (0, write_at, 0, 0))
+    v_layer = jax.lax.dynamic_update_slice(
+        v_layer, v.astype(v_layer.dtype), (0, write_at, 0, 0))
+
+    attn = decode_attention(q, k_layer, v_layer, attn_lo, attn_hi)
+    B, L = attn.shape[:2]
+    y = linear(bp["self_attn"]["o"], attn.reshape(B, L, cfg.dim))
+    x = x + _gate(y, e_gate, frame_seqlen)
+
+    if "norm3" in bp:
+        xc = layer_norm(x, cfg.eps, bp["norm3"]["w"], bp["norm3"]["b"])
+    else:
+        xc = x
+    x = x + _cross_attention(bp, cfg, xc, ctx_kv_layer)
+
+    xn = _modulate(layer_norm(x, cfg.eps), f_shift, f_scale, frame_seqlen)
+    y = linear(bp["ffn"]["fc2"], gelu_tanh(linear(bp["ffn"]["fc1"], xn)))
+    x = x + _gate(y, f_gate, frame_seqlen)
+    return x, k_layer, v_layer
+
+
+def _rope_pairs(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """Rotate adjacent feature pairs; cos/sin [L, Dh/2]."""
+    B, L, N, D = x.shape
+    xf = x.astype(jnp.float32).reshape(B, L, N, D // 2, 2)
+    c = cos[None, :, None, :]
+    s = sin[None, :, None, :]
+    y0 = xf[..., 0] * c - xf[..., 1] * s
+    y1 = xf[..., 0] * s + xf[..., 1] * c
+    return jnp.stack([y0, y1], axis=-1).reshape(B, L, N, D).astype(x.dtype)
+
+
+# =====================================================================
+# top-level forwards
+# =====================================================================
+
+def _maybe_add_condition(params: Params, cfg: WanConfig, x: jax.Array,
+                         add_condition: jax.Array | None) -> jax.Array:
+    """Pose conditioning: project 5120 -> dim and add to tokens
+    (causal_model.py:783-819)."""
+    if add_condition is None:
+        return x
+    if "pose_proj" in params:
+        cond = linear(params["pose_proj"], add_condition.astype(x.dtype))
+    else:
+        cond = add_condition.astype(x.dtype)
+    return x + cond
+
+
+def forward_train(params: Params, cfg: WanConfig, x: jax.Array,
+                  t: jax.Array, context: jax.Array,
+                  mask: IntervalMask | None,
+                  rope: RopeTables,
+                  clean_x: jax.Array | None = None,
+                  aug_t: jax.Array | None = None,
+                  y: jax.Array | None = None,
+                  clip_fea: jax.Array | None = None,
+                  add_condition: jax.Array | None = None,
+                  remat: bool = True) -> jax.Array:
+    """No-cache forward: bidirectional (mask=None ≍ WanModel._forward,
+    model.py:637-771) or masked causal training
+    (CausalWanModel._forward_train, causal_model.py:895-1069), including the
+    teacher-forcing [clean | noisy] doubled sequence when ``clean_x`` is
+    given.
+
+    x: [B, F, C, H, W]; t: [B, F] (bidirectional callers broadcast a [B]
+    timestep); context: [B, <=512, text_dim].  Returns flow prediction
+    [B, F, C, H, W].
+    """
+    B, F = x.shape[:2]
+    if y is not None:
+        x = jnp.concatenate([x, y], axis=2)   # channel concat (model.py:679-680)
+
+    tokens, grid = patchify(params, cfg, x)
+    frame_seqlen = grid[1] * grid[2]
+    tokens = _maybe_add_condition(params, cfg, tokens, add_condition)
+    e, e0 = time_embed(params, cfg, t, tokens.dtype)
+
+    cos, sin = rope.angles_for_grid(*grid, 0)
+
+    if clean_x is not None:
+        # teacher forcing: [clean | noisy] (causal_model.py:1017-1034)
+        clean_tokens, _ = patchify(params, cfg, clean_x)
+        tokens = jnp.concatenate([clean_tokens, tokens], axis=1)
+        if aug_t is None:
+            aug_t = jnp.zeros_like(t)
+        _, e0_clean = time_embed(params, cfg, aug_t, tokens.dtype)
+        e0 = jnp.concatenate([e0_clean, e0], axis=1)
+        # same RoPE for both halves (causal_model.py:121-135)
+        cos = jnp.concatenate([cos, cos], axis=0)
+        sin = jnp.concatenate([sin, sin], axis=0)
+
+    ctx_kv = precompute_context(params, cfg, context, clip_fea)
+
+    block_fn = _block_train
+    if remat:
+        # args: (bp, cfg, tok, e0, cos, sin, mask, ctx, frame_seqlen);
+        # cfg and frame_seqlen are static.
+        block_fn = jax.checkpoint(
+            _block_train, static_argnums=(1, 8),
+            policy=jax.checkpoint_policies.nothing_saveable)
+
+    def scan_body(tok, xs):
+        bp, kt, vt = xs
+        layer_ctx = {"k_txt": kt, "v_txt": vt}
+        if "k_img" in ctx_kv:
+            # i2v image K/V are also per-layer; handled in outer closure.
+            pass
+        tok = block_fn(bp, cfg, tok, e0, cos, sin, mask, layer_ctx,
+                       frame_seqlen)
+        return tok, None
+
+    if "k_img" in ctx_kv:
+        def scan_body(tok, xs):  # noqa: F811 — i2v variant
+            bp, kt, vt, ki, vi = xs
+            layer_ctx = {"k_txt": kt, "v_txt": vt, "k_img": ki, "v_img": vi}
+            tok = block_fn(bp, cfg, tok, e0, cos, sin, mask, layer_ctx,
+                           frame_seqlen)
+            return tok, None
+        xs = (params["blocks"], ctx_kv["k_txt"], ctx_kv["v_txt"],
+              ctx_kv["k_img"], ctx_kv["v_img"])
+    else:
+        xs = (params["blocks"], ctx_kv["k_txt"], ctx_kv["v_txt"])
+
+    tokens, _ = jax.lax.scan(scan_body, tokens, xs)
+
+    if clean_x is not None:
+        tokens = tokens[:, tokens.shape[1] // 2:]
+
+    out_tokens = head_forward(params, cfg, tokens, e, frame_seqlen)
+    return unpatchify(cfg, out_tokens, grid)
+
+
+def forward_inference(params: Params, cfg: WanConfig, x: jax.Array,
+                      t: jax.Array, ctx_kv: dict, cache: KVCache,
+                      start_frame: jax.Array, rope: RopeTables,
+                      y: jax.Array | None = None,
+                      add_condition: jax.Array | None = None
+                      ) -> tuple[jax.Array, KVCache]:
+    """KV-cached streaming forward (CausalWanModel._forward_inference,
+    causal_model.py:725-893).
+
+    x: [B, F_blk, C, H, W] — the current chunk; t: [B, F_blk];
+    ``ctx_kv`` from :func:`precompute_context`; ``start_frame``: i32 scalar,
+    absolute frame index of this chunk.  Returns (flow_pred, new_cache).
+    """
+    if y is not None:
+        x = jnp.concatenate([x, y], axis=2)
+
+    tokens, grid = patchify(params, cfg, x)
+    Fb, h, w = grid
+    frame_seqlen = h * w
+    tokens = _maybe_add_condition(params, cfg, tokens, add_condition)
+    e, e0 = time_embed(params, cfg, t, tokens.dtype)
+
+    start_frame = jnp.asarray(start_frame, jnp.int32)
+    cos, sin = rope.angles_for_grid(Fb, h, w, start_frame)
+
+    # --- cache index bookkeeping (causal_model.py:202-229), shared by all
+    # layers, computed once.
+    Lq = Fb * frame_seqlen
+    S = cache.k.shape[2]
+    current_start = start_frame * frame_seqlen
+    current_end = current_start + Lq
+    sink_tokens = cfg.sink_size * frame_seqlen
+
+    if cfg.local_attn_size != -1:
+        advancing = current_end > cache.global_end
+        overflow = advancing & (Lq + cache.local_end > S)
+        evict = jnp.where(overflow, Lq + cache.local_end - S, 0)
+    else:
+        overflow = jnp.zeros((), bool)
+        evict = jnp.zeros((), jnp.int32)
+
+    local_end = cache.local_end + (current_end - cache.global_end) - evict
+    write_at = local_end - Lq
+    max_attn = cfg.max_attention_size(frame_seqlen)
+    attn_lo = jnp.maximum(0, local_end - max_attn)
+    attn_hi = local_end
+
+    def maybe_roll(layer_kv):
+        if cfg.local_attn_size == -1:
+            return layer_kv
+        k_l, v_l = layer_kv
+        return jax.lax.cond(
+            overflow,
+            lambda kv: (_rolled_cache(kv[0], sink_tokens, evict),
+                        _rolled_cache(kv[1], sink_tokens, evict)),
+            lambda kv: kv,
+            (k_l, v_l))
+
+    has_img = "k_img" in ctx_kv
+
+    def scan_body(tok, xs):
+        if has_img:
+            bp, k_l, v_l, kt, vt, ki, vi = xs
+            layer_ctx = {"k_txt": kt, "v_txt": vt, "k_img": ki, "v_img": vi}
+        else:
+            bp, k_l, v_l, kt, vt = xs
+            layer_ctx = {"k_txt": kt, "v_txt": vt}
+        k_l, v_l = maybe_roll((k_l, v_l))
+        tok, k_l, v_l = _block_decode(
+            bp, cfg, tok, e0, cos, sin, k_l, v_l, write_at, attn_lo, attn_hi,
+            layer_ctx, frame_seqlen)
+        return tok, (k_l, v_l)
+
+    if has_img:
+        xs = (params["blocks"], cache.k, cache.v, ctx_kv["k_txt"],
+              ctx_kv["v_txt"], ctx_kv["k_img"], ctx_kv["v_img"])
+    else:
+        xs = (params["blocks"], cache.k, cache.v, ctx_kv["k_txt"],
+              ctx_kv["v_txt"])
+
+    tokens, (new_k, new_v) = jax.lax.scan(scan_body, tokens, xs)
+
+    new_cache = KVCache(k=new_k, v=new_v,
+                        global_end=jnp.asarray(current_end, jnp.int32),
+                        local_end=jnp.asarray(local_end, jnp.int32))
+
+    out_tokens = head_forward(params, cfg, tokens, e, frame_seqlen)
+    return unpatchify(cfg, out_tokens, grid), new_cache

@@ -1,0 +1,157 @@
+"""Attention ops — the single seam the whole framework goes through.
+
+The reference funnels every attention call through flash-attn / SDPA
+(wan/modules/attention.py:32-202) and flex_attention with BlockMasks
+(wan/modules/causal_model.py:119-193).  Here the same three shapes exist as
+TPU-native ops:
+
+- ``dense_attention``  — small-KV attention (cross-attn with 512 text
+  tokens, VAE spatial attention).  Plain XLA dot + softmax: fuses fine and
+  the score matrix is small.
+- ``flash_attention``  — long-sequence self-attention with an
+  :class:`~self_forcing_tpu.ops.masks.IntervalMask` (block-causal /
+  teacher-forcing / i2v families).  Memory-safe chunked online softmax.
+- ``decode_attention`` — KV-cache attention: queries attend a dynamic
+  ``[kv_start, kv_end)`` window of a static-shape cache
+  (reference: causal_model.py:230-236).
+
+All use fp32 softmax accumulation with bf16 inputs.  A Pallas flash kernel
+family (ops/pallas_attention.py) implements the same signatures for the hot
+paths; these XLA versions are the reference implementation and the CPU
+fallback, dispatch is via ``use_pallas``.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from self_forcing_tpu.ops.masks import IntervalMask
+
+_NEG_INF = -1e30
+
+
+def dense_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                    scale: float | None = None,
+                    bias: jax.Array | None = None) -> jax.Array:
+    """softmax(q k^T * scale + bias) v.
+
+    q: [B, Lq, N, D], k/v: [B, Lk, N, D] -> [B, Lq, N, D].
+    fp32 softmax; output in q.dtype.
+    """
+    d = q.shape[-1]
+    scale = (d ** -0.5) if scale is None else scale
+    scores = jnp.einsum("bqnd,bknd->bnqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    if bias is not None:
+        scores = scores + bias.astype(jnp.float32)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bnqk,bknd->bqnd", probs.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
+    return out.astype(q.dtype)
+
+
+def _chunked_online_attention(q, k, v, scale, visible_fn, kv_chunk):
+    """Online-softmax attention scanning KV in chunks.
+
+    q: [B, Lq, N, D]; k/v: [B, Lk, N, D].
+    ``visible_fn(kv_lo, kv_idx_in_chunk) -> bool [Lq, C]`` gives the mask for
+    the chunk starting at kv_lo (static python int).
+    """
+    B, Lq, N, D = q.shape
+    Lk = k.shape[1]
+    qf = jnp.swapaxes(q, 1, 2).astype(jnp.float32) * scale    # [B,N,Lq,D]
+    kf = jnp.swapaxes(k, 1, 2)                                 # [B,N,Lk,D]
+    vf = jnp.swapaxes(v, 1, 2)
+
+    num_chunks = -(-Lk // kv_chunk)
+    pad = num_chunks * kv_chunk - Lk
+    if pad:
+        kf = jnp.pad(kf, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        vf = jnp.pad(vf, ((0, 0), (0, 0), (0, pad), (0, 0)))
+
+    kf = kf.reshape(B, N, num_chunks, kv_chunk, D).transpose(2, 0, 1, 3, 4)
+    vf = vf.reshape(B, N, num_chunks, kv_chunk, D).transpose(2, 0, 1, 3, 4)
+    chunk_ids = jnp.arange(num_chunks, dtype=jnp.int32)
+
+    def body(carry, xs):
+        m, l, o = carry            # [B,N,Lq,1], [B,N,Lq,1], [B,N,Lq,D]
+        c, kc, vc = xs             # scalar, [B,N,C,D], [B,N,C,D]
+        kv_lo = c * kv_chunk
+        s = jnp.einsum("bnqd,bnkd->bnqk", qf, kc.astype(jnp.float32))
+        idx = kv_lo + jnp.arange(kv_chunk, dtype=jnp.int32)
+        vis = visible_fn(idx)                       # [Lq, C] bool
+        vis = vis & (idx < Lk)[None, :]
+        s = jnp.where(vis[None, None], s, _NEG_INF)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        corr = jnp.exp(m - m_new)
+        l_new = l * corr + jnp.sum(p, axis=-1, keepdims=True)
+        o_new = o * corr + jnp.einsum("bnqk,bnkd->bnqd", p,
+                                      vc.astype(jnp.float32))
+        return (m_new, l_new, o_new), None
+
+    m0 = jnp.full((B, N, Lq, 1), _NEG_INF, jnp.float32)
+    l0 = jnp.zeros((B, N, Lq, 1), jnp.float32)
+    o0 = jnp.zeros((B, N, Lq, D), jnp.float32)
+    (m, l, o), _ = jax.lax.scan(body, (m0, l0, o0), (chunk_ids, kf, vf))
+    out = o / jnp.maximum(l, 1e-30)
+    return jnp.swapaxes(out, 1, 2).astype(q.dtype)
+
+
+@partial(jax.jit, static_argnames=("kv_chunk", "scale"))
+def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                    mask: IntervalMask | None = None,
+                    scale: float | None = None,
+                    kv_chunk: int = 1024) -> jax.Array:
+    """Masked long-sequence attention, chunked online softmax.
+
+    q/k/v: [B, L, N, D]; ``mask`` covers queries [0, Lq) and keys [0, Lk)
+    (IntervalMask built for this exact geometry).  With mask=None this is
+    full bidirectional attention computed memory-safely.
+    """
+    d = q.shape[-1]
+    scale = (d ** -0.5) if scale is None else scale
+    Lq = q.shape[1]
+    q_idx = jnp.arange(Lq, dtype=jnp.int32)
+
+    if mask is None:
+        def visible_fn(kv_idx):
+            return jnp.ones((Lq, kv_idx.shape[0]), bool)
+    else:
+        s1, e1 = mask.start1[:Lq], mask.end1[:Lq]
+        s2, e2 = mask.start2[:Lq], mask.end2[:Lq]
+
+        def visible_fn(kv_idx):
+            j = kv_idx[None, :]
+            return (((j >= s1[:, None]) & (j < e1[:, None]))
+                    | ((j >= s2[:, None]) & (j < e2[:, None])))
+
+    del q_idx
+    return _chunked_online_attention(q, k, v, scale, visible_fn, kv_chunk)
+
+
+@partial(jax.jit, static_argnames=("kv_chunk", "scale"))
+def decode_attention(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
+                     kv_start: jax.Array, kv_end: jax.Array,
+                     scale: float | None = None,
+                     kv_chunk: int = 1560) -> jax.Array:
+    """KV-cache attention: all queries see cache[kv_start:kv_end).
+
+    q: [B, Lq, N, D]; k_cache/v_cache: [B, S, N, D] (static S);
+    kv_start/kv_end: i32 scalars (dynamic).  Mirrors the window-limited
+    cache read at causal_model.py:230-236.
+    """
+    d = q.shape[-1]
+    scale = (d ** -0.5) if scale is None else scale
+    Lq = q.shape[1]
+    lo = jnp.asarray(kv_start, jnp.int32)
+    hi = jnp.asarray(kv_end, jnp.int32)
+
+    def visible_fn(kv_idx):
+        vis = (kv_idx >= lo) & (kv_idx < hi)
+        return jnp.broadcast_to(vis[None, :], (Lq, kv_idx.shape[0]))
+
+    return _chunked_online_attention(q, k_cache, v_cache, scale, visible_fn,
+                                     kv_chunk)
