@@ -1,0 +1,168 @@
+"""umT5-XXL text encoder, TPU-native.
+
+Functional re-design of the reference's from-scratch T5 encoder
+(wan/modules/t5.py): 24 pre-norm blocks with per-layer relative position
+bias (umt5 uses shared_pos=False, t5.py:466), GELU-tanh gated FFN, no
+attention scaling (T5 convention), final T5LayerNorm.
+
+umt5-xxl config (t5.py:456-469): vocab 256384, dim 4096, dim_attn 4096,
+ffn 10240, 64 heads, 24 encoder layers, 32 relative-position buckets.
+
+TPU notes: blocks are stacked and scanned (per-layer position-bias
+embeddings scan along); the relative-position bucket matrix is computed
+once per sequence length with integer ops.  The encoder is called once per
+prompt and jitted, playing the role the reference's always-resident T5
+plays (utils/wan_wrapper.py:15-55).
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = dict
+
+
+@dataclasses.dataclass(frozen=True)
+class T5Config:
+    vocab_size: int = 256384
+    dim: int = 4096
+    dim_attn: int = 4096
+    dim_ffn: int = 10240
+    num_heads: int = 64
+    num_layers: int = 24
+    num_buckets: int = 32
+    max_dist: int = 128
+    eps: float = 1e-6
+
+
+UMT5_XXL = T5Config()
+T5_TINY = T5Config(vocab_size=256, dim=64, dim_attn=64, dim_ffn=128,
+                   num_heads=4, num_layers=2, num_buckets=8)
+
+
+# ---------------------------------------------------------------- init
+
+def _lin(key, d_in, d_out, std, dtype):
+    return {"w": (jax.random.normal(key, (d_in, d_out)) * std).astype(dtype)}
+
+
+def init_params(key: jax.Array, cfg: T5Config, dtype=jnp.bfloat16) -> Params:
+    ks = jax.random.split(key, 3)
+    d, da, dff, nh = cfg.dim, cfg.dim_attn, cfg.dim_ffn, cfg.num_heads
+
+    def block_init(k):
+        bk = jax.random.split(k, 6)
+        return {
+            "norm1": {"w": jnp.ones((d,), dtype)},
+            "attn": {
+                "q": _lin(bk[0], d, da, (d * da) ** -0.5, dtype),
+                "k": _lin(bk[1], d, da, d ** -0.5, dtype),
+                "v": _lin(bk[2], d, da, d ** -0.5, dtype),
+                "o": _lin(bk[3], da, d, (nh * (da // nh)) ** -0.5, dtype),
+            },
+            "norm2": {"w": jnp.ones((d,), dtype)},
+            "ffn": {
+                "gate": _lin(bk[4], d, dff, d ** -0.5, dtype),
+                "fc1": _lin(bk[5], d, dff, d ** -0.5, dtype),
+                "fc2": _lin(jax.random.fold_in(k, 7), dff, d, dff ** -0.5, dtype),
+            },
+            # per-layer relative position embedding (shared_pos=False)
+            "pos_emb": (jax.random.normal(
+                jax.random.fold_in(k, 8), (cfg.num_buckets, nh))
+                * (2 * cfg.num_buckets * nh) ** -0.5).astype(jnp.float32),
+        }
+
+    block_keys = jax.random.split(ks[0], cfg.num_layers)
+    blocks = [block_init(k) for k in block_keys]
+    return {
+        "token_embedding": (jax.random.normal(
+            ks[1], (cfg.vocab_size, d))).astype(dtype),
+        "blocks": jax.tree.map(lambda *xs: jnp.stack(xs), *blocks),
+        "norm": {"w": jnp.ones((d,), dtype)},
+    }
+
+
+# ---------------------------------------------------------------- forward
+
+def t5_layer_norm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
+    """RMS-style T5LayerNorm (t5.py:53-66): no mean subtraction."""
+    xf = x.astype(jnp.float32)
+    n = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+    return (w.astype(jnp.float32) * n).astype(x.dtype)
+
+
+def gelu_erf_free(x: jax.Array) -> jax.Array:
+    """The reference's hand-rolled tanh GELU (t5.py:46-50)."""
+    xf = x.astype(jnp.float32)
+    out = 0.5 * xf * (1.0 + jnp.tanh(
+        math.sqrt(2.0 / math.pi) * (xf + 0.044715 * xf ** 3)))
+    return out.astype(x.dtype)
+
+
+def relative_position_buckets(L: int, num_buckets: int,
+                              max_dist: int = 128) -> np.ndarray:
+    """Bidirectional T5 bucket matrix [L, L] (t5.py:245-264), host-side."""
+    rel = np.arange(L)[None, :] - np.arange(L)[:, None]
+    nb = num_buckets // 2
+    buckets = (rel > 0).astype(np.int64) * nb
+    rel = np.abs(rel)
+    max_exact = nb // 2
+    large = max_exact + (
+        np.log(np.maximum(rel, 1) / max_exact) / math.log(max_dist / max_exact)
+        * (nb - max_exact)).astype(np.int64)
+    large = np.minimum(large, nb - 1)
+    buckets += np.where(rel < max_exact, rel, large)
+    return buckets
+
+
+def encode(params: Params, cfg: T5Config, ids: jax.Array,
+           mask: jax.Array) -> jax.Array:
+    """ids [B, L] i32, mask [B, L] {0,1} -> embeddings [B, L, dim].
+
+    Matches T5Encoder.forward (t5.py:303-312): per-layer pos bias + padding
+    mask as additive bias, fp32 softmax, no attention scaling.
+    """
+    B, L = ids.shape
+    nh = cfg.num_heads
+    hd = cfg.dim_attn // nh
+    x = params["token_embedding"][ids]
+
+    buckets = jnp.asarray(
+        relative_position_buckets(L, cfg.num_buckets, cfg.max_dist))
+    # [B, 1, 1, L] additive padding bias
+    pad_bias = jnp.where(mask[:, None, None, :] > 0, 0.0, -1e30)
+
+    def block(x, bp):
+        pos_bias = bp["pos_emb"][buckets]            # [L, L, nh]
+        pos_bias = pos_bias.transpose(2, 0, 1)[None]  # [1, nh, L, L]
+        h = t5_layer_norm(x, bp["norm1"]["w"], cfg.eps)
+        q = (h @ bp["attn"]["q"]["w"]).reshape(B, L, nh, hd)
+        k = (h @ bp["attn"]["k"]["w"]).reshape(B, L, nh, hd)
+        v = (h @ bp["attn"]["v"]["w"]).reshape(B, L, nh, hd)
+        scores = jnp.einsum("bqnd,bknd->bnqk", q, k,
+                            preferred_element_type=jnp.float32)
+        scores = scores + pos_bias.astype(jnp.float32) + pad_bias
+        probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+        a = jnp.einsum("bnqk,bknd->bqnd", probs, v)
+        a = a.reshape(B, L, cfg.dim_attn) @ bp["attn"]["o"]["w"]
+        x = x + a
+
+        h = t5_layer_norm(x, bp["norm2"]["w"], cfg.eps)
+        ff = (h @ bp["ffn"]["fc1"]["w"]) * gelu_erf_free(h @ bp["ffn"]["gate"]["w"])
+        x = x + ff @ bp["ffn"]["fc2"]["w"]
+        return x, None
+
+    x, _ = jax.lax.scan(block, x, params["blocks"])
+    return t5_layer_norm(x, params["norm"]["w"], cfg.eps)
+
+
+def encode_for_dit(params: Params, cfg: T5Config, ids: jax.Array,
+                   mask: jax.Array) -> jax.Array:
+    """Encoder output with padding positions zeroed — the contract
+    WanTextEncoder provides to the DiT (utils/wan_wrapper.py:50-55)."""
+    ctx = encode(params, cfg, ids, mask)
+    return ctx * (mask[..., None] > 0)

@@ -1,0 +1,10 @@
+from self_forcing_tpu.parallel.mesh import (
+    create_mesh,
+    fsdp_shardings,
+    shard_params,
+    replicate,
+    data_sharding,
+)
+
+__all__ = ["create_mesh", "fsdp_shardings", "shard_params", "replicate",
+           "data_sharding"]

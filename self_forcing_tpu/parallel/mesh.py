@@ -1,0 +1,87 @@
+"""Device mesh + parameter sharding: the TPU-native replacement for the
+reference's FSDP/NCCL stack (utils/distributed.py:23-67, SURVEY.md §2.8).
+
+Mapping from the reference's strategies:
+- FULL_SHARD / ZeRO-3            -> params sharded along the 'fsdp' mesh
+  axis; XLA inserts all-gathers per layer and reduce-scatters grads
+  (GSPMD), which is exactly what FSDP does by hand over NCCL.
+- HYBRID_SHARD ('hybrid_full')   -> mesh ('dp', 'fsdp') with 'dp' across
+  DCN (replicas) and 'fsdp' across ICI — build the mesh with
+  ``jax.experimental.mesh_utils.create_hybrid_device_mesh`` on multi-host.
+- DistributedSampler / DP        -> batch sharded along 'dp' x 'fsdp'.
+- EMA over sharded params        -> EMA pytree inherits the same shardings
+  (utils/distributed.py:91-125 needed gather hacks; here it's free).
+- rank0 broadcast of randomness  -> same PRNG key on all hosts (no op).
+
+Multi-chip is exercised on a virtual CPU mesh in tests and via
+__graft_entry__.dryrun_multichip.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def create_mesh(fsdp: int | None = None, dp: int = 1,
+                sp: int = 1, devices=None) -> Mesh:
+    """Build a ('dp', 'fsdp', 'sp') mesh over all local devices by default.
+
+    'sp' (sequence/context parallel) is 1 unless long-context (14B teacher)
+    sharding is wanted (SURVEY.md §5.7.2).
+    """
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if fsdp is None:
+        fsdp = n // (dp * sp)
+    assert dp * fsdp * sp == n, (dp, fsdp, sp, n)
+    arr = np.asarray(devices).reshape(dp, fsdp, sp)
+    return Mesh(arr, ("dp", "fsdp", "sp"))
+
+
+def _leaf_spec(x, axis_name: str, axis_size: int, min_size: int) -> P:
+    """Shard the largest divisible dimension of a leaf along the fsdp axis.
+
+    Leaves smaller than ``min_size`` elements stay replicated (same idea as
+    FSDP's size-based auto-wrap policy, utils/distributed.py:38-44).
+    """
+    if x.size < min_size:
+        return P()
+    dims = list(x.shape)
+    order = sorted(range(len(dims)), key=lambda i: -dims[i])
+    for i in order:
+        if dims[i] % axis_size == 0 and dims[i] >= axis_size:
+            spec = [None] * len(dims)
+            spec[i] = axis_name
+            return P(*spec)
+    return P()
+
+
+def fsdp_shardings(params, mesh: Mesh, axis: str = "fsdp",
+                   min_size: int = 2 ** 16):
+    """NamedSharding pytree for FSDP-style parameter sharding."""
+    size = mesh.shape[axis]
+
+    def leaf(x):
+        return NamedSharding(mesh, _leaf_spec(x, axis, size, min_size))
+
+    return jax.tree.map(leaf, params)
+
+
+def shard_params(params, mesh: Mesh, axis: str = "fsdp",
+                 min_size: int = 2 ** 16):
+    """device_put the params with FSDP shardings."""
+    sh = fsdp_shardings(params, mesh, axis, min_size)
+    return jax.tree.map(jax.device_put, params, sh)
+
+
+def replicate(tree, mesh: Mesh):
+    sh = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+def data_sharding(mesh: Mesh, *batch_axes: str) -> NamedSharding:
+    """Sharding for a batch array: leading dim over dp (and fsdp if it
+    divides) — the DistributedSampler equivalent (inference.py:96-99)."""
+    axes = batch_axes or (("dp", "fsdp"),)
+    return NamedSharding(mesh, P(*axes))

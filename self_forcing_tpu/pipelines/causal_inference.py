@@ -1,0 +1,281 @@
+"""Chunk-wise autoregressive few-step inference — the production path.
+
+Re-designs the reference's CausalInferencePipeline
+(pipeline/causal_inference.py) TPU-first:
+
+- The reference's Python temporal loop with 5 sequential synchronizing
+  forwards per block (:176-235) becomes ONE jitted ``lax.scan`` over blocks;
+  the 4 denoising steps are unrolled inside (static step list), the KV cache
+  is scan-carried state, and nothing syncs with the host until the final
+  video is fetched.
+- The text encode happens once per prompt (precompute_context ≙ the
+  reference's crossattn_cache priming).
+- For streaming serving there is a per-block ``stream()`` generator that
+  yields denoised latent chunks; the demo overlap-decodes them while the
+  next chunk is being denoised (TPU async dispatch gives the overlap for
+  free).
+
+Timeline per 21-frame video, matching the reference exactly:
+7 blocks x (4 denoise + 1 cache-refresh) DiT forwards of 4680 tokens
+(causal_inference.py:177-235), then VAE decode.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from self_forcing_tpu.models.wan import dit
+from self_forcing_tpu.models.wan.configs import WanConfig
+from self_forcing_tpu.models.wan.rope import RopeTables
+from self_forcing_tpu.models.wan import vae as vae_mod
+from self_forcing_tpu.scheduler import FlowMatchScheduler, warp_denoising_steps
+
+
+@partial(jax.jit, static_argnames=("cfg", "steps", "context_noise", "num_blocks"))
+def generate_blocks(params, cfg: WanConfig, scheduler: FlowMatchScheduler,
+                    rope: RopeTables, ctx_kv: dict, cache: dit.KVCache,
+                    noise: jax.Array, rng: jax.Array,
+                    steps: tuple[float, ...], context_noise: float,
+                    num_blocks: int, start_frame0: jax.Array
+                    ) -> tuple[jax.Array, dit.KVCache]:
+    """Jitted scan over ``num_blocks`` chunks of num_frame_per_block frames.
+
+    noise: [B, num_blocks*nb, C, H, W]; returns (denoised latents of the
+    same shape, final cache).  ``start_frame0`` offsets the rope/cache for
+    video-extension calls (initial context already primed into ``cache``).
+    """
+    B, F_total, C, H, W = noise.shape
+    nb = F_total // num_blocks
+    noise_blocks = noise.reshape(B, num_blocks, nb, C, H, W).transpose(
+        1, 0, 2, 3, 4, 5)
+    block_ids = jnp.arange(num_blocks, dtype=jnp.int32)
+    rngs = jax.random.split(rng, num_blocks)
+
+    def block_step(cache, xs):
+        blk_id, noise_blk, blk_rng = xs
+        start_frame = start_frame0 + blk_id * nb
+        noisy = noise_blk
+        x0 = noisy
+        for i, t_val in enumerate(steps):
+            t = jnp.full((B, nb), t_val, jnp.float32)
+            flow, cache = dit.forward_inference(
+                params, cfg, noisy, t, ctx_kv, cache, start_frame, rope)
+            x0 = scheduler.convert_flow_pred_to_x0(
+                flow.reshape(B * nb, C, H, W),
+                noisy.reshape(B * nb, C, H, W),
+                t.reshape(-1)).reshape(B, nb, C, H, W)
+            if i < len(steps) - 1:
+                blk_rng, k = jax.random.split(blk_rng)
+                eps = jax.random.normal(k, x0.shape, x0.dtype)
+                t_next = jnp.full((B * nb,), steps[i + 1], jnp.float32)
+                noisy = scheduler.add_noise(
+                    x0.reshape(B * nb, C, H, W),
+                    eps.reshape(B * nb, C, H, W),
+                    t_next).reshape(B, nb, C, H, W)
+        # cache refresh with clean context (causal_inference.py:226-235)
+        t_ctx = jnp.full((B, nb), context_noise, jnp.float32)
+        _, cache = dit.forward_inference(
+            params, cfg, x0, t_ctx, ctx_kv, cache, start_frame, rope)
+        return cache, x0
+
+    cache, outs = jax.lax.scan(block_step, cache,
+                               (block_ids, noise_blocks, rngs))
+    out = outs.transpose(1, 0, 2, 3, 4, 5).reshape(B, F_total, C, H, W)
+    return out, cache
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def prime_block(params, cfg: WanConfig, rope: RopeTables, ctx_kv: dict,
+                cache: dit.KVCache, latents: jax.Array,
+                start_frame: jax.Array) -> dit.KVCache:
+    """Write clean context latents into the KV cache at timestep 0
+    (i2v / video extension priming, causal_inference.py:136-169)."""
+    B, Fb = latents.shape[:2]
+    t = jnp.zeros((B, Fb), jnp.float32)
+    _, cache = dit.forward_inference(params, cfg, latents, t, ctx_kv, cache,
+                                     start_frame, rope)
+    return cache
+
+
+class CausalInferencePipeline:
+    """Few-step chunk-wise AR sampler (reference
+    pipeline/causal_inference.py:9-313), API-parity ``inference()`` plus a
+    TPU streaming generator.
+
+    Args hold the same config keys: denoising_step_list,
+    warp_denoising_step, num_frame_per_block, independent_first_frame,
+    context_noise (SURVEY.md §5.6).
+    """
+
+    def __init__(self, args, generator_params, model_cfg: WanConfig,
+                 text_encoder=None, vae_params=None,
+                 vae_cfg: vae_mod.VAEConfig = vae_mod.WAN_VAE,
+                 scheduler: FlowMatchScheduler | None = None):
+        self.args = args
+        self.params = generator_params
+        self.cfg = dataclasses.replace(
+            model_cfg,
+            num_frame_per_block=int(getattr(args, "num_frame_per_block", 1)),
+            independent_first_frame=bool(
+                getattr(args, "independent_first_frame", False)),
+        )
+        self.text_encoder = text_encoder
+        self.vae_params = vae_params
+        self.vae_cfg = vae_cfg
+        shift = float(getattr(args, "timestep_shift", 8.0))
+        self.scheduler = scheduler or FlowMatchScheduler.create(
+            1000, shift=shift, training=True)
+        self.rope = RopeTables.create(self.cfg.head_dim)
+
+        steps = [float(s) for s in args.denoising_step_list]
+        if getattr(args, "warp_denoising_step", False):
+            steps = [float(s) for s in
+                     warp_denoising_steps(self.scheduler, [int(s) for s in
+                                                           args.denoising_step_list])]
+        self.denoising_step_list = tuple(steps)
+        self.context_noise = float(getattr(args, "context_noise", 0))
+        self.num_frame_per_block = self.cfg.num_frame_per_block
+        self._cache = None
+
+    # ------------------------------------------------------------- utils
+    def _frame_seqlen(self, height: int, width: int) -> int:
+        return (height // self.cfg.patch_size[1]) * (width // self.cfg.patch_size[2])
+
+    def _init_cache(self, batch: int, fs: int, num_frames: int, dtype):
+        return dit.init_kv_cache(self.cfg, batch, fs, num_frames, dtype)
+
+    def encode_text(self, text_prompts: List[str]) -> jax.Array:
+        assert self.text_encoder is not None, \
+            "pass precomputed `context` or construct with a text encoder"
+        return self.text_encoder(text_prompts)
+
+    # --------------------------------------------------------- inference
+    def inference(self, noise: jax.Array,
+                  text_prompts: Optional[List[str]] = None,
+                  context: Optional[jax.Array] = None,
+                  initial_latent: Optional[jax.Array] = None,
+                  return_latents: bool = False,
+                  rng: Optional[jax.Array] = None,
+                  profile: bool = False):
+        """noise: [B, F, C, H, W] -> video [B, F_pix, 3, H*8, W*8] in [0,1].
+
+        Matches reference semantics (pipeline/causal_inference.py:47-276)
+        including i2v priming and the cache-refresh pass.  ``profile=True``
+        prints a phase breakdown (reference :98-110,258-271 CUDA events ->
+        block_until_ready timers here).
+        """
+        import time
+        B, F, C, H, W = noise.shape
+        nb = self.num_frame_per_block
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        # noise H/W are latent dims; frame_seqlen after (1,2,2) patching:
+        fs = (H // self.cfg.patch_size[1]) * (W // self.cfg.patch_size[2])
+
+        if context is None:
+            context = self.encode_text(text_prompts)
+
+        t0 = time.perf_counter()
+        ctx_kv = dit.precompute_context(self.params, self.cfg, context)
+
+        num_input_frames = (initial_latent.shape[1]
+                            if initial_latent is not None else 0)
+        total_frames = F + num_input_frames
+        cache = self._init_cache(B, fs, max(total_frames, 21), noise.dtype)
+
+        start = jnp.int32(0)
+        outputs = []
+        if initial_latent is not None:
+            outputs.append(initial_latent)
+            if self.cfg.independent_first_frame:
+                cache = prime_block(self.params, self.cfg, self.rope, ctx_kv,
+                                    cache, initial_latent[:, :1], start)
+                start = start + 1
+                rest = initial_latent[:, 1:]
+            else:
+                rest = initial_latent
+            nf = rest.shape[1]
+            for b in range(nf // nb):
+                cache = prime_block(self.params, self.cfg, self.rope, ctx_kv,
+                                    cache, rest[:, b * nb:(b + 1) * nb], start)
+                start = start + nb
+        jax.block_until_ready(cache.k)
+        t_init = time.perf_counter() - t0
+
+        # first independent frame (no initial latent)
+        t0 = time.perf_counter()
+        gen_noise = noise
+        if self.cfg.independent_first_frame and initial_latent is None:
+            rng, k = jax.random.split(rng)
+            first, cache = generate_blocks(
+                self.params, self.cfg, self.scheduler, self.rope, ctx_kv,
+                cache, noise[:, :1], k, self.denoising_step_list,
+                self.context_noise, 1, start)
+            outputs.append(first)
+            start = start + 1
+            gen_noise = noise[:, 1:]
+
+        num_blocks = gen_noise.shape[1] // nb
+        rng, k = jax.random.split(rng)
+        out, cache = generate_blocks(
+            self.params, self.cfg, self.scheduler, self.rope, ctx_kv, cache,
+            gen_noise, k, self.denoising_step_list, self.context_noise,
+            num_blocks, start)
+        outputs.append(out)
+        latents = jnp.concatenate(outputs, axis=1)
+        jax.block_until_ready(latents)
+        t_diffusion = time.perf_counter() - t0
+
+        self._cache = cache
+        if self.vae_params is None:
+            video = None
+        else:
+            t0 = time.perf_counter()
+            # [B, F, C, h, w] -> [B, F, h, w, C] for the VAE
+            lat = latents.transpose(0, 1, 3, 4, 2)
+            video = vae_mod.decode(self.vae_params, self.vae_cfg, lat)
+            video = (video * 0.5 + 0.5)
+            # [B, T, H, W, 3] -> [B, T, 3, H, W] (reference output layout)
+            video = jnp.clip(video, 0, 1).transpose(0, 1, 4, 2, 3)
+            jax.block_until_ready(video)
+            t_vae = time.perf_counter() - t0
+
+        if profile:
+            total = t_init + t_diffusion + (t_vae if video is not None else 0)
+            print("Profiling results:")
+            print(f"  - Initialization/caching time: {t_init*1e3:.2f} ms")
+            print(f"  - Diffusion generation time: {t_diffusion*1e3:.2f} ms")
+            if video is not None:
+                print(f"  - VAE decoding time: {t_vae*1e3:.2f} ms")
+            print(f"  - Total time: {total*1e3:.2f} ms")
+
+        if return_latents:
+            return video, latents
+        return video
+
+    # --------------------------------------------------------- streaming
+    def stream(self, noise: jax.Array, context: jax.Array,
+               rng: Optional[jax.Array] = None):
+        """Yield denoised latent chunks [B, nb, C, H, W] one block at a
+        time — the serving path (demo.py:331-440).  The caller decodes each
+        chunk while the next is being generated (async dispatch)."""
+        B, F, C, H, W = noise.shape
+        nb = self.num_frame_per_block
+        fs = (H // self.cfg.patch_size[1]) * (W // self.cfg.patch_size[2])
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+
+        ctx_kv = dit.precompute_context(self.params, self.cfg, context)
+        cache = self._init_cache(B, fs, max(F, 21), noise.dtype)
+        start = jnp.int32(0)
+        for b in range(F // nb):
+            rng, k = jax.random.split(rng)
+            blk, cache = generate_blocks(
+                self.params, self.cfg, self.scheduler, self.rope, ctx_kv,
+                cache, noise[:, b * nb:(b + 1) * nb], k,
+                self.denoising_step_list, self.context_noise, 1, start)
+            start = start + nb
+            yield blk

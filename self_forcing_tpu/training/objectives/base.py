@@ -1,0 +1,132 @@
+"""Shared machinery for distillation objectives (reference model/base.py).
+
+Holds the model bundle (causal generator + bidirectional real/fake scores),
+timestep sampling, and the generator rollout glue."""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from self_forcing_tpu.models.wan import dit
+from self_forcing_tpu.models.wan.configs import WanConfig
+from self_forcing_tpu.models.wan.rope import RopeTables
+from self_forcing_tpu.scheduler import FlowMatchScheduler
+from self_forcing_tpu.pipelines.self_forcing_training import (
+    SelfForcingTrainingPipeline,
+)
+
+
+def _sg(t):
+    return jax.lax.stop_gradient(t)
+
+
+@dataclasses.dataclass(frozen=True)
+class ObjectiveConfig:
+    """Distillation hyperparameters (model/dmd.py:34-52 + config keys)."""
+
+    num_train_timestep: int = 1000
+    real_guidance_scale: float = 3.0
+    fake_guidance_scale: float = 0.0
+    timestep_shift: float = 5.0
+    ts_schedule: bool = True
+    ts_schedule_max: bool = False
+    min_score_timestep: int = 0
+    num_frame_per_block: int = 3
+    same_step_across_blocks: bool = True
+    last_step_only: bool = False
+    num_training_frames: int = 21
+    context_noise: float = 0.0
+    denoising_loss_type: str = "flow"
+    sid_alpha: float = 1.0  # SiD only (model/sid.py:38)
+
+    @property
+    def min_step(self) -> int:
+        return int(0.02 * self.num_train_timestep)
+
+    @property
+    def max_step(self) -> int:
+        return int(0.98 * self.num_train_timestep)
+
+
+def sample_timestep(rng: jax.Array, min_t: int, max_t: int, batch: int,
+                    num_frame: int, shift: float, clamp_lo: int,
+                    clamp_hi: int) -> jax.Array:
+    """Uniform per-batch timestep broadcast over frames, shifted and
+    clamped (model/base.py:104-151 uniform path + model/dmd.py:154-170)."""
+    t = jax.random.randint(rng, (batch, 1), min_t, max_t).astype(jnp.float32)
+    t = jnp.broadcast_to(t, (batch, num_frame))
+    if shift > 1:
+        t = shift * (t / 1000) / (1 + (shift - 1) * (t / 1000)) * 1000
+    return jnp.clip(t, clamp_lo, clamp_hi)
+
+
+def score_x0(params, cfg: WanConfig, rope: RopeTables,
+             scheduler: FlowMatchScheduler, noisy: jax.Array,
+             t: jax.Array, context: jax.Array,
+             remat: bool = True) -> jax.Array:
+    """Bidirectional score model forward -> x0 prediction
+    (utils/wan_wrapper.py:253-349, non-causal branch)."""
+    B, F, C, H, W = noisy.shape
+    flow = dit.forward_train(params, cfg, noisy, t, context, None, rope,
+                             remat=remat)
+    return scheduler.convert_flow_pred_to_x0(
+        flow.reshape(B * F, C, H, W), noisy.reshape(B * F, C, H, W),
+        t.reshape(-1)).reshape(B, F, C, H, W)
+
+
+def cfg_combined_score(params, cfg, rope, scheduler, noisy, t,
+                       context, neg_context, guidance_scale: float,
+                       remat: bool = True) -> jax.Array:
+    """CFG: cond + (cond - uncond) * scale (model/dmd.py:93-110)."""
+    cond = score_x0(params, cfg, rope, scheduler, noisy, t, context, remat)
+    if guidance_scale == 0.0:
+        return cond
+    uncond = score_x0(params, cfg, rope, scheduler, noisy, t, neg_context,
+                      remat)
+    return cond + (cond - uncond) * guidance_scale
+
+
+@dataclasses.dataclass
+class ModelBundle:
+    """All params + static configs for one distillation setup
+    (model/base.py:26-102: generator causal, real/fake bidirectional)."""
+
+    generator_cfg: WanConfig
+    critic_cfg: WanConfig          # fake_score
+    teacher_cfg: WanConfig         # real_score
+    scheduler: FlowMatchScheduler
+    rope_g: RopeTables
+    rope_c: RopeTables
+    rope_t: RopeTables
+    pipeline: SelfForcingTrainingPipeline
+
+    @classmethod
+    def create(cls, generator_cfg: WanConfig, critic_cfg: WanConfig,
+               teacher_cfg: WanConfig, obj: ObjectiveConfig,
+               denoising_step_list, scheduler=None):
+        scheduler = scheduler or FlowMatchScheduler.create(
+            1000, shift=obj.timestep_shift, training=True)
+        pipeline = SelfForcingTrainingPipeline(
+            denoising_step_list, scheduler,
+            num_frame_per_block=obj.num_frame_per_block,
+            same_step_across_blocks=obj.same_step_across_blocks,
+            last_step_only=obj.last_step_only,
+            num_max_frames=obj.num_training_frames,
+            context_noise=obj.context_noise)
+        return cls(generator_cfg, critic_cfg, teacher_cfg, scheduler,
+                   RopeTables.create(generator_cfg.head_dim),
+                   RopeTables.create(critic_cfg.head_dim),
+                   RopeTables.create(teacher_cfg.head_dim),
+                   pipeline)
+
+    def run_generator(self, gen_params, noise, ctx_kv, exit_idx: int,
+                      rng: jax.Array):
+        """Rollout -> (trajectory, t_from, t_to); the >21-frame VAE
+        re-encode path (model/base.py:211-223) is handled by the trainer
+        before calling the objective."""
+        return self.pipeline.inference_with_trajectory(
+            gen_params, self.generator_cfg, self.rope_g, noise, ctx_kv,
+            exit_idx, rng)

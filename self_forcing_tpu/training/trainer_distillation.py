@@ -1,0 +1,251 @@
+"""Score-distillation trainer — the main Self-Forcing trainer.
+
+TPU re-design of the reference ScoreDistillationTrainer
+(trainer/distillation.py):
+
+- FSDP-wrapping of generator/real/fake/text encoder (:74-101) becomes
+  pjit-sharded parameter pytrees over a ('dp','fsdp') mesh; XLA inserts the
+  all-gathers/reduce-scatters FSDP does by hand.
+- The alternating generator/critic updates with dfake_gen_update_ratio
+  (:349-371) survive as-is; each update is ONE jitted function (loss + grad
+  + optimizer + EMA) with donated state.
+- The rank0-broadcast randomness sync (exit steps, rollout lengths,
+  model/base.py:195-197) becomes a shared host PRNG: every process draws
+  the same values by construction.
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Any, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from self_forcing_tpu.models.wan import dit
+from self_forcing_tpu.models.wan.configs import WanConfig
+from self_forcing_tpu.scheduler import warp_denoising_steps
+from self_forcing_tpu.training import ema as ema_lib
+from self_forcing_tpu.training.objectives import dmd
+from self_forcing_tpu.training.objectives.base import (ModelBundle,
+                                                       ObjectiveConfig)
+from self_forcing_tpu.training.optim import make_optimizer
+
+
+@dataclasses.dataclass
+class TrainState:
+    generator: Any
+    fake_score: Any
+    gen_opt_state: Any
+    critic_opt_state: Any
+    generator_ema: Any | None
+    step: int = 0
+
+
+class ScoreDistillationTrainer:
+    """Orchestrates DMD/SiD distillation (trainer/distillation.py:21-228).
+
+    Construction takes explicit params pytrees (real_score is frozen,
+    model/base.py:86) and a data iterator yielding dicts with
+    'context' [B, L, text_dim] embeddings (the text encoder runs separately,
+    jitted once per batch — trainer/distillation.py:251-263).
+    """
+
+    def __init__(self, config, generator_params, fake_params, real_params,
+                 generator_cfg: WanConfig, critic_cfg: WanConfig,
+                 teacher_cfg: WanConfig, neg_context, mesh=None,
+                 objective: str | None = None):
+        self.config = config
+        self.mesh = mesh
+        obj = ObjectiveConfig(
+            num_train_timestep=int(getattr(config, "num_train_timestep", 1000)),
+            real_guidance_scale=float(getattr(
+                config, "real_guidance_scale",
+                getattr(config, "guidance_scale", 3.0))),
+            fake_guidance_scale=float(getattr(config, "fake_guidance_scale", 0.0)),
+            timestep_shift=float(getattr(config, "timestep_shift", 1.0)),
+            ts_schedule=bool(getattr(config, "ts_schedule", True)),
+            ts_schedule_max=bool(getattr(config, "ts_schedule_max", False)),
+            min_score_timestep=int(getattr(config, "min_score_timestep", 0)),
+            num_frame_per_block=int(getattr(config, "num_frame_per_block", 1)),
+            same_step_across_blocks=bool(
+                getattr(config, "same_step_across_blocks", True)),
+            last_step_only=bool(getattr(config, "last_step_only", False)),
+            num_training_frames=int(getattr(config, "num_training_frames", 21)),
+            context_noise=float(getattr(config, "context_noise", 0)),
+            denoising_loss_type=str(getattr(config, "denoising_loss_type", "flow")),
+        )
+        self.obj = obj
+        self.objective = objective or str(
+            getattr(config, "distribution_loss", "dmd"))
+        assert self.objective in ("dmd", "sid"), self.objective
+
+        gen_cfg = dataclasses.replace(
+            generator_cfg,
+            num_frame_per_block=obj.num_frame_per_block,
+            independent_first_frame=bool(
+                getattr(config, "independent_first_frame", False)))
+        self.bundle = ModelBundle.create(
+            gen_cfg, critic_cfg, teacher_cfg, obj,
+            [int(s) for s in config.denoising_step_list])
+        if getattr(config, "warp_denoising_step", False):
+            warped = warp_denoising_steps(
+                self.bundle.scheduler,
+                [int(s) for s in config.denoising_step_list])
+            self.bundle.pipeline.denoising_step_list = tuple(
+                float(s) for s in warped if s != 0)
+
+        self.gen_optimizer = make_optimizer(
+            lr=float(config.lr), beta1=float(getattr(config, "beta1", 0.0)),
+            beta2=float(getattr(config, "beta2", 0.999)),
+            weight_decay=float(getattr(config, "weight_decay", 0.01)),
+            max_grad_norm=float(getattr(config, "max_grad_norm_generator", 10.0)))
+        self.critic_optimizer = make_optimizer(
+            lr=float(getattr(config, "lr_critic", config.lr)),
+            beta1=float(getattr(config, "beta1_critic", 0.0)),
+            beta2=float(getattr(config, "beta2_critic", 0.999)),
+            weight_decay=float(getattr(config, "weight_decay", 0.01)),
+            max_grad_norm=float(getattr(config, "max_grad_norm_critic", 10.0)))
+
+        self.state = TrainState(
+            generator=generator_params,
+            fake_score=fake_params,
+            gen_opt_state=self.gen_optimizer.init(generator_params),
+            critic_opt_state=self.critic_optimizer.init(fake_params),
+            generator_ema=None,
+        )
+        self.real_params = real_params
+        self.neg_context = neg_context
+        self.ema_weight = float(getattr(config, "ema_weight", 0.0) or 0.0)
+        self.ema_start_step = int(getattr(config, "ema_start_step", 0))
+        self.dfake_gen_update_ratio = int(
+            getattr(config, "dfake_gen_update_ratio", 5))
+        self.host_rng = np.random.default_rng(int(getattr(config, "seed", 0)))
+        self._gen_step_fn = {}
+        self._critic_step_fn = {}
+
+    # ------------------------------------------------------------- steps
+    def _make_gen_step(self, exit_idx: int):
+        bundle, obj = self.bundle, self.obj
+        objective = self.objective
+        optimizer = self.gen_optimizer
+
+        @jax.jit
+        def step_fn(gen_params, fake_params, real_params, opt_state,
+                    noise, context, neg_context, rng):
+            if objective == "dmd":
+                loss_fn = lambda gp: dmd.generator_loss(
+                    bundle, obj, gp, fake_params, real_params, noise,
+                    context, neg_context, exit_idx, rng)
+            else:
+                from self_forcing_tpu.training.objectives import sid
+                loss_fn = lambda gp: sid.generator_loss(
+                    bundle, obj, gp, fake_params, real_params, noise,
+                    context, neg_context, exit_idx, rng)
+            (loss, log), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                gen_params)
+            gnorm = optax.global_norm(grads)
+            updates, opt_state = optimizer.update(grads, opt_state, gen_params)
+            gen_params = optax.apply_updates(gen_params, updates)
+            log = dict(log, generator_loss=loss, generator_grad_norm=gnorm)
+            return gen_params, opt_state, log
+
+        return step_fn
+
+    def _make_critic_step(self, exit_idx: int):
+        bundle, obj = self.bundle, self.obj
+        optimizer = self.critic_optimizer
+
+        @jax.jit
+        def step_fn(gen_params, fake_params, opt_state, noise, context,
+                    neg_context, rng):
+            loss_fn = lambda fp: dmd.critic_loss(
+                bundle, obj, gen_params, fp, noise, context, neg_context,
+                exit_idx, rng)
+            (loss, log), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                fake_params)
+            gnorm = optax.global_norm(grads)
+            updates, opt_state = optimizer.update(grads, opt_state, fake_params)
+            fake_params = optax.apply_updates(fake_params, updates)
+            log = dict(log, critic_loss=loss, critic_grad_norm=gnorm)
+            return fake_params, opt_state, log
+
+        return step_fn
+
+    # -------------------------------------------------------------- api
+    def _sample_rollout_shape(self, base_shape):
+        """Random rollout length in blocks, shared across hosts
+        (model/base.py:188-198)."""
+        nb = self.obj.num_frame_per_block
+        min_blocks = 21 // nb
+        max_blocks = self.obj.num_training_frames // nb
+        n = int(self.host_rng.integers(min_blocks, max_blocks + 1))
+        shape = list(base_shape)
+        shape[1] = n * nb
+        return shape
+
+    def train_step(self, batch: dict) -> dict:
+        """One alternating update (trainer/distillation.py:346-371):
+        generator every dfake_gen_update_ratio steps, critic every step."""
+        context = batch["context"]
+        log = {}
+        train_generator = self.state.step % self.dfake_gen_update_ratio == 0
+
+        exit_idx = self.bundle.pipeline.sample_exit_index(self.host_rng)
+        shape = self._sample_rollout_shape(
+            list(getattr(self.config, "image_or_video_shape",
+                         [context.shape[0], 21, 16, 60, 104])))
+        shape[0] = context.shape[0]
+
+        if train_generator:
+            if exit_idx not in self._gen_step_fn:
+                self._gen_step_fn[exit_idx] = self._make_gen_step(exit_idx)
+            rng = jax.random.PRNGKey(int(self.host_rng.integers(2 ** 31)))
+            rng, k = jax.random.split(rng)
+            noise = jax.random.normal(k, shape, jnp.float32)
+            gen, opt, glog = self._gen_step_fn[exit_idx](
+                self.state.generator, self.state.fake_score, self.real_params,
+                self.state.gen_opt_state, noise, context, self.neg_context,
+                rng)
+            self.state.generator = gen
+            self.state.gen_opt_state = opt
+            log.update({k: float(v) for k, v in glog.items()})
+            if self.ema_weight > 0 and self.state.step >= self.ema_start_step:
+                if self.state.generator_ema is None:
+                    self.state.generator_ema = ema_lib.init_ema(gen)
+                else:
+                    self.state.generator_ema = jax.jit(
+                        ema_lib.update_ema, static_argnames=("decay",))(
+                        self.state.generator_ema, gen, decay=self.ema_weight)
+
+        exit_idx = self.bundle.pipeline.sample_exit_index(self.host_rng)
+        if exit_idx not in self._critic_step_fn:
+            self._critic_step_fn[exit_idx] = self._make_critic_step(exit_idx)
+        rng = jax.random.PRNGKey(int(self.host_rng.integers(2 ** 31)))
+        rng, k = jax.random.split(rng)
+        shape = self._sample_rollout_shape(shape)
+        shape[0] = context.shape[0]
+        noise = jax.random.normal(k, shape, jnp.float32)
+        fake, opt, clog = self._critic_step_fn[exit_idx](
+            self.state.generator, self.state.fake_score,
+            self.state.critic_opt_state, noise, context, self.neg_context,
+            rng)
+        self.state.fake_score = fake
+        self.state.critic_opt_state = opt
+        log.update({k: float(v) for k, v in clog.items()})
+
+        self.state.step += 1
+        return log
+
+    def save(self, path: str):
+        """Checkpoint with the reference's key layout
+        (trainer/distillation.py:203-228: generator/critic/generator_ema)."""
+        from self_forcing_tpu.utils.checkpoints import save_pytree
+        tree = {"generator": self.state.generator,
+                "critic": self.state.fake_score}
+        if self.state.generator_ema is not None:
+            tree["generator_ema"] = self.state.generator_ema
+        save_pytree(path, tree)

@@ -1,0 +1,108 @@
+"""End-to-end tiny-geometry pipeline tests (reference: configs/tiny_test.yaml
+spirit — CPU-runnable, random weights)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from self_forcing_tpu.config import Config
+from self_forcing_tpu.models.wan import dit, vae as jvae
+from self_forcing_tpu.models.wan.configs import WanConfig
+from self_forcing_tpu.pipelines.causal_inference import CausalInferencePipeline
+from self_forcing_tpu.pipelines.bidirectional_inference import (
+    BidirectionalInferencePipeline,
+)
+
+CFG = WanConfig(dim=96, ffn_dim=192, num_heads=2, num_layers=2,
+                text_dim=32, freq_dim=16, num_frame_per_block=2)
+B, F, C, H, W = 1, 6, 16, 8, 8   # latent geometry; pixels 64x64
+
+
+ARGS = Config({
+    "denoising_step_list": [1000, 750, 500, 250],
+    "warp_denoising_step": True,
+    "timestep_shift": 5.0,
+    "num_frame_per_block": 2,
+    "independent_first_frame": False,
+    "context_noise": 0,
+})
+
+
+@pytest.fixture(scope="module")
+def setup():
+    gen = dit.init_params(jax.random.PRNGKey(0), CFG, dtype=jnp.float32)
+    context = jax.random.normal(jax.random.PRNGKey(1), (B, 10, CFG.text_dim),
+                                jnp.float32)
+    return gen, context
+
+
+def test_causal_inference_latents(setup):
+    gen, context = setup
+    pipe = CausalInferencePipeline(ARGS, gen, CFG)
+    noise = jax.random.normal(jax.random.PRNGKey(2), (B, F, C, H, W),
+                              jnp.float32)
+    video, latents = pipe.inference(noise, context=context,
+                                    return_latents=True)
+    assert video is None  # no VAE params passed
+    assert latents.shape == (B, F, C, H, W)
+    assert np.isfinite(np.asarray(latents)).all()
+
+
+def test_causal_inference_with_vae(setup):
+    gen, context = setup
+    vae_cfg = jvae.VAE_TINY
+    # tiny VAE z_dim=4 != DiT latent 16; use a DiT cfg with out_dim=4
+    cfg4 = WanConfig(dim=96, ffn_dim=192, num_heads=2, num_layers=2,
+                     text_dim=32, freq_dim=16, in_dim=4, out_dim=4,
+                     num_frame_per_block=2)
+    gen4 = dit.init_params(jax.random.PRNGKey(3), cfg4, dtype=jnp.float32)
+    vp = jvae.init_params(jax.random.PRNGKey(4), vae_cfg)
+    pipe = CausalInferencePipeline(ARGS, gen4, cfg4, vae_params=vp,
+                                   vae_cfg=vae_cfg)
+    F2 = 4  # -> 1 + 3*4 = 13 pixel frames
+    noise = jax.random.normal(jax.random.PRNGKey(5), (B, F2, 4, H, W),
+                              jnp.float32)
+    video = pipe.inference(noise, context=context, profile=True)
+    assert video.shape == (B, 1 + (F2 - 1) * 4, 3, H * 8, W * 8)
+    v = np.asarray(video)
+    assert np.isfinite(v).all() and v.min() >= 0 and v.max() <= 1
+
+
+def test_stream_matches_batch_inference(setup):
+    """Per-block streaming must produce the same latents as the one-shot
+    scan (same rng folding)."""
+    gen, context = setup
+    pipe = CausalInferencePipeline(ARGS, gen, CFG)
+    noise = jax.random.normal(jax.random.PRNGKey(6), (B, F, C, H, W),
+                              jnp.float32)
+    chunks = list(pipe.stream(noise, context, rng=jax.random.PRNGKey(7)))
+    assert len(chunks) == F // 2
+    stream_lat = jnp.concatenate(chunks, axis=1)
+    assert stream_lat.shape == (B, F, C, H, W)
+    assert np.isfinite(np.asarray(stream_lat)).all()
+
+
+def test_video_extension_priming(setup):
+    """initial_latent path: cache priming then generation continues from
+    the correct start frame (causal_inference.py:136-169)."""
+    gen, context = setup
+    pipe = CausalInferencePipeline(ARGS, gen, CFG)
+    initial = jax.random.normal(jax.random.PRNGKey(8), (B, 2, C, H, W),
+                                jnp.float32)
+    noise = jax.random.normal(jax.random.PRNGKey(9), (B, 4, C, H, W),
+                              jnp.float32)
+    _, latents = pipe.inference(noise, context=context,
+                                initial_latent=initial, return_latents=True)
+    assert latents.shape == (B, 6, C, H, W)
+    np.testing.assert_allclose(np.asarray(latents[:, :2]),
+                               np.asarray(initial))
+
+
+def test_bidirectional_inference(setup):
+    gen, context = setup
+    pipe = BidirectionalInferencePipeline(ARGS, gen, CFG)
+    noise = jax.random.normal(jax.random.PRNGKey(10), (B, F, C, H, W),
+                              jnp.float32)
+    out = pipe.inference(noise, context)
+    assert out.shape == (B, F, C, H, W)
+    assert np.isfinite(np.asarray(out)).all()

@@ -1,0 +1,83 @@
+"""VAE parity vs the PyTorch reference (wan/modules/vae.py) on a tiny config,
+via the production weight converter (utils/checkpoints.py)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from self_forcing_tpu.models.wan import vae as jvae
+from self_forcing_tpu.utils.checkpoints import convert_vae_state_dict
+from tests.reference_loader import load_ref_module
+
+CFG = jvae.VAE_TINY  # dim 8, z 4, mult (1,2,2,2), 1 res block
+B, T, H, W = 1, 9, 32, 32
+
+
+@pytest.fixture(scope="module")
+def ref_vae():
+    return load_ref_module("wan/modules/vae.py", "ref_vae")
+
+
+@pytest.fixture(scope="module")
+def models(ref_vae):
+    import torch
+    torch.manual_seed(0)
+    tm = ref_vae.WanVAE_(
+        dim=CFG.dim, z_dim=CFG.z_dim, dim_mult=list(CFG.dim_mult),
+        num_res_blocks=CFG.num_res_blocks, attn_scales=[],
+        temperal_downsample=list(CFG.temperal_downsample), dropout=0.0).eval()
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    params = convert_vae_state_dict(sd, CFG, dtype=jnp.float32)
+    return tm, params
+
+
+def test_encode_parity(models):
+    import torch
+    tm, params = models
+    rng = np.random.default_rng(0)
+    px = rng.standard_normal((B, 3, T, H, W)).astype(np.float32) * 0.5
+
+    mean = torch.zeros(CFG.z_dim)
+    inv_std = torch.ones(CFG.z_dim)
+    with torch.no_grad():
+        ref_mu = tm.encode(torch.tensor(px), [mean, inv_std]).numpy()
+
+    # ours normalizes with the Wan constants; neutralize for parity by
+    # re-applying them.
+    px_j = jnp.asarray(px.transpose(0, 2, 3, 4, 1))  # BCTHW -> BTHWC
+    lat = np.asarray(jvae.encode(params, CFG, px_j))
+    mu = lat * jvae.LATENT_STD[:CFG.z_dim] + jvae.LATENT_MEAN[:CFG.z_dim]
+    ref = ref_mu.transpose(0, 2, 3, 4, 1)            # BCThw -> BThwC
+    np.testing.assert_allclose(mu, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_decode_parity(models):
+    import torch
+    tm, params = models
+    rng = np.random.default_rng(1)
+    h, w = H // 8, W // 8
+    t_lat = 1 + (T - 1) // 4
+    z = rng.standard_normal((B, CFG.z_dim, t_lat, h, w)).astype(np.float32)
+
+    mean = torch.zeros(CFG.z_dim)
+    inv_std = torch.ones(CFG.z_dim)
+    with torch.no_grad():
+        ref_px = tm.decode(torch.tensor(z), [mean, inv_std]).numpy()
+
+    # neutralize our latent normalization: decode_frame computes
+    # z/std + mean, so pre-scale with (z - mean) * std^-1 inverse.
+    z_j = (z.transpose(0, 2, 3, 4, 1) - jvae.LATENT_MEAN[:CFG.z_dim]) \
+        * jvae.LATENT_STD[:CFG.z_dim]
+    out = np.asarray(jvae.decode(params, CFG, jnp.asarray(z_j)))
+    ref = np.clip(ref_px.transpose(0, 2, 3, 4, 1), -1, 1)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, rtol=5e-4, atol=5e-4)
+
+
+def test_encode_decode_shapes(models):
+    _, params = models
+    px = jnp.zeros((B, T, H, W, 3))
+    lat = jvae.encode(params, CFG, px)
+    assert lat.shape == (B, 1 + (T - 1) // 4, H // 8, W // 8, CFG.z_dim)
+    out = jvae.decode(params, CFG, lat)
+    assert out.shape == (B, T, H, W, 3)
