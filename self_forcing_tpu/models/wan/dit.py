@@ -604,14 +604,19 @@ def forward_inference(params: Params, cfg: WanConfig, x: jax.Array,
                       t: jax.Array, ctx_kv: dict, cache: KVCache,
                       start_frame: jax.Array, rope: RopeTables,
                       y: jax.Array | None = None,
-                      add_condition: jax.Array | None = None
+                      add_condition: jax.Array | None = None,
+                      cache_start_frame: jax.Array | None = None
                       ) -> tuple[jax.Array, KVCache]:
     """KV-cached streaming forward (CausalWanModel._forward_inference,
     causal_model.py:725-893).
 
     x: [B, F_blk, C, H, W] — the current chunk; t: [B, F_blk];
     ``ctx_kv`` from :func:`precompute_context`; ``start_frame``: i32 scalar,
-    absolute frame index of this chunk.  Returns (flow_pred, new_cache).
+    absolute frame index of this chunk (RoPE position).  For long-video
+    sliding windows ``cache_start_frame`` decouples the cache write position
+    from the RoPE offset (reference current_start vs cache_start,
+    causal_diffusion_inference.py:184,256); defaults to ``start_frame``.
+    Returns (flow_pred, new_cache).
     """
     if y is not None:
         x = jnp.concatenate([x, y], axis=2)
@@ -625,11 +630,15 @@ def forward_inference(params: Params, cfg: WanConfig, x: jax.Array,
     start_frame = jnp.asarray(start_frame, jnp.int32)
     cos, sin = rope.angles_for_grid(Fb, h, w, start_frame)
 
+    if cache_start_frame is None:
+        cache_start_frame = start_frame
+    cache_start_frame = jnp.asarray(cache_start_frame, jnp.int32)
+
     # --- cache index bookkeeping (causal_model.py:202-229), shared by all
     # layers, computed once.
     Lq = Fb * frame_seqlen
     S = cache.k.shape[2]
-    current_start = start_frame * frame_seqlen
+    current_start = cache_start_frame * frame_seqlen
     current_end = current_start + Lq
     sink_tokens = cfg.sink_size * frame_seqlen
 

@@ -15,4 +15,7 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import jax  # noqa: E402
 
+# The axon TPU plugin overrides JAX_PLATFORMS at import; force the CPU
+# backend at runtime so tests run locally (tunneled-TPU dispatch is slow).
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")

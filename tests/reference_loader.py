@@ -44,6 +44,83 @@ def _ensure_diffusers_stub():
     sys.modules["diffusers.models.modeling_utils"] = mdl_utils
 
 
+def ensure_diffusers_scheduler_stub():
+    """Richer diffusers stub so the reference fm_solvers modules import:
+    a working register_to_config + scheduling_utils/utils submodules."""
+    import inspect
+    import types as _types
+
+    _ensure_diffusers_stub()
+    diffusers = sys.modules["diffusers"]
+    if getattr(diffusers, "_scheduler_stub", False):
+        return
+
+    class _Config(dict):
+        def __getattr__(self, k):
+            try:
+                return self[k]
+            except KeyError as e:
+                raise AttributeError(k) from e
+
+    class ConfigMixin2:
+        def register_to_config(self, **kwargs):
+            if not hasattr(self, "config"):
+                self.config = _Config()
+            self.config.update(kwargs)
+
+    def register_to_config(init):
+        sig = inspect.signature(init)
+
+        def wrapped(self, *args, **kwargs):
+            bound = sig.bind(self, *args, **kwargs)
+            bound.apply_defaults()
+            cfg = _Config({k: v for k, v in bound.arguments.items()
+                           if k != "self"})
+            self.config = cfg
+            init(self, *args, **kwargs)
+
+        return wrapped
+
+    cfg_utils = sys.modules["diffusers.configuration_utils"]
+    cfg_utils.ConfigMixin = ConfigMixin2
+    cfg_utils.register_to_config = register_to_config
+
+    sched_pkg = _types.ModuleType("diffusers.schedulers")
+    sched_utils = _types.ModuleType("diffusers.schedulers.scheduling_utils")
+
+    class SchedulerMixin:
+        pass
+
+    class SchedulerOutput:
+        def __init__(self, prev_sample=None):
+            self.prev_sample = prev_sample
+
+    import enum
+
+    class KarrasDiffusionSchedulers(enum.Enum):
+        DDIMScheduler = 1
+
+    sched_utils.SchedulerMixin = SchedulerMixin
+    sched_utils.SchedulerOutput = SchedulerOutput
+    sched_utils.KarrasDiffusionSchedulers = KarrasDiffusionSchedulers
+
+    utils_mod = _types.ModuleType("diffusers.utils")
+    utils_mod.deprecate = lambda *a, **k: None
+    utils_mod.is_scipy_available = lambda: False
+    torch_utils = _types.ModuleType("diffusers.utils.torch_utils")
+    torch_utils.randn_tensor = None
+
+    diffusers.schedulers = sched_pkg
+    diffusers.utils = utils_mod
+    sched_pkg.scheduling_utils = sched_utils
+    utils_mod.torch_utils = torch_utils
+    sys.modules["diffusers.schedulers"] = sched_pkg
+    sys.modules["diffusers.schedulers.scheduling_utils"] = sched_utils
+    sys.modules["diffusers.utils"] = utils_mod
+    sys.modules["diffusers.utils.torch_utils"] = torch_utils
+    diffusers._scheduler_stub = True
+
+
 def load_ref_module(relpath: str, name: str, package_root: str | None = None):
     """Load a reference file as module ``name``.
 
@@ -65,6 +142,14 @@ def load_ref_module(relpath: str, name: str, package_root: str | None = None):
 
 def load_ref_scheduler():
     return load_ref_module("utils/scheduler.py", "ref_scheduler")
+
+
+def load_ref_fm_solvers():
+    """Load the vendored diffusers flow-matching solvers as oracles."""
+    ensure_diffusers_scheduler_stub()
+    unipc = load_ref_module("wan/utils/fm_solvers_unipc.py", "ref_fm_unipc")
+    dpm = load_ref_module("wan/utils/fm_solvers.py", "ref_fm_dpm")
+    return unipc, dpm
 
 
 def load_ref_wan_model():
