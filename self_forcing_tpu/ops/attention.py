@@ -100,11 +100,58 @@ def _chunked_online_attention(q, k, v, scale, visible_fn, kv_chunk):
     return jnp.swapaxes(out, 1, 2).astype(q.dtype)
 
 
-@partial(jax.jit, static_argnames=("kv_chunk", "scale"))
+_ATTENTION_BACKEND: str | None = None  # 'xla' | 'pallas' | None = auto
+
+
+def set_attention_backend(name: str | None) -> None:
+    """Force 'xla' or 'pallas' (None = auto: pallas on TPU)."""
+    global _ATTENTION_BACKEND
+    assert name in (None, "xla", "pallas"), name
+    _ATTENTION_BACKEND = name
+
+
+def _use_pallas() -> bool:
+    if _ATTENTION_BACKEND is not None:
+        return _ATTENTION_BACKEND == "pallas"
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
+
+
 def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                     mask: IntervalMask | None = None,
                     scale: float | None = None,
                     kv_chunk: int = 1024) -> jax.Array:
+    """Masked long-sequence attention; dispatches to the Pallas kernel on
+    TPU, the XLA chunked online-softmax reference elsewhere."""
+    if _use_pallas():
+        from self_forcing_tpu.ops.pallas_attention import (
+            flash_attention_pallas)
+        return flash_attention_pallas(q, k, v, mask, scale=scale)
+    return flash_attention_xla(q, k, v, mask, scale=scale,
+                               kv_chunk=kv_chunk)
+
+
+def decode_attention(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
+                     kv_start: jax.Array, kv_end: jax.Array,
+                     scale: float | None = None,
+                     kv_chunk: int = 1560) -> jax.Array:
+    """KV-cache window attention; Pallas kernel on TPU, XLA elsewhere."""
+    if _use_pallas():
+        from self_forcing_tpu.ops.pallas_attention import (
+            decode_attention_pallas)
+        return decode_attention_pallas(q, k_cache, v_cache, kv_start,
+                                       kv_end, scale=scale)
+    return decode_attention_xla(q, k_cache, v_cache, kv_start, kv_end,
+                                scale=scale, kv_chunk=kv_chunk)
+
+
+@partial(jax.jit, static_argnames=("kv_chunk", "scale"))
+def flash_attention_xla(q: jax.Array, k: jax.Array, v: jax.Array,
+                        mask: IntervalMask | None = None,
+                        scale: float | None = None,
+                        kv_chunk: int = 1024) -> jax.Array:
     """Masked long-sequence attention, chunked online softmax.
 
     q/k/v: [B, L, N, D]; ``mask`` covers queries [0, Lq) and keys [0, Lk)
@@ -133,10 +180,11 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
 
 
 @partial(jax.jit, static_argnames=("kv_chunk", "scale"))
-def decode_attention(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
-                     kv_start: jax.Array, kv_end: jax.Array,
-                     scale: float | None = None,
-                     kv_chunk: int = 1560) -> jax.Array:
+def decode_attention_xla(q: jax.Array, k_cache: jax.Array,
+                         v_cache: jax.Array,
+                         kv_start: jax.Array, kv_end: jax.Array,
+                         scale: float | None = None,
+                         kv_chunk: int = 1560) -> jax.Array:
     """KV-cache attention: all queries see cache[kv_start:kv_end).
 
     q: [B, Lq, N, D]; k_cache/v_cache: [B, S, N, D] (static S);

@@ -30,21 +30,40 @@ import numpy as np
 
 
 @jax.tree_util.register_pytree_node_class
-@dataclasses.dataclass(frozen=True)
+@dataclasses.dataclass(frozen=True, eq=False)
 class IntervalMask:
-    """Per-query visibility as union of two [start, end) KV intervals."""
+    """Per-query visibility as union of two [start, end) KV intervals.
 
-    start1: jax.Array  # [S] i32
-    end1: jax.Array    # [S] i32
-    start2: jax.Array  # [S] i32
-    end2: jax.Array    # [S] i32
+    Backed by *numpy* arrays and registered as a static pytree (all data in
+    aux): mask geometry is compile-time constant, which lets the Pallas
+    kernel precompute tile liveness on the host and makes each distinct
+    mask one jit specialization (like the reference's cached BlockMasks,
+    causal_model.py:546-560)."""
+
+    start1: np.ndarray  # [S] i32
+    end1: np.ndarray    # [S] i32
+    start2: np.ndarray  # [S] i32
+    end2: np.ndarray    # [S] i32
 
     def tree_flatten(self):
-        return ((self.start1, self.end1, self.start2, self.end2), None)
+        aux = tuple(np.asarray(a, np.int32).tobytes()
+                    for a in (self.start1, self.end1, self.start2, self.end2))
+        return ((), aux)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children)
+        return cls(*(np.frombuffer(b, np.int32) for b in aux))
+
+    def __hash__(self):
+        return hash(tuple(a.tobytes() for a in
+                          (self.start1, self.end1, self.start2, self.end2)))
+
+    def __eq__(self, other):
+        return (isinstance(other, IntervalMask)
+                and all(np.array_equal(a, b) for a, b in
+                        zip((self.start1, self.end1, self.start2, self.end2),
+                            (other.start1, other.end1, other.start2,
+                             other.end2))))
 
     @property
     def seq_len(self) -> int:
@@ -68,8 +87,8 @@ def _from_numpy(s1, e1, s2=None, e2=None) -> IntervalMask:
     z = np.zeros_like(s1) if s2 is None else s2
     z2 = np.zeros_like(e1) if e2 is None else e2
     return IntervalMask(
-        jnp.asarray(s1, jnp.int32), jnp.asarray(e1, jnp.int32),
-        jnp.asarray(z, jnp.int32), jnp.asarray(z2, jnp.int32))
+        np.asarray(s1, np.int32), np.asarray(e1, np.int32),
+        np.asarray(z, np.int32), np.asarray(z2, np.int32))
 
 
 def block_causal_mask(num_frames: int, frame_seqlen: int,

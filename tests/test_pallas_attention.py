@@ -1,0 +1,100 @@
+"""Pallas kernels vs. the XLA reference attention (interpret mode on CPU).
+
+The kernels are the TPU hot path (SURVEY.md §2.9: flash-attn /
+flex_attention replacements); these tests pin them to the XLA
+implementations that are themselves golden-tested against torch SDPA."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from self_forcing_tpu.ops.attention import (decode_attention_xla,
+                                            flash_attention_xla)
+from self_forcing_tpu.ops.masks import block_causal_mask, teacher_forcing_mask
+from self_forcing_tpu.ops.pallas_attention import (decode_attention_pallas,
+                                                   flash_attention_pallas)
+
+B, N, D = 1, 2, 128
+
+
+def _qkv(key, Lq, Lk):
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (B, Lq, N, D), jnp.float32)
+    k = jax.random.normal(kk, (B, Lk, N, D), jnp.float32)
+    v = jax.random.normal(kv, (B, Lk, N, D), jnp.float32)
+    return q, k, v
+
+
+def test_decode_matches_xla():
+    q, k, v = _qkv(jax.random.PRNGKey(0), 96, 320)
+    for lo, hi in [(0, 96), (0, 320), (64, 256)]:
+        ref = decode_attention_xla(q, k, v, jnp.int32(lo), jnp.int32(hi))
+        out = decode_attention_pallas(q, k, v, jnp.int32(lo), jnp.int32(hi),
+                                      tq=128, tk=128, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_decode_window_excludes_rest():
+    """Tokens outside [lo, hi) must not influence the output."""
+    q, k, v = _qkv(jax.random.PRNGKey(1), 32, 256)
+    lo, hi = 32, 128
+    out1 = decode_attention_pallas(q, k, v, jnp.int32(lo), jnp.int32(hi),
+                                   tq=128, tk=128, interpret=True)
+    k2 = k.at[:, hi:].set(99.0).at[:, :lo].set(-99.0)
+    v2 = v.at[:, hi:].set(99.0).at[:, :lo].set(-99.0)
+    out2 = decode_attention_pallas(q, k2, v2, jnp.int32(lo), jnp.int32(hi),
+                                   tq=128, tk=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_flash_block_causal_matches_xla():
+    F, fs = 4, 64  # 256 tokens
+    mask = block_causal_mask(F, fs, num_frame_per_block=2)
+    q, k, v = _qkv(jax.random.PRNGKey(2), F * fs, F * fs)
+    ref = flash_attention_xla(q, k, v, mask)
+    out = flash_attention_pallas(q, k, v, mask, tq=128, tk=128,
+                                 interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_flash_teacher_forcing_matches_xla():
+    F, fs = 2, 64  # doubled 256 tokens
+    mask = teacher_forcing_mask(F, fs, num_frame_per_block=1)
+    L = 2 * F * fs
+    q, k, v = _qkv(jax.random.PRNGKey(3), L, L)
+    ref = flash_attention_xla(q, k, v, mask)
+    out = flash_attention_pallas(q, k, v, mask, tq=128, tk=128,
+                                 interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_flash_no_mask_matches_xla():
+    q, k, v = _qkv(jax.random.PRNGKey(4), 128, 192)
+    ref = flash_attention_xla(q, k, v, None)
+    out = flash_attention_pallas(q, k, v, None, tq=128, tk=128,
+                                 interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_flash_grad_matches_xla():
+    """custom_vjp routes the backward through the XLA implementation."""
+    F, fs = 2, 64
+    mask = block_causal_mask(F, fs, 1)
+    q, k, v = _qkv(jax.random.PRNGKey(5), F * fs, F * fs)
+
+    def loss_p(q, k, v):
+        return jnp.sum(flash_attention_pallas(q, k, v, mask, tq=128,
+                                              tk=128, interpret=True) ** 2)
+
+    def loss_x(q, k, v):
+        return jnp.sum(flash_attention_xla(q, k, v, mask) ** 2)
+
+    gp = jax.grad(loss_p, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_x, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
