@@ -500,6 +500,150 @@ def _rope_pairs(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
 
 
 # =====================================================================
+# GAN discriminator extras (RegisterTokens / GanAttentionBlock /
+# cls_pred_branch — model.py:357-494, utils/wan_wrapper.py:182-201)
+# =====================================================================
+
+GAN_FFN_DIM = 8192  # GanAttentionBlock default (model.py:360-362)
+
+
+def default_gan_taps(num_layers: int) -> tuple[int, ...]:
+    """Feature-tap layer indices: 13/21/29 for the 30-layer 1.3B
+    (model.py:750), scaled proportionally for other depths."""
+    return tuple(min(num_layers - 1, round(f * num_layers))
+                 for f in (13 / 30, 21 / 30, 29 / 30))
+
+
+def init_cls_branch_params(key: jax.Array, cfg: WanConfig, num_class: int = 1,
+                           time_embed_dim: int = 0,
+                           dtype=jnp.float32) -> Params:
+    """adding_cls_branch (utils/wan_wrapper.py:182-201): 3 register tokens,
+    3 GanAttentionBlocks, LayerNorm+MLP classifier over the concatenated
+    taps (+ optional time embedding)."""
+    d = cfg.dim
+    ks = jax.random.split(key, 8)
+    num_registers = 3
+
+    def ca_block(k):
+        kk = jax.random.split(k, 5)
+        return {
+            "norm3": {"w": jnp.ones((d,), dtype), "b": jnp.zeros((d,), dtype)},
+            "cross_attn": {
+                "q": _linear_init(kk[0], d, d, dtype),
+                "k": _linear_init(kk[1], d, d, dtype),
+                "v": _linear_init(kk[2], d, d, dtype),
+                "o": _linear_init(kk[3], d, d, dtype),
+                "norm_q": {"w": jnp.ones((d,), dtype)},
+                "norm_k": {"w": jnp.ones((d,), dtype)},
+            },
+            "ffn": {"fc1": _linear_init(kk[4], d, GAN_FFN_DIM, dtype),
+                    "fc2": _linear_init(jax.random.fold_in(kk[4], 1),
+                                        GAN_FFN_DIM, d, dtype)},
+        }
+
+    in_dim = d * num_registers + time_embed_dim
+    return {
+        "registers": (jax.random.normal(ks[0], (num_registers, d)) * 0.02
+                      ).astype(dtype),
+        "register_norm": {"w": jnp.ones((d,), dtype)},
+        "ca_blocks": [ca_block(ks[1 + i]) for i in range(num_registers)],
+        "cls": {
+            "ln": {"w": jnp.ones((in_dim,), dtype),
+                   "b": jnp.zeros((in_dim,), dtype)},
+            "fc1": _linear_init(ks[5], in_dim, d, dtype),
+            "fc2": _linear_init(ks[6], d, num_class, dtype),
+        },
+    }
+
+
+def _gan_ca_block(bp: Params, cfg: WanConfig, x: jax.Array,
+                  token: jax.Array) -> jax.Array:
+    """GanAttentionBlock (model.py:357-436): 1-query cross attention from
+    the register token into the tapped features, then FFN residual."""
+    B = x.shape[0]
+    xn = layer_norm(x, cfg.eps, bp["norm3"]["w"], bp["norm3"]["b"])
+    p = bp["cross_attn"]
+    q = rms_norm(linear(p["q"], token), p["norm_q"]["w"], cfg.eps)
+    k = rms_norm(linear(p["k"], xn), p["norm_k"]["w"], cfg.eps)
+    v = linear(p["v"], xn)
+    out = dense_attention(_heads(cfg, q), _heads(cfg, k), _heads(cfg, v))
+    out = linear(p["o"], out.reshape(B, 1, cfg.dim))
+    tok = token + out
+    y = linear(bp["ffn"]["fc2"], gelu_tanh(linear(bp["ffn"]["fc1"],
+                                                  layer_norm(tok, cfg.eps))))
+    return y + tok
+
+
+def _slice_blocks(blocks: Params, lo: int, hi: int) -> Params:
+    return jax.tree.map(lambda a: a[lo:hi], blocks)
+
+
+def forward_classify(params: Params, cls_params: Params, cfg: WanConfig,
+                     x: jax.Array, t: jax.Array, context: jax.Array,
+                     rope: RopeTables,
+                     concat_time_embeddings: bool = False,
+                     remat: bool = True) -> tuple[jax.Array, jax.Array]:
+    """Bidirectional forward with GAN feature taps (classify_mode,
+    model.py:730-770): returns (flow_pred, logits [B, num_class]).
+
+    The 30-block scan is split into segments at the tap layers; each tap
+    feeds a 1-token cross-attention block whose outputs concatenate into
+    the classifier head."""
+    B, F = x.shape[:2]
+    tokens, grid = patchify(params, cfg, x)
+    frame_seqlen = grid[1] * grid[2]
+    e, e0 = time_embed(params, cfg, t, tokens.dtype)
+    cos, sin = rope.angles_for_grid(*grid, 0)
+    ctx_kv = precompute_context(params, cfg, context)
+
+    block_fn = _block_train
+    if remat:
+        block_fn = jax.checkpoint(
+            _block_train, static_argnums=(1, 8),
+            policy=jax.checkpoint_policies.nothing_saveable)
+
+    def scan_seg(tokens, lo, hi):
+        if hi <= lo:
+            return tokens
+
+        def body(tok, xs):
+            bp, kt, vt = xs
+            tok = block_fn(bp, cfg, tok, e0, cos, sin, None,
+                           {"k_txt": kt, "v_txt": vt}, frame_seqlen)
+            return tok, None
+
+        xs = (_slice_blocks(params["blocks"], lo, hi),
+              ctx_kv["k_txt"][lo:hi], ctx_kv["v_txt"][lo:hi])
+        tokens, _ = jax.lax.scan(body, tokens, xs)
+        return tokens
+
+    taps = default_gan_taps(cfg.num_layers)
+    registers = rms_norm(cls_params["registers"],
+                         cls_params["register_norm"]["w"]).astype(tokens.dtype)
+
+    lo = 0
+    tap_feats = []
+    for i, tap in enumerate(taps):
+        tokens = scan_seg(tokens, lo, tap + 1)
+        lo = tap + 1
+        token = jnp.broadcast_to(registers[i][None, None],
+                                 (B, 1, cfg.dim))
+        tap_feats.append(_gan_ca_block(cls_params["ca_blocks"][i], cfg,
+                                       tokens, token))
+    tokens = scan_seg(tokens, lo, cfg.num_layers)
+
+    feats = jnp.concatenate(tap_feats, axis=1).reshape(B, -1)  # [B, 3D]
+    if concat_time_embeddings:
+        feats = jnp.concatenate([feats, 10.0 * e[:, 0]], axis=-1)
+    c = cls_params["cls"]
+    h = layer_norm(feats[:, None], 1e-5, c["ln"]["w"], c["ln"]["b"])[:, 0]
+    logits = linear(c["fc2"], jax.nn.silu(linear(c["fc1"], h)))
+
+    out_tokens = head_forward(params, cfg, tokens, e, frame_seqlen)
+    return unpatchify(cfg, out_tokens, grid), logits
+
+
+# =====================================================================
 # top-level forwards
 # =====================================================================
 

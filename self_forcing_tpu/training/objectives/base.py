@@ -63,6 +63,27 @@ def sample_timestep(rng: jax.Array, min_t: int, max_t: int, batch: int,
     return jnp.clip(t, clamp_lo, clamp_hi)
 
 
+def sample_timestep_per_block(rng: jax.Array, min_t: int, max_t: int,
+                              batch: int, num_frame: int,
+                              num_frame_per_block: int,
+                              independent_first_frame: bool = False
+                              ) -> jax.Array:
+    """Per-block random integer timesteps, equal within each block
+    (model/base.py:128-151 non-uniform path).  Returns i32 [B, F]."""
+    if independent_first_frame:
+        nb = (num_frame - 1) // num_frame_per_block
+        t0 = jax.random.randint(rng, (batch, 1), min_t, max_t)
+        tb = jax.random.randint(jax.random.fold_in(rng, 1),
+                                (batch, nb, 1), min_t, max_t)
+        tb = jnp.broadcast_to(tb, (batch, nb, num_frame_per_block)
+                              ).reshape(batch, -1)
+        return jnp.concatenate([t0, tb], axis=1)
+    nb = num_frame // num_frame_per_block
+    tb = jax.random.randint(rng, (batch, nb, 1), min_t, max_t)
+    return jnp.broadcast_to(tb, (batch, nb, num_frame_per_block)
+                            ).reshape(batch, num_frame)
+
+
 def score_x0(params, cfg: WanConfig, rope: RopeTables,
              scheduler: FlowMatchScheduler, noisy: jax.Array,
              t: jax.Array, context: jax.Array,

@@ -1,0 +1,93 @@
+"""Causal-diffusion (teacher-forcing) finetuning trainer
+(reference trainer/diffusion.py): single generator optimizer + EMA over
+ShardingLMDB-style batches of clean latents."""
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax
+
+from self_forcing_tpu.models.wan.configs import WanConfig
+from self_forcing_tpu.models.wan.rope import RopeTables
+from self_forcing_tpu.scheduler import FlowMatchScheduler
+from self_forcing_tpu.training import ema as ema_lib
+from self_forcing_tpu.training.objectives import causal_diffusion
+from self_forcing_tpu.training.optim import make_optimizer
+
+
+class DiffusionTrainer:
+    def __init__(self, config, generator_params, generator_cfg: WanConfig):
+        self.config = config
+        self.cfg = dataclasses.replace(
+            generator_cfg,
+            num_frame_per_block=int(getattr(config, "num_frame_per_block", 1)),
+            independent_first_frame=bool(
+                getattr(config, "independent_first_frame", False)))
+        self.rope = RopeTables.create(self.cfg.head_dim)
+        self.scheduler = FlowMatchScheduler.create(
+            1000, shift=float(getattr(config, "timestep_shift", 5.0)),
+            training=True)
+        self.optimizer = make_optimizer(
+            lr=float(config.lr),
+            beta1=float(getattr(config, "beta1", 0.9)),
+            beta2=float(getattr(config, "beta2", 0.999)),
+            weight_decay=float(getattr(config, "weight_decay", 0.01)),
+            max_grad_norm=float(getattr(config, "max_grad_norm", 10.0)))
+        self.params = generator_params
+        self.opt_state = self.optimizer.init(generator_params)
+        self.ema_weight = float(getattr(config, "ema_weight", 0.0) or 0.0)
+        self.ema = None
+        self.step = 0
+        self.host_rng = np.random.default_rng(int(getattr(config, "seed", 0)))
+        self._step_fn = None
+
+    def _make_step(self):
+        cfg, rope, scheduler = self.cfg, self.rope, self.scheduler
+        nb = self.cfg.num_frame_per_block
+        tf = bool(getattr(self.config, "teacher_forcing", True))
+        aug = int(getattr(self.config, "noise_augmentation_max_timestep", 0))
+        iff = self.cfg.independent_first_frame
+        optimizer = self.optimizer
+
+        @jax.jit
+        def step_fn(params, opt_state, clean_latent, context, rng):
+            def loss_fn(p):
+                return causal_diffusion.generator_loss(
+                    p, cfg, rope, scheduler, clean_latent, context, nb, rng,
+                    teacher_forcing=tf,
+                    noise_augmentation_max_timestep=aug,
+                    independent_first_frame=iff)
+            (loss, log), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            import optax
+            gnorm = optax.global_norm(grads)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, dict(log, loss=loss, grad_norm=gnorm)
+        return step_fn
+
+    def train_step(self, batch: dict) -> dict:
+        """batch: {'latents': [B, F, C, H, W], 'context': [B, L, D]}"""
+        if self._step_fn is None:
+            self._step_fn = self._make_step()
+        rng = jax.random.PRNGKey(int(self.host_rng.integers(2 ** 31)))
+        self.params, self.opt_state, log = self._step_fn(
+            self.params, self.opt_state, batch["latents"], batch["context"],
+            rng)
+        if self.ema_weight > 0:
+            if self.ema is None:
+                self.ema = ema_lib.init_ema(self.params)
+            else:
+                self.ema = jax.jit(
+                    ema_lib.update_ema, static_argnames=("decay",))(
+                    self.ema, self.params, decay=self.ema_weight)
+        self.step += 1
+        return {k: float(v) for k, v in log.items()}
+
+    def save(self, path: str):
+        from self_forcing_tpu.utils.checkpoints import save_pytree
+        tree = {"generator": self.params}
+        if self.ema is not None:
+            tree["generator_ema"] = self.ema
+        save_pytree(path, tree)

@@ -1,0 +1,111 @@
+"""ODE-regression init-stage trainer (reference trainer/ode.py).
+
+Single generator optimizer over precomputed ODE trajectories; loss
+breakdown by 250-timestep buckets for logging (trainer/ode.py:155-182).
+The rank-collective logging all_gather disappears — each host logs its own
+shard and the metrics writer aggregates.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from self_forcing_tpu.models.wan.configs import WanConfig
+from self_forcing_tpu.models.wan.rope import RopeTables
+from self_forcing_tpu.scheduler import FlowMatchScheduler, warp_denoising_steps
+from self_forcing_tpu.training import ema as ema_lib
+from self_forcing_tpu.training.objectives import ode_regression
+from self_forcing_tpu.training.optim import make_optimizer
+
+
+class ODETrainer:
+    def __init__(self, config, generator_params, generator_cfg: WanConfig):
+        self.config = config
+        self.cfg = dataclasses.replace(
+            generator_cfg,
+            num_frame_per_block=int(getattr(config, "num_frame_per_block", 1)))
+        self.rope = RopeTables.create(self.cfg.head_dim)
+        self.scheduler = FlowMatchScheduler.create(
+            1000, shift=float(getattr(config, "timestep_shift", 5.0)),
+            training=True)
+        steps = [int(s) for s in config.denoising_step_list]
+        if getattr(config, "warp_denoising_step", False):
+            self.denoising_step_list = [
+                float(s) for s in warp_denoising_steps(self.scheduler, steps)]
+        else:
+            self.denoising_step_list = [float(s) for s in steps]
+
+        self.optimizer = make_optimizer(
+            lr=float(config.lr),
+            beta1=float(getattr(config, "beta1", 0.9)),
+            beta2=float(getattr(config, "beta2", 0.999)),
+            weight_decay=float(getattr(config, "weight_decay", 0.01)),
+            max_grad_norm=float(getattr(config, "max_grad_norm", 10.0)))
+        self.params = generator_params
+        self.opt_state = self.optimizer.init(generator_params)
+        self.ema_weight = float(getattr(config, "ema_weight", 0.0) or 0.0)
+        self.ema = None
+        self.step = 0
+        self.host_rng = np.random.default_rng(int(getattr(config, "seed", 0)))
+        self._step_fn = None
+
+    def _make_step(self):
+        cfg, rope, scheduler = self.cfg, self.rope, self.scheduler
+        step_list = tuple(self.denoising_step_list)
+        nb = self.cfg.num_frame_per_block
+        optimizer = self.optimizer
+        i2v = bool(getattr(self.config, "i2v", False))
+
+        @jax.jit
+        def step_fn(params, opt_state, ode_latent, context, rng):
+            def loss_fn(p):
+                return ode_regression.generator_loss(
+                    p, cfg, rope, scheduler, ode_latent, context, step_list,
+                    nb, rng, i2v)
+            (loss, log), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            import optax
+            gnorm = optax.global_norm(grads)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, dict(log, loss=loss, grad_norm=gnorm)
+        return step_fn
+
+    def train_step(self, batch: dict) -> dict:
+        """batch: {'ode_latent': [B, T, F, C, H, W], 'context': [B, L, D]}"""
+        if self._step_fn is None:
+            self._step_fn = self._make_step()
+        rng = jax.random.PRNGKey(int(self.host_rng.integers(2 ** 31)))
+        self.params, self.opt_state, log = self._step_fn(
+            self.params, self.opt_state, batch["ode_latent"],
+            batch["context"], rng)
+        if self.ema_weight > 0:
+            if self.ema is None:
+                self.ema = ema_lib.init_ema(self.params)
+            else:
+                self.ema = jax.jit(
+                    ema_lib.update_ema, static_argnames=("decay",))(
+                    self.ema, self.params, decay=self.ema_weight)
+        self.step += 1
+        # timestep-bucket loss breakdown (trainer/ode.py:173-182)
+        out = {k: np.asarray(v) for k, v in log.items()}
+        t = out.pop("timestep", None)
+        ul = out.pop("unnormalized_loss", None)
+        scalars = {k: float(v) for k, v in out.items()}
+        if t is not None and ul is not None:
+            for lo in range(0, 1000, 250):
+                m = (t >= lo) & (t < lo + 250)
+                if m.any():
+                    scalars[f"loss_bucket_{lo}"] = float(ul[m].mean())
+        return scalars
+
+    def save(self, path: str):
+        from self_forcing_tpu.utils.checkpoints import save_pytree
+        tree = {"generator": self.params}
+        if self.ema is not None:
+            tree["generator_ema"] = self.ema
+        save_pytree(path, tree)

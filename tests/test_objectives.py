@@ -1,0 +1,168 @@
+"""Tiny-geometry smoke + semantics tests for the GAN / CausVid /
+ODE-regression / causal-diffusion objectives and their trainers
+(reference model/{gan,causvid,ode_regression,diffusion}.py,
+trainer/{gan,ode,diffusion}.py)."""
+import types
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from self_forcing_tpu.models.wan import dit
+from self_forcing_tpu.models.wan.configs import WAN_TINY
+from self_forcing_tpu.models.wan.rope import RopeTables
+from self_forcing_tpu.scheduler import FlowMatchScheduler
+from self_forcing_tpu.training.objectives import (causal_diffusion, causvid,
+                                                  gan as gan_obj,
+                                                  ode_regression)
+from self_forcing_tpu.training.objectives.base import (ModelBundle,
+                                                       ObjectiveConfig)
+
+B, F, C, H, W = 1, 4, 16, 8, 8
+NB = 2
+
+
+def _cfg_args(**kw):
+    d = dict(num_train_timestep=1000, timestep_shift=5.0,
+             num_frame_per_block=NB, denoising_step_list=[1000, 500],
+             lr=1e-4, seed=0, num_training_frames=F, num_class=1,
+             warp_denoising_step=False)
+    d.update(kw)
+    return types.SimpleNamespace(**d)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    key = jax.random.PRNGKey(0)
+    gen = dit.init_params(key, WAN_TINY, dtype=jnp.float32)
+    fake = dit.init_params(jax.random.fold_in(key, 1), WAN_TINY,
+                           dtype=jnp.float32, causal=False)
+    cls = dit.init_cls_branch_params(jax.random.fold_in(key, 2), WAN_TINY)
+    ctx = jax.random.normal(jax.random.fold_in(key, 3),
+                            (B, 8, WAN_TINY.text_dim), jnp.float32)
+    clean = jax.random.normal(jax.random.fold_in(key, 4), (B, F, C, H, W))
+    obj = ObjectiveConfig(num_frame_per_block=NB, num_training_frames=F,
+                          timestep_shift=5.0)
+    bundle = ModelBundle.create(
+        WAN_TINY.__class__(**{**WAN_TINY.__dict__,
+                              "num_frame_per_block": NB}),
+        WAN_TINY, WAN_TINY, obj, [1000, 500])
+    return gen, fake, cls, ctx, clean, obj, bundle
+
+
+def test_forward_classify_shapes(setup):
+    gen, fake, cls, ctx, clean, obj, bundle = setup
+    t = jnp.full((B, F), 500.0)
+    flow, logits = dit.forward_classify(fake, cls, WAN_TINY, clean, t, ctx,
+                                        bundle.rope_c)
+    assert flow.shape == (B, F, C, H, W)
+    assert logits.shape == (B, 1)
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_forward_classify_time_embed(setup):
+    gen, fake, cls, ctx, clean, obj, bundle = setup
+    cls_te = dit.init_cls_branch_params(
+        jax.random.PRNGKey(9), WAN_TINY, num_class=4,
+        time_embed_dim=WAN_TINY.dim)
+    t = jnp.full((B, F), 500.0)
+    _, logits = dit.forward_classify(fake, cls_te, WAN_TINY, clean, t, ctx,
+                                     bundle.rope_c,
+                                     concat_time_embeddings=True)
+    assert logits.shape == (B, 4)
+
+
+def test_gan_losses(setup):
+    gen, fake, cls, ctx, clean, obj, bundle = setup
+    noise = jax.random.normal(jax.random.PRNGKey(5), (B, F, C, H, W))
+    g_loss, glog = gan_obj.generator_loss(
+        bundle, obj, gen, fake, cls, noise, clean, ctx, None, 0,
+        jax.random.PRNGKey(6))
+    d_loss, dlog = gan_obj.critic_loss(
+        bundle, obj, gen, fake, cls, noise, clean, ctx, None, 0,
+        jax.random.PRNGKey(7), r1_weight=0.1, r2_weight=0.1)
+    assert np.isfinite(float(g_loss)) and np.isfinite(float(d_loss))
+    assert float(dlog["r1_loss"]) >= 0 and float(dlog["r2_loss"]) >= 0
+
+
+def test_gan_generator_grad_skips_discriminator(setup):
+    """Generator step must not produce gradient w.r.t. the (stop-gradient)
+    discriminator params."""
+    gen, fake, cls, ctx, clean, obj, bundle = setup
+    noise = jax.random.normal(jax.random.PRNGKey(8), (B, F, C, H, W))
+
+    def loss_wrt_fake(f):
+        loss, _ = gan_obj.generator_loss(
+            bundle, obj, gen, f, cls, noise, clean, ctx, None, 0,
+            jax.random.PRNGKey(6))
+        return loss
+
+    g = jax.grad(loss_wrt_fake)(fake)
+    total = sum(float(jnp.sum(jnp.abs(x))) for x in jax.tree.leaves(g))
+    assert total == 0.0
+
+
+def test_causvid_losses(setup):
+    gen, fake, cls, ctx, clean, obj, bundle = setup
+    real = dit.init_params(jax.random.PRNGKey(11), WAN_TINY,
+                           dtype=jnp.float32, causal=False)
+    g_loss, _ = causvid.generator_loss(
+        bundle, obj, gen, fake, real, clean, ctx, jnp.zeros_like(ctx),
+        jax.random.PRNGKey(12))
+    c_loss, _ = causvid.critic_loss(
+        bundle, obj, gen, fake, clean, ctx, None, jax.random.PRNGKey(13))
+    assert np.isfinite(float(g_loss)) and np.isfinite(float(c_loss))
+    # teacher forcing variant
+    g2, _ = causvid.generator_loss(
+        bundle, obj, gen, fake, real, clean, ctx, jnp.zeros_like(ctx),
+        jax.random.PRNGKey(12), teacher_forcing=True)
+    assert np.isfinite(float(g2))
+
+
+def test_ode_regression_loss(setup):
+    gen, fake, cls, ctx, clean, obj, bundle = setup
+    T = 2  # len(denoising_step_list)
+    ode = jax.random.normal(jax.random.PRNGKey(14), (B, T, F, C, H, W))
+    sched = FlowMatchScheduler.create(1000, shift=5.0, training=True)
+    loss, log = ode_regression.generator_loss(
+        gen, WAN_TINY.__class__(**{**WAN_TINY.__dict__,
+                                   "num_frame_per_block": NB}),
+        bundle.rope_g, sched, ode, ctx, (1000.0, 500.0), NB,
+        jax.random.PRNGKey(15))
+    assert np.isfinite(float(loss))
+    assert log["timestep"].shape == (B,)
+
+
+def test_causal_diffusion_loss(setup):
+    gen, fake, cls, ctx, clean, obj, bundle = setup
+    sched = FlowMatchScheduler.create(1000, shift=5.0, training=True)
+    for tf in (False, True):
+        loss, log = causal_diffusion.generator_loss(
+            gen, WAN_TINY, bundle.rope_g, sched, clean, ctx, NB,
+            jax.random.PRNGKey(16), teacher_forcing=tf,
+            noise_augmentation_max_timestep=100 if tf else 0)
+        assert np.isfinite(float(loss)), f"tf={tf}"
+
+
+def test_trainers_one_step(setup):
+    gen, fake, cls, ctx, clean, obj, bundle = setup
+    from self_forcing_tpu.training.trainer_ode import ODETrainer
+    from self_forcing_tpu.training.trainer_diffusion import DiffusionTrainer
+    from self_forcing_tpu.training.trainer_gan import GANTrainer
+
+    t1 = ODETrainer(_cfg_args(), gen, WAN_TINY)
+    ode = jax.random.normal(jax.random.PRNGKey(17), (B, 2, F, C, H, W))
+    log1 = t1.train_step({"ode_latent": ode, "context": ctx})
+    assert np.isfinite(log1["loss"])
+
+    t2 = DiffusionTrainer(_cfg_args(), gen, WAN_TINY)
+    log2 = t2.train_step({"latents": clean, "context": ctx})
+    assert np.isfinite(log2["loss"])
+
+    t3 = GANTrainer(_cfg_args(discriminator_warmup_steps=0,
+                              r1_weight=0.01, r2_weight=0.01),
+                    gen, fake, WAN_TINY, WAN_TINY, cls_params=cls)
+    log3 = t3.train_step({"latents": clean, "context": ctx})
+    assert np.isfinite(log3["critic_loss"])
+    assert np.isfinite(log3["generator_loss"])
