@@ -1,0 +1,105 @@
+"""LoRA system tests (reference utils/lora.py, scripts/merge_lora.py)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from self_forcing_tpu import lora
+from self_forcing_tpu.models.wan import dit
+from self_forcing_tpu.models.wan.configs import WAN_TINY
+from self_forcing_tpu.models.wan.rope import RopeTables
+
+B, F, C, H, W = 1, 2, 16, 8, 8
+
+
+def _randomize_head(params):
+    """The output head is zero-init (model.py:923) — give it weights so
+    forward outputs are sensitive to upstream changes."""
+    import copy
+    params = copy.deepcopy(params)
+    h = dict(params["head"]["head"])
+    h["w"] = jax.random.normal(jax.random.PRNGKey(42), h["w"].shape,
+                               h["w"].dtype) * 0.02
+    params["head"]["head"] = h
+    return params
+
+
+def _forward(params):
+    rope = RopeTables.create(WAN_TINY.head_dim)
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, F, C, H, W))
+    t = jnp.full((B, F), 500.0)
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (B, 8, WAN_TINY.text_dim))
+    return dit.forward_train(params, WAN_TINY, x, t, ctx, None, rope,
+                             remat=False)
+
+
+def test_apply_lora_identity_at_init():
+    params = _randomize_head(dit.init_params(jax.random.PRNGKey(0), WAN_TINY,
+                                             dtype=jnp.float32))
+    base = _forward(params)
+    lp = lora.apply_lora(params, rank=4, alpha=8.0)
+    assert "lora_A" in lp["blocks"]["self_attn"]["q"]
+    out = _forward(lp)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(base),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_lora_changes_output_and_merges():
+    params = _randomize_head(dit.init_params(jax.random.PRNGKey(0), WAN_TINY,
+                                             dtype=jnp.float32))
+    lp = lora.apply_lora(params, rank=4, alpha=8.0)
+    # give B nonzero values so the adapter does something
+    q = dict(lp["blocks"]["self_attn"]["q"])
+    q["lora_B"] = jnp.ones_like(q["lora_B"]) * 0.01
+    lp["blocks"]["self_attn"]["q"] = q
+    out_lora = _forward(lp)
+    base = _forward(params)
+    assert float(jnp.abs(out_lora - base).max()) > 1e-6
+
+    merged = lora.merge_lora(lp)
+    assert "lora_A" not in merged["blocks"]["self_attn"]["q"]
+    out_merged = _forward(merged)
+    np.testing.assert_allclose(np.asarray(out_merged), np.asarray(out_lora),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_load_lora_weights_torch_formats():
+    params = dit.init_params(jax.random.PRNGKey(0), WAN_TINY,
+                             dtype=jnp.float32)
+    d = WAN_TINY.dim
+    r = 4
+    rng = np.random.default_rng(0)
+    sd = {}
+    for i in range(WAN_TINY.num_layers):
+        sd[f"blocks.{i}.self_attn.q.lora_A.weight"] = \
+            rng.normal(size=(r, d)).astype(np.float32)
+        sd[f"blocks.{i}.self_attn.q.lora_B.weight"] = \
+            rng.normal(size=(d, r)).astype(np.float32)
+        # peft-prefixed ffn entry
+        sd[f"base_model.model.blocks.{i}.ffn.0.lora_A.weight"] = \
+            rng.normal(size=(r, d)).astype(np.float32)
+        sd[f"base_model.model.blocks.{i}.ffn.0.lora_B.weight"] = \
+            rng.normal(size=(WAN_TINY.ffn_dim, r)).astype(np.float32)
+    lp = lora.load_lora_weights(params, sd, alpha=8.0)
+    q = lp["blocks"]["self_attn"]["q"]
+    assert q["lora_A"].shape == (WAN_TINY.num_layers, d, r)
+    assert float(q["lora_scale"][0]) == 2.0  # alpha/r
+    np.testing.assert_allclose(
+        np.asarray(q["lora_A"][1]),
+        sd["blocks.1.self_attn.q.lora_A.weight"].T)
+    ffn = lp["blocks"]["ffn"]["fc1"]
+    assert ffn["lora_B"].shape == (WAN_TINY.num_layers, r, WAN_TINY.ffn_dim)
+
+
+def test_lora_label_tree_masks():
+    params = dit.init_params(jax.random.PRNGKey(0), WAN_TINY,
+                             dtype=jnp.float32)
+    lp = lora.apply_lora(params, rank=4)
+    labels = lora.lora_label_tree(lp)
+    flat = jax.tree_util.tree_leaves_with_path(labels)
+    trainable = [p for p, v in flat if v == "train"]
+    frozen = [p for p, v in flat if v == "frozen"]
+    assert trainable and frozen
+    assert any("lora_A" in str(p) for p in trainable)
+    assert any("pose_proj" in str(p) for p in trainable)
+    # lora_scale stays frozen (a constant); A/B must not be frozen
+    assert not any("lora_A" in str(p) or "lora_B" in str(p) for p in frozen)
