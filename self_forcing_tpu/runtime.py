@@ -1,0 +1,127 @@
+"""Model loading runtime: locate + convert Wan checkpoints into the
+framework's pytrees (reference checkpoint surface, SURVEY.md §2.12).
+
+Looks for the reference's file layout under a model directory:
+- Wan2.1-T2V-1.3B/  (diffusers directory with *.safetensors)
+- models_t5_umt5-xxl-enc-bf16.pth
+- Wan2.1_VAE.pth
+- google/umt5-xxl/  (tokenizer)
+- self_forcing_dmd.pt  ({'generator', 'generator_ema'[, 'critic']})
+
+Missing files raise with a clear message; tests use random init instead.
+"""
+from __future__ import annotations
+
+import dataclasses
+import glob
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from self_forcing_tpu.models.wan import dit, t5 as t5_mod, vae as vae_mod
+from self_forcing_tpu.models.wan.configs import WAN_1_3B, WAN_14B, WanConfig
+from self_forcing_tpu.utils import checkpoints as ckpt
+
+# shared negative prompt (wan/configs/shared_config.py:19)
+NEGATIVE_PROMPT = (
+    "色调艳丽，过曝，静态，细节模糊不清，字幕，风格，作品，画作，画面，静止，整体发灰，最差质量，"
+    "低质量，JPEG压缩残留，丑陋的，残缺的，多余的手指，画得不好的手部，画得不好的脸部，畸形的，"
+    "毁容的，形态畸形的肢体，手指融合，静止不动的画面，杂乱的背景，三条腿，背景人很多，倒着走"
+)
+
+
+@dataclasses.dataclass
+class WanModels:
+    generator: dict
+    generator_cfg: WanConfig
+    t5_params: Optional[dict] = None
+    t5_cfg: Optional[t5_mod.T5Config] = None
+    vae_params: Optional[dict] = None
+    vae_cfg: Optional[vae_mod.VAEConfig] = None
+    tokenizer: Optional[object] = None
+    negative_prompt: str = NEGATIVE_PROMPT
+
+    def encode_text(self, prompts: list[str]) -> jax.Array:
+        assert self.t5_params is not None and self.tokenizer is not None
+        ids, mask = self.tokenizer(prompts)
+        return t5_mod.encode_for_dit(self.t5_params, self.t5_cfg,
+                                     jnp.asarray(ids), jnp.asarray(mask))
+
+
+def _find(model_dir: str, *patterns: str) -> Optional[str]:
+    for pat in patterns:
+        hits = sorted(glob.glob(os.path.join(model_dir, pat)))
+        if hits:
+            return hits[0]
+    return None
+
+
+def load_dit_params(model_dir: str, cfg: WanConfig,
+                    checkpoint_path: str | None = None,
+                    checkpoint_key: str = "generator_ema",
+                    dtype=jnp.bfloat16) -> dict:
+    """Load the Wan base DiT (diffusers dir of safetensors), then overlay a
+    self-forcing checkpoint's state dict if given (inference.py:70-71,
+    strict=False semantics: matching keys replace, others keep base)."""
+    base_dir = _find(model_dir, "Wan2.1-T2V-1.3B", "Wan2.1-T2V-14B",
+                     "wan_models/Wan2.1-T2V-1.3B") or model_dir
+    shards = sorted(
+        glob.glob(os.path.join(base_dir, "*.safetensors")))
+    sd = {}
+    for s in shards:
+        sd.update(ckpt.load_torch_state_dict(s))
+    if not sd:
+        pth = _find(base_dir, "*.pth", "*.pt")
+        if pth:
+            sd = ckpt.load_torch_state_dict(pth)
+    assert sd, f"no DiT weights under {base_dir}"
+    params = ckpt.convert_dit_state_dict(sd, cfg, dtype)
+
+    if checkpoint_path:
+        st = ckpt.load_torch_state_dict(checkpoint_path)
+        if checkpoint_key in st:
+            st = st[checkpoint_key]
+        elif "generator" in st:
+            st = st["generator"]
+        st = ckpt.strip_prefix(st, "model.")
+        overlay = ckpt.convert_dit_state_dict(st, cfg, dtype)
+        params = overlay
+    return params
+
+
+def load_wan_models(model_dir: str, causal: bool = True,
+                    model_cfg: WanConfig | None = None,
+                    checkpoint_path: str | None = None,
+                    checkpoint_key: str = "generator_ema",
+                    dtype=jnp.bfloat16,
+                    load_t5: bool = True, load_vae: bool = True) -> WanModels:
+    cfg = model_cfg or WAN_1_3B
+    generator = load_dit_params(model_dir, cfg, checkpoint_path,
+                                checkpoint_key, dtype)
+
+    t5_params = t5_cfg = vae_params = vae_cfg = tokenizer = None
+    if load_t5:
+        t5_path = _find(model_dir, "models_t5_umt5-xxl-enc-bf16.pth",
+                        "**/models_t5_umt5-xxl-enc-bf16.pth")
+        if t5_path:
+            t5_cfg = t5_mod.UMT5_XXL
+            t5_params = ckpt.convert_t5_state_dict(
+                ckpt.load_torch_state_dict(t5_path), t5_cfg, dtype)
+        tok_path = _find(model_dir, "google/umt5-xxl", "**/google/umt5-xxl")
+        if tok_path:
+            from self_forcing_tpu.tokenizer import HuggingfaceTokenizer
+            tokenizer = HuggingfaceTokenizer(tok_path, seq_len=512,
+                                             clean="whitespace")
+    if load_vae:
+        vae_path = _find(model_dir, "Wan2.1_VAE.pth", "**/Wan2.1_VAE.pth")
+        if vae_path:
+            vae_cfg = vae_mod.WAN_VAE
+            vae_params = ckpt.convert_vae_state_dict(
+                ckpt.load_torch_state_dict(vae_path), vae_cfg, jnp.float32)
+
+    return WanModels(generator=generator, generator_cfg=cfg,
+                     t5_params=t5_params, t5_cfg=t5_cfg,
+                     vae_params=vae_params, vae_cfg=vae_cfg,
+                     tokenizer=tokenizer)
