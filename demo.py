@@ -1,0 +1,124 @@
+"""Streaming GUI demo CLI (reference demo.py): block-by-block generation
+pushed to the browser over WebSocket.
+
+Runtime toggles mirror the reference (:242-301): --quantize (the FP8
+toggle, here int8 weight-only), --taehv (tiny fast VAE), fps slider in
+the UI.  torch.compile's role is played by jax.jit, always on.
+
+Usage:
+  python demo.py --config_path configs/self_forcing_dmd.yaml --port 5001
+  python demo.py --config_path configs/tiny_test.yaml          # CPU smoke
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config_path", type=str,
+                        default="configs/self_forcing_dmd.yaml")
+    parser.add_argument("--checkpoint_path", type=str, default=None)
+    parser.add_argument("--port", type=int, default=5001)
+    parser.add_argument("--host", type=str, default="0.0.0.0")
+    parser.add_argument("--quantize", action="store_true",
+                        help="int8 weight-only linears (demo.py:277-283)")
+    parser.add_argument("--taehv", action="store_true",
+                        help="TAEHV fast decoder (demo.py:269-275)")
+    parser.add_argument("--taehv_checkpoint", type=str,
+                        default="checkpoints/taew2_1.pth")
+    parser.add_argument("--fps", type=float, default=6.0)
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from self_forcing_tpu.config import load_config
+    from self_forcing_tpu.models.wan import dit, vae as vae_mod
+    from self_forcing_tpu.models.wan.configs import (WAN_1_3B, WAN_TINY,
+                                                     LATENT_HEIGHT,
+                                                     LATENT_WIDTH)
+    from self_forcing_tpu.pipelines.causal_inference import (
+        CausalInferencePipeline)
+    from self_forcing_tpu.serving.demo_server import DemoApp
+
+    config = load_config(args.config_path,
+                         os.path.join(os.path.dirname(args.config_path),
+                                      "default_config.yaml"))
+    size = str(getattr(config, "model_size", "1.3b")).lower()
+    model_dir = getattr(config, "model_dir", "wan_models")
+
+    if size == "tiny":
+        cfg = WAN_TINY
+        params = dit.init_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+        # tiny VAE widened to the DiT's 16 latent channels
+        vae_cfg = vae_mod.VAEConfig(dim=8, z_dim=16, dim_mult=(1, 2, 2, 2),
+                                    num_res_blocks=1)
+        vae_params = vae_mod.init_params(jax.random.PRNGKey(1), vae_cfg)
+        H = W = 8
+        F = int(getattr(config, "num_frames", 3))
+        encode = lambda prompts: jnp.stack([
+            jax.random.normal(jax.random.PRNGKey(hash(p) % 2 ** 31),
+                              (512, cfg.text_dim)) for p in prompts])
+    else:
+        from self_forcing_tpu.runtime import load_wan_models
+        cfg = WAN_1_3B
+        models = load_wan_models(model_dir, model_cfg=cfg,
+                                 checkpoint_path=args.checkpoint_path)
+        params, vae_params, vae_cfg = (models.generator, models.vae_params,
+                                       models.vae_cfg)
+        encode = models.encode_text
+        H, W, F = LATENT_HEIGHT, LATENT_WIDTH, 21
+
+    if args.quantize:
+        from self_forcing_tpu.ops.quant import quantize_dit_params
+        params = quantize_dit_params(params)
+        print("[demo] int8 weight-only linears enabled")
+
+    pipeline = CausalInferencePipeline(config, params, cfg)
+
+    # ---- chunk decoder: TAEHV or streaming Wan VAE
+    if args.taehv and os.path.exists(args.taehv_checkpoint):
+        from self_forcing_tpu.models import taehv as taehv_mod
+        from self_forcing_tpu.utils.checkpoints import load_torch_state_dict
+        tae_params = taehv_mod.convert_taehv_state_dict(
+            load_torch_state_dict(args.taehv_checkpoint))
+        streamer = taehv_mod.TAEHVStreamer(tae_params, overlap=3)
+
+        def decode_chunk(latents):
+            px = streamer.decode_chunk(latents.astype(jnp.float32))
+            px = jnp.clip(px, 0, 1)
+            return (np.asarray(px[0].transpose(0, 2, 3, 1)) * 255
+                    ).astype(np.uint8)
+    else:
+        state = {"cache": None}
+
+        def decode_chunk(latents):
+            z = latents.astype(jnp.float32).transpose(0, 1, 3, 4, 2)
+            if state["cache"] is None:
+                state["cache"] = vae_mod.init_decoder_cache(
+                    vae_params, vae_cfg, z.shape[0], z.shape[2], z.shape[3],
+                    jnp.float32)
+                out0, state["cache"] = vae_mod.decode_frame(
+                    vae_params, vae_cfg, z[:, :1], state["cache"], True)
+                outs = [out0]
+                rest = range(1, z.shape[1])
+            else:
+                outs, rest = [], range(z.shape[1])
+            for i in rest:
+                y, state["cache"] = vae_mod.decode_frame(
+                    vae_params, vae_cfg, z[:, i:i + 1], state["cache"],
+                    False)
+                outs.append(y)
+            px = jnp.clip(jnp.concatenate(outs, axis=1) * 0.5 + 0.5, 0, 1)
+            return (np.asarray(px[0]) * 255).astype(np.uint8)
+
+    app = DemoApp(pipeline, encode, decode_chunk,
+                  latent_shape=(1, F, 16, H, W), fps=args.fps)
+    app.serve(args.host, args.port)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,123 @@
+"""Inference CLI (reference inference.py): batch T2V/I2V over a prompt
+file, prompts sharded across JAX processes (DistributedSampler + NCCL
+becomes process-indexed slicing).
+
+Pipeline selection matches the reference (:62-67): configs with
+denoising_step_list use the few-step CausalInferencePipeline; otherwise
+the 50-step CausalDiffusionInferencePipeline.
+
+Usage:
+  python inference.py --config_path configs/self_forcing_dmd.yaml \
+      --checkpoint_path checkpoints/self_forcing_dmd.pt \
+      --data_path prompts/MovieGenVideoBench.txt --output_folder videos/
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config_path", type=str, required=True)
+    parser.add_argument("--checkpoint_path", type=str, default=None)
+    parser.add_argument("--data_path", type=str, default=None)
+    parser.add_argument("--output_folder", type=str, default="videos/out")
+    parser.add_argument("--num_output_frames", type=int, default=21,
+                        help="latent frames (21 -> 81 pixel frames)")
+    parser.add_argument("--use_ema", action="store_true")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--save_with_index", action="store_true")
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from self_forcing_tpu.config import load_config
+    from self_forcing_tpu.data.datasets import TextDataset
+    from self_forcing_tpu.models.wan import dit
+    from self_forcing_tpu.models.wan.configs import (WAN_1_3B, WAN_TINY,
+                                                     LATENT_HEIGHT,
+                                                     LATENT_WIDTH)
+    from self_forcing_tpu.models.wan import vae as vae_mod
+
+    config = load_config(args.config_path,
+                         os.path.join(os.path.dirname(args.config_path),
+                                      "default_config.yaml"))
+    size = str(getattr(config, "model_size", "1.3b")).lower()
+    model_dir = getattr(config, "model_dir", "wan_models")
+
+    # ---- models
+    text_encoder = None
+    vae_params = None
+    vae_cfg = vae_mod.WAN_VAE
+    if size == "tiny":
+        cfg = WAN_TINY
+        params = dit.init_params(jax.random.PRNGKey(0), cfg,
+                                 dtype=jnp.float32)
+        # tiny VAE widened to the DiT's 16 latent channels
+        vae_cfg = vae_mod.VAEConfig(dim=8, z_dim=16, dim_mult=(1, 2, 2, 2),
+                                    num_res_blocks=1)
+        vae_params = vae_mod.init_params(jax.random.PRNGKey(1), vae_cfg)
+        H = W = 8
+        encode = lambda prompts: jnp.stack([
+            jax.random.normal(jax.random.PRNGKey(hash(p) % 2 ** 31),
+                              (512, cfg.text_dim)) for p in prompts])
+    else:
+        from self_forcing_tpu.runtime import load_wan_models
+        cfg = WAN_1_3B
+        models = load_wan_models(
+            model_dir, causal=True, model_cfg=cfg,
+            checkpoint_path=args.checkpoint_path,
+            checkpoint_key="generator_ema" if args.use_ema else "generator")
+        params = models.generator
+        vae_params, vae_cfg = models.vae_params, models.vae_cfg
+        encode = models.encode_text
+        H, W = LATENT_HEIGHT, LATENT_WIDTH
+
+    # ---- pipeline choice (reference inference.py:62-67)
+    if getattr(config, "denoising_step_list", None):
+        from self_forcing_tpu.pipelines.causal_inference import (
+            CausalInferencePipeline)
+        pipeline = CausalInferencePipeline(
+            config, params, cfg, vae_params=vae_params, vae_cfg=vae_cfg)
+    else:
+        from self_forcing_tpu.pipelines.causal_diffusion_inference import (
+            CausalDiffusionInferencePipeline)
+        pipeline = CausalDiffusionInferencePipeline(
+            config, params, cfg, vae_params=vae_params, vae_cfg=vae_cfg)
+
+    # ---- prompts, sharded per process (reference :96-99)
+    data_path = args.data_path or str(getattr(config, "data_path", ""))
+    dataset = TextDataset(data_path)
+    rank, world = jax.process_index(), jax.process_count()
+    os.makedirs(args.output_folder, exist_ok=True)
+
+    F = int(args.num_output_frames)
+    for idx in range(rank, len(dataset), world):
+        prompt = dataset[idx]["prompts"]
+        context = encode([prompt])
+        noise = jax.random.normal(
+            jax.random.PRNGKey(args.seed + idx), (1, F, 16, H, W),
+            jnp.float32)
+        neg = encode([str(getattr(config, "negative_prompt", ""))]) \
+            if not getattr(config, "denoising_step_list", None) else None
+        if neg is not None:
+            video = pipeline.inference(noise, context=context,
+                                       neg_context=neg)
+        else:
+            video = pipeline.inference(noise, context=context)
+        # [B, T, 3, H, W] in [0,1] -> mp4 at 16 fps (reference :196)
+        frames = (np.asarray(video[0]).transpose(0, 2, 3, 1)
+                  * 255).astype(np.uint8)
+        name = f"output_{idx:03d}.mp4" if args.save_with_index else \
+            f"{prompt[:100].replace('/', '_')}.mp4"
+        out_path = os.path.join(args.output_folder, name)
+        from self_forcing_tpu.utils.video_io import save_video
+        save_video(frames, out_path, fps=16)
+        print(f"[{rank}] wrote {out_path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,239 @@
+"""TAEHV — Tiny AutoEncoder fast decoder (reference demo_utils/taehv.py,
+taew2_1 weights for Wan 2.1 latents).
+
+TPU-native redesign:
+- channels-last [N, T, H, W, C]; convs are NHWC with T folded into batch.
+- The reference's sequential mode is a *work-queue graph traversal*
+  (taehv.py:60-157) because TPool/TGrow change the frame count mid-stack.
+  Here the parallel mode is the only mode: MemBlock memory is the input
+  shifted by one frame (zeros at t=0), which XLA fuses into the conv —
+  O(T) memory is fine for the 3-latent chunks the demo feeds
+  (demo.py:423-435), and the streaming overlap trick handles continuity.
+- Decoder stack (taehv.py:181-190): Clamp -> conv(16,256) -> 3x MemBlock
+  -> [up2x, TGrow(1), conv->128] -> 3x MemBlock -> [up2x, TGrow(2),
+  conv->64] -> 3x MemBlock -> [up2x, TGrow(2), conv->64] -> ReLU ->
+  conv(64,3).  Temporal upscale 4x, trims 2^2-1=3 leading frames.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Mapping
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = dict
+LATENT_CHANNELS = 16
+IMAGE_CHANNELS = 3
+N_F = (256, 128, 64, 64)
+
+
+def _conv(p, x, stride=1):
+    """3x3 NHWC conv, padding 1."""
+    y = jax.lax.conv_general_dilated(
+        x, p["w"], (stride, stride), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if "b" in p:
+        y = y + p["b"]
+    return y
+
+
+def _conv1x1(p, x):
+    y = jax.lax.conv_general_dilated(
+        x, p["w"], (1, 1), ((0, 0), (0, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if "b" in p:
+        y = y + p["b"]
+    return y
+
+
+def _memblock(p, x, mem):
+    """MemBlock (taehv.py:25-34): conv([x | past]) + skip(x), ReLU."""
+    h = jnp.concatenate([x, mem], axis=-1)
+    h = jax.nn.relu(_conv(p["conv0"], h))
+    h = jax.nn.relu(_conv(p["conv1"], h))
+    h = _conv(p["conv2"], h)
+    skip = _conv1x1(p["skip"], x) if "skip" in p else x
+    return jax.nn.relu(h + skip)
+
+
+def _shift_mem(x5):
+    """[N, T, H, W, C] -> same with frames shifted +1, zeros first
+    (taehv.py:83-85)."""
+    return jnp.pad(x5, ((0, 0), (1, 0), (0, 0), (0, 0), (0, 0)))[:, :-1]
+
+
+# decoder spec: (kind, param_key or None, extra)
+_DECODER_SPEC = (
+    ("clamp", None, None),
+    ("conv", "conv_in", None),        # 16 -> 256
+    ("relu", None, None),
+    ("mem", "mem0_0", None), ("mem", "mem0_1", None), ("mem", "mem0_2", None),
+    ("up", None, 2), ("tgrow", "tgrow0", 1), ("conv", "conv0", None),
+    ("mem", "mem1_0", None), ("mem", "mem1_1", None), ("mem", "mem1_2", None),
+    ("up", None, 2), ("tgrow", "tgrow1", 2), ("conv", "conv1", None),
+    ("mem", "mem2_0", None), ("mem", "mem2_1", None), ("mem", "mem2_2", None),
+    ("up", None, 2), ("tgrow", "tgrow2", 2), ("conv", "conv2", None),
+    ("relu", None, None),
+    ("conv", "conv_out", None),       # 64 -> 3
+)
+
+FRAMES_TO_TRIM = 3  # 2**2 - 1 (taehv.py:180)
+
+
+def decode_video(params: Params, x: jax.Array,
+                 trim: bool = True) -> jax.Array:
+    """latents [N, T, C=16, H, W] -> RGB [N, 4T(-3), 3, 8H, 8W] in ~[0,1]
+    (taehv.py:224-236 parallel path)."""
+    N, T, C, H, W = x.shape
+    h = x.transpose(0, 1, 3, 4, 2)  # channels last [N, T, H, W, C]
+
+    for kind, key, extra in _DECODER_SPEC:
+        if kind == "clamp":
+            h = jnp.tanh(h / 3.0) * 3.0
+        elif kind == "relu":
+            h = jax.nn.relu(h)
+        elif kind == "conv":
+            N_, T_ = h.shape[:2]
+            flat = h.reshape((N_ * T_,) + h.shape[2:])
+            flat = _conv(params[key], flat)
+            h = flat.reshape((N_, T_) + flat.shape[1:])
+        elif kind == "mem":
+            N_, T_ = h.shape[:2]
+            mem = _shift_mem(h)
+            flat = h.reshape((N_ * T_,) + h.shape[2:])
+            mflat = mem.reshape(flat.shape)
+            flat = _memblock(params[key], flat, mflat)
+            h = flat.reshape((N_, T_) + flat.shape[1:])
+        elif kind == "up":
+            h = jnp.repeat(jnp.repeat(h, extra, axis=2), extra, axis=3)
+        elif kind == "tgrow":
+            # torch TGrow (taehv.py:48-57): [NT, stride*C, H, W] ->
+            # [NT*stride, C, H, W] — channel group g becomes frame g.
+            N_, T_ = h.shape[:2]
+            C_ = h.shape[-1]
+            flat = h.reshape((N_ * T_,) + h.shape[2:])
+            y = _conv1x1(params[key], flat)        # [..., stride*C]
+            Hh, Ww = y.shape[1:3]
+            y = y.reshape(N_, T_, Hh, Ww, extra, C_)
+            y = y.transpose(0, 1, 4, 2, 3, 5)
+            h = y.reshape(N_, T_ * extra, Hh, Ww, C_)
+    out = h.transpose(0, 1, 4, 2, 3)
+    if trim:
+        out = out[:, FRAMES_TO_TRIM:]
+    return out
+
+
+class TAEHVStreamer:
+    """Streaming chunk decode with latent overlap (demo.py:423-435):
+    keep the last `overlap` latent frames, re-decode [overlap | new] and
+    drop the overlap's pixels."""
+
+    def __init__(self, params: Params, overlap: int = 3):
+        self.params = params
+        self.overlap = overlap
+        self._tail = None
+
+    def reset(self):
+        self._tail = None
+
+    def decode_chunk(self, latents: jax.Array) -> jax.Array:
+        """[N, T_new, 16, h, w] -> pixel frames for the new latents."""
+        if self._tail is None:
+            out = decode_video(self.params, latents, trim=True)
+            emitted_new = out
+        else:
+            x = jnp.concatenate([self._tail, latents], axis=1)
+            out = decode_video(self.params, x, trim=True)
+            # first (overlap*4 - trim) pixel frames belong to the tail
+            skip = self.overlap * 4 - FRAMES_TO_TRIM
+            emitted_new = out[:, skip:]
+        keep = min(self.overlap, latents.shape[1])
+        self._tail = latents[:, -keep:]
+        return emitted_new
+
+
+# ---------------------------------------------------------------- init
+
+def _conv_init(key, cin, cout, k, dtype, bias=True):
+    lim = 1 / math.sqrt(cin * k * k)
+    p = {"w": jax.random.uniform(key, (k, k, cin, cout), dtype, -lim, lim)}
+    if bias:
+        p["b"] = jnp.zeros((cout,), dtype)
+    return p
+
+
+def init_decoder_params(key: jax.Array, dtype=jnp.float32) -> Params:
+    ks = iter(jax.random.split(key, 32))
+    p: Params = {
+        "conv_in": _conv_init(next(ks), LATENT_CHANNELS, N_F[0], 3, dtype)}
+    for s, (cin, cout) in enumerate(zip(N_F[:-1], N_F[1:])):
+        for m in range(3):
+            p[f"mem{s}_{m}"] = {
+                "conv0": _conv_init(next(ks), cin * 2, cin, 3, dtype),
+                "conv1": _conv_init(next(ks), cin, cin, 3, dtype),
+                "conv2": _conv_init(next(ks), cin, cin, 3, dtype),
+            }
+        stride = 1 if s == 0 else 2
+        p[f"tgrow{s}"] = {"w": jax.random.normal(
+            next(ks), (1, 1, cin, cin * stride)).astype(dtype) * 0.02}
+        p[f"conv{s}"] = _conv_init(next(ks), cin, cout, 3, dtype, bias=False)
+    p["conv_out"] = _conv_init(next(ks), N_F[-1], IMAGE_CHANNELS, 3, dtype)
+    return p
+
+
+# ---------------------------------------------------------------- convert
+
+def convert_taehv_state_dict(sd: Mapping[str, Any],
+                             dtype=jnp.float32) -> Params:
+    """taew2_1.pth decoder subtree -> pytree (keys decoder.{i}.*; torch
+    OIHW -> HWIO).  TGrow kernels are patched like the reference when the
+    checkpoint stride exceeds the configured one (taehv.py:196-208)."""
+    def _np(t):
+        return t if isinstance(t, np.ndarray) else \
+            t.detach().to("cpu").float().numpy()
+
+    def conv_p(i, bias=True):
+        p = {"w": jnp.asarray(
+            _np(sd[f"decoder.{i}.weight"]).transpose(2, 3, 1, 0), dtype)}
+        if bias and f"decoder.{i}.bias" in sd:
+            p["b"] = jnp.asarray(_np(sd[f"decoder.{i}.bias"]), dtype)
+        return p
+
+    def mem_p(i):
+        base = f"decoder.{i}"
+        p = {
+            "conv0": {"w": jnp.asarray(_np(sd[base + ".conv.0.weight"])
+                                       .transpose(2, 3, 1, 0), dtype),
+                      "b": jnp.asarray(_np(sd[base + ".conv.0.bias"]), dtype)},
+            "conv1": {"w": jnp.asarray(_np(sd[base + ".conv.2.weight"])
+                                       .transpose(2, 3, 1, 0), dtype),
+                      "b": jnp.asarray(_np(sd[base + ".conv.2.bias"]), dtype)},
+            "conv2": {"w": jnp.asarray(_np(sd[base + ".conv.4.weight"])
+                                       .transpose(2, 3, 1, 0), dtype),
+                      "b": jnp.asarray(_np(sd[base + ".conv.4.bias"]), dtype)},
+        }
+        if base + ".skip.weight" in sd:
+            p["skip"] = {"w": jnp.asarray(
+                _np(sd[base + ".skip.weight"]).transpose(2, 3, 1, 0), dtype)}
+        return p
+
+    def tgrow_p(i, stride, cin):
+        w = _np(sd[f"decoder.{i}.conv.weight"])  # [C*stride(ckpt), C, 1, 1]
+        want = cin * stride
+        if w.shape[0] > want:  # take last-timestep channels (taehv.py:204)
+            w = w[-want:]
+        return {"w": jnp.asarray(w.transpose(2, 3, 1, 0), dtype)}
+
+    return {
+        "conv_in": conv_p(1),
+        "mem0_0": mem_p(3), "mem0_1": mem_p(4), "mem0_2": mem_p(5),
+        "tgrow0": tgrow_p(7, 1, N_F[0]), "conv0": conv_p(8, bias=False),
+        "mem1_0": mem_p(9), "mem1_1": mem_p(10), "mem1_2": mem_p(11),
+        "tgrow1": tgrow_p(13, 2, N_F[1]), "conv1": conv_p(14, bias=False),
+        "mem2_0": mem_p(15), "mem2_1": mem_p(16), "mem2_2": mem_p(17),
+        "tgrow2": tgrow_p(19, 2, N_F[2]), "conv2": conv_p(20, bias=False),
+        "conv_out": conv_p(22),
+    }

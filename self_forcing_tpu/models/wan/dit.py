@@ -47,7 +47,17 @@ Params = dict  # nested dict pytree of jnp arrays
 # =====================================================================
 
 def linear(p: Params, x: jax.Array) -> jax.Array:
-    """x @ w + b, with optional fused LoRA delta (utils/lora.py:12-50)."""
+    """x @ w + b, with optional fused LoRA delta (utils/lora.py:12-50) and
+    optional weight-only int8 quantization (ops/quant.py — the demo FP8
+    toggle, demo.py:277-283)."""
+    if "w_q" in p:
+        out = jax.lax.dot_general(
+            x, p["w_q"], (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        out = (out * p["w_scale"]).astype(x.dtype)
+        if "b" in p:
+            out = out + p["b"].astype(x.dtype)
+        return out
     out = x @ p["w"]
     if "b" in p:
         out = out + p["b"]

@@ -1,0 +1,153 @@
+"""Streaming demo app (reference demo.py) — block-by-block generation with
+immediate per-frame push to the browser.
+
+Architecture mirrors the reference (demo.py:155-238,242-506):
+- a generation thread runs the chunk-wise AR pipeline, enqueueing frames;
+- a sender thread drains the queue and pushes 'frame_ready' events with
+  base64 JPEGs at the client-controlled FPS;
+- WebSocket events: start_generation / stop_generation / set_fps
+  (SocketIO events, demo.py:553-631), plus /api/status JSON (demo.py:
+  618-626) with HBM telemetry instead of VRAM.
+
+The TPU win the reference can't have: denoising of block N+1 overlaps the
+VAE decode + JPEG encode of block N for free, because JAX dispatch is
+async — the host thread only blocks when fetching pixels.
+"""
+from __future__ import annotations
+
+import base64
+import json
+import os
+import queue
+import threading
+import time
+from typing import Optional
+
+import numpy as np
+
+from self_forcing_tpu.serving.websocket import (WebSocketConnection,
+                                                make_server)
+from self_forcing_tpu.utils.memory import get_hbm_stats
+
+
+def _encode_jpeg(frame_u8: np.ndarray, quality: int = 85) -> bytes:
+    import cv2
+    ok, buf = cv2.imencode(".jpg", frame_u8[..., ::-1],
+                           [int(cv2.IMWRITE_JPEG_QUALITY), quality])
+    assert ok
+    return buf.tobytes()
+
+
+class DemoApp:
+    """Wires a CausalInferencePipeline + VAE streamer to the WS transport."""
+
+    def __init__(self, pipeline, encode_text_fn, decode_chunk_fn,
+                 latent_shape=(1, 21, 16, 60, 104), fps: float = 6.0):
+        self.pipeline = pipeline
+        self.encode_text = encode_text_fn
+        self.decode_chunk = decode_chunk_fn  # latents [B,nb,C,h,w] -> u8 px
+        self.latent_shape = tuple(latent_shape)
+        self.fps = fps
+        self.stop_event = threading.Event()
+        self.busy = False
+
+    # --------------------------------------------------------- generation
+    def _generate(self, conn: WebSocketConnection, prompt: str, seed: int):
+        import jax
+        import jax.numpy as jnp
+        self.busy = True
+        self.stop_event.clear()
+        frame_q: queue.Queue = queue.Queue(maxsize=256)
+
+        def sender():
+            idx = 0
+            while True:
+                item = frame_q.get()
+                if item is None:
+                    break
+                t0 = time.time()
+                jpg = _encode_jpeg(item)
+                conn.send_event("frame_ready", {
+                    "frame_id": idx,
+                    "jpeg": base64.b64encode(jpg).decode(),
+                })
+                idx += 1
+                delay = max(0.0, 1.0 / self.fps - (time.time() - t0))
+                if delay:
+                    time.sleep(delay)
+            conn.send_event("generation_complete", {"frames": idx})
+
+        sender_t = threading.Thread(target=sender, daemon=True)
+        sender_t.start()
+        try:
+            context = self.encode_text([prompt])
+            rng = jax.random.PRNGKey(seed)
+            noise = jax.random.normal(rng, self.latent_shape, jnp.bfloat16)
+            t_start = time.time()
+            n_blocks = 0
+            for blk in self.pipeline.stream(noise, context, rng=rng):
+                if self.stop_event.is_set():
+                    break
+                pixels = self.decode_chunk(blk)  # [T, H, W, 3] u8
+                n_blocks += 1
+                conn.send_event("block_ready", {
+                    "block": n_blocks,
+                    "elapsed_s": round(time.time() - t_start, 3)})
+                for f in np.asarray(pixels):
+                    frame_q.put(f)
+        except Exception as e:  # noqa: BLE001 (reference demo.py:489-506)
+            conn.send_event("error", {"message": str(e)})
+        finally:
+            frame_q.put(None)
+            sender_t.join(timeout=30)
+            self.busy = False
+
+    # --------------------------------------------------------- transport
+    def ws_handler(self, conn: WebSocketConnection):
+        while True:
+            msg = conn.recv_event()
+            if msg is None:
+                self.stop_event.set()
+                return
+            event, data = msg
+            data = data or {}
+            if event == "start_generation":
+                if self.busy:
+                    conn.send_event("error", {"message": "busy"})
+                    continue
+                t = threading.Thread(
+                    target=self._generate,
+                    args=(conn, data.get("prompt", ""),
+                          int(data.get("seed", 0))),
+                    daemon=True)
+                t.start()
+            elif event == "stop_generation":
+                self.stop_event.set()
+                conn.send_event("generation_stopped", {})
+            elif event == "set_fps":
+                self.fps = float(data.get("fps", self.fps))
+
+    def status(self):
+        hbm = get_hbm_stats()
+        body = json.dumps({
+            "busy": self.busy,
+            "fps": self.fps,
+            "hbm_free_gb": round(
+                (hbm["bytes_limit"] - hbm["bytes_in_use"]) / 1024 ** 3, 2),
+            "hbm_in_use_gb": round(hbm["bytes_in_use"] / 1024 ** 3, 2),
+        }).encode()
+        return 200, "application/json", body
+
+    def index(self):
+        path = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), "templates", "demo.html")
+        with open(path, "rb") as f:
+            return 200, "text/html", f.read()
+
+    def serve(self, host: str = "0.0.0.0", port: int = 5001):
+        server = make_server(host, port,
+                             routes={"/": self.index,
+                                     "/api/status": self.status},
+                             ws_handler=self.ws_handler)
+        print(f"demo server on http://{host}:{port}")
+        server.serve_forever()

@@ -180,7 +180,7 @@ class ScoreDistillationTrainer:
         """Random rollout length in blocks, shared across hosts
         (model/base.py:188-198)."""
         nb = self.obj.num_frame_per_block
-        min_blocks = 21 // nb
+        min_blocks = min(21, self.obj.num_training_frames) // nb
         max_blocks = self.obj.num_training_frames // nb
         n = int(self.host_rng.integers(min_blocks, max_blocks + 1))
         shape = list(base_shape)

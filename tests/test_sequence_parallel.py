@@ -1,0 +1,58 @@
+"""Sequence-parallel (ring attention / USP) golden tests on the 8-device
+CPU mesh (reference wan/distributed/xdit_context_parallel.py)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from self_forcing_tpu.models.wan import dit
+from self_forcing_tpu.models.wan.configs import WanConfig
+from self_forcing_tpu.models.wan.rope import RopeTables
+from self_forcing_tpu.parallel.mesh import create_mesh
+from self_forcing_tpu.parallel.sequence import forward_train_sp, ring_attention
+
+CFG = WanConfig(dim=128, ffn_dim=256, num_heads=2, num_layers=2,
+                text_dim=64, freq_dim=32)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs >= 4 devices")
+def test_ring_attention_matches_dense():
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    from self_forcing_tpu.ops.attention import dense_attention
+
+    mesh = create_mesh(dp=1, fsdp=2, sp=4)
+    B, L, N, D = 1, 32, 2, 16
+    k = jax.random.PRNGKey(0)
+    q, kk, v = (jax.random.normal(jax.random.fold_in(k, i), (B, L, N, D))
+                for i in range(3))
+    ref = dense_attention(q, kk, v)
+
+    ring = shard_map(
+        lambda q_, k_, v_: ring_attention(q_, k_, v_, "sp"),
+        mesh=mesh, in_specs=(P(None, "sp"),) * 3, out_specs=P(None, "sp"),
+        )
+    out = ring(q, kk, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs >= 4 devices")
+def test_forward_train_sp_matches_single_device():
+    mesh = create_mesh(dp=1, fsdp=2, sp=4)
+    rope = RopeTables.create(CFG.head_dim)
+    params = dit.init_params(jax.random.PRNGKey(0), CFG, jnp.float32)
+    # randomize the zero-init head so outputs are informative
+    params["head"]["head"]["w"] = jax.random.normal(
+        jax.random.PRNGKey(9), params["head"]["head"]["w"].shape) * 0.02
+
+    B, F, C, H, W = 1, 8, 16, 8, 8
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, F, C, H, W))
+    t = jnp.full((B, F), 500.0)
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (B, 8, CFG.text_dim))
+
+    ref = dit.forward_train(params, CFG, x, t, ctx, None, rope, remat=False)
+    out = forward_train_sp(params, CFG, x, t, ctx, rope, mesh)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=5e-4, atol=5e-4)

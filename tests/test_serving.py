@@ -1,0 +1,173 @@
+"""Serving-layer tests: TAEHV decoder vs. the torch reference, streaming
+overlap continuity, int8 quantized linears, WebSocket transport loopback
+(reference demo_utils/taehv.py, demo.py)."""
+import base64
+import json
+import socket
+import struct
+import threading
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from self_forcing_tpu.models import taehv as taehv_mod
+from tests.reference_loader import load_ref_module
+
+
+def _torch_params_to_jax(ref_model):
+    sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+    return taehv_mod.convert_taehv_state_dict(sd)
+
+
+@pytest.fixture(scope="module")
+def ref_taehv():
+    import torch
+    mod = load_ref_module("demo_utils/taehv.py", "ref_taehv")
+    torch.manual_seed(0)
+    model = mod.TAEHV(checkpoint_path=None)
+    return mod, model
+
+
+def test_taehv_decode_matches_torch(ref_taehv):
+    import torch
+    mod, model = ref_taehv
+    params = _torch_params_to_jax(model)
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(1, 3, 16, 8, 8)).astype(np.float32)
+    with torch.no_grad():
+        ref = model.decode_video(torch.from_numpy(x), parallel=True,
+                                 show_progress_bar=False).numpy()
+    ref = ref[:, taehv_mod.FRAMES_TO_TRIM:]
+    out = taehv_mod.decode_video(params, jnp.asarray(x), trim=True)
+    assert out.shape == ref.shape  # [1, 9, 3, 64, 64]
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-4)
+
+
+def test_taehv_streamer_matches_full_decode(ref_taehv):
+    _, model = ref_taehv
+    params = _torch_params_to_jax(model)
+    rng = np.random.default_rng(1)
+    lat = jnp.asarray(rng.normal(size=(1, 9, 16, 8, 8)).astype(np.float32))
+
+    full = taehv_mod.decode_video(params, lat, trim=True)  # [1, 33, ...]
+
+    s = taehv_mod.TAEHVStreamer(params, overlap=3)
+    chunks = [s.decode_chunk(lat[:, i:i + 3]) for i in range(0, 9, 3)]
+    streamed = jnp.concatenate(chunks, axis=1)
+    assert streamed.shape == full.shape
+    # overlap re-decode gives the reference demo's continuity — the first
+    # 9 frames are exact; later chunks see only 3 frames of context
+    # (demo.py:423-435), so allow a loose tolerance there.
+    np.testing.assert_allclose(np.asarray(streamed[:, :9]),
+                               np.asarray(full[:, :9]), rtol=2e-4, atol=2e-4)
+    assert np.isfinite(np.asarray(streamed)).all()
+
+
+def test_quantized_linear_accuracy():
+    from self_forcing_tpu.ops.quant import (quantize_linear_params,
+                                            quantized_linear)
+    k = jax.random.PRNGKey(0)
+    p = {"w": jax.random.normal(k, (256, 512)) * 0.02,
+         "b": jnp.zeros((512,))}
+    x = jax.random.normal(jax.random.fold_in(k, 1), (4, 256))
+    ref = x @ p["w"] + p["b"]
+    q = quantize_linear_params(p)
+    assert q["w_q"].dtype == jnp.int8
+    out = quantized_linear(q, x)
+    err = float(jnp.abs(out - ref).max() / jnp.abs(ref).max())
+    assert err < 0.02, err
+
+
+def test_quantized_dit_forward():
+    from self_forcing_tpu.models.wan import dit
+    from self_forcing_tpu.models.wan.configs import WAN_TINY
+    from self_forcing_tpu.models.wan.rope import RopeTables
+    from self_forcing_tpu.ops.quant import quantize_dit_params
+    params = dit.init_params(jax.random.PRNGKey(0), WAN_TINY,
+                             dtype=jnp.float32)
+    qp = quantize_dit_params(params, min_dim=64)
+    assert "w_q" in qp["blocks"]["ffn"]["fc1"]
+    rope = RopeTables.create(WAN_TINY.head_dim)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 16, 8, 8))
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (1, 8, WAN_TINY.text_dim))
+    out = dit.forward_train(qp, WAN_TINY, x, jnp.full((1, 2), 500.0), ctx,
+                            None, rope, remat=False)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+# ------------------------------------------------------------- websocket
+
+def _client_handshake(port):
+    s = socket.create_connection(("127.0.0.1", port), timeout=5)
+    key = base64.b64encode(b"0123456789abcdef").decode()
+    s.sendall((f"GET /ws HTTP/1.1\r\nHost: x\r\nUpgrade: websocket\r\n"
+               f"Connection: Upgrade\r\nSec-WebSocket-Key: {key}\r\n"
+               f"Sec-WebSocket-Version: 13\r\n\r\n").encode())
+    resp = b""
+    while b"\r\n\r\n" not in resp:
+        resp += s.recv(4096)
+    assert b"101" in resp.split(b"\r\n")[0]
+    return s
+
+
+def _client_send(s, event, data):
+    payload = json.dumps({"event": event, "data": data}).encode()
+    mask = b"\x01\x02\x03\x04"
+    n = len(payload)
+    if n < 126:
+        head = bytes([0x81, 0x80 | n])
+    else:
+        head = bytes([0x81, 0x80 | 126]) + struct.pack(">H", n)
+    masked = bytes(c ^ mask[i % 4] for i, c in enumerate(payload))
+    s.sendall(head + mask + masked)
+
+
+def _client_recv(s):
+    head = s.recv(2)
+    n = head[1] & 0x7F
+    if n == 126:
+        n = struct.unpack(">H", s.recv(2))[0]
+    elif n == 127:
+        n = struct.unpack(">Q", s.recv(8))[0]
+    buf = b""
+    while len(buf) < n:
+        buf += s.recv(n - len(buf))
+    return json.loads(buf.decode())
+
+
+def test_websocket_echo_server():
+    from self_forcing_tpu.serving.websocket import make_server
+
+    def handler(conn):
+        while True:
+            msg = conn.recv_event()
+            if msg is None:
+                return
+            event, data = msg
+            conn.send_event("echo_" + event, data)
+
+    def route():
+        return 200, "text/plain", b"ok"
+
+    server = make_server("127.0.0.1", 0, {"/health": route}, handler)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        import urllib.request
+        body = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/health", timeout=5).read()
+        assert body == b"ok"
+
+        s = _client_handshake(port)
+        _client_send(s, "ping_me", {"x": 1, "big": "z" * 500})
+        msg = _client_recv(s)
+        assert msg["event"] == "echo_ping_me"
+        assert msg["data"]["x"] == 1
+        assert len(msg["data"]["big"]) == 500
+        s.close()
+    finally:
+        server.shutdown()

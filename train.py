@@ -1,0 +1,189 @@
+"""Training CLI (reference train.py): dispatches on config.trainer in
+{score_distillation, gan, ode, diffusion}.
+
+Usage:
+  python train.py --config_path configs/self_forcing_dmd.yaml \
+      [--logdir logs/run1] [--no_save] [--disable-wandb] [--max_steps N]
+
+Differences from the reference launcher (README.md:87-94): no torchrun —
+multi-host runs call `jax.distributed.initialize()` when JAX_COORDINATOR
+is set; single-host runs need nothing.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+
+def build_models(config, causal_dtype):
+    """Construct generator/critic/teacher params: from checkpoints when the
+    model dir exists, random init otherwise (tiny/test runs)."""
+    import jax
+    import jax.numpy as jnp
+    from self_forcing_tpu.models.wan import dit
+    from self_forcing_tpu.models.wan.configs import (WAN_1_3B, WAN_14B,
+                                                     WAN_TINY)
+    size = str(getattr(config, "model_size", "1.3b")).lower()
+    cfg = {"1.3b": WAN_1_3B, "14b": WAN_14B, "tiny": WAN_TINY}[size]
+
+    model_dir = getattr(config, "model_dir", "wan_models")
+    gen_ckpt = getattr(config, "generator_ckpt", None)
+    key = jax.random.PRNGKey(int(getattr(config, "seed", 0)))
+    if size != "tiny" and os.path.isdir(model_dir):
+        from self_forcing_tpu.runtime import load_dit_params
+        generator = load_dit_params(
+            model_dir, cfg,
+            gen_ckpt if gen_ckpt and os.path.exists(gen_ckpt) else None,
+            checkpoint_key="generator", dtype=causal_dtype)
+        fake = load_dit_params(model_dir, cfg, dtype=causal_dtype)
+        real = load_dit_params(model_dir, cfg, dtype=causal_dtype)
+    else:
+        if size != "tiny":
+            print(f"[train] no weights at {model_dir}; random init")
+        generator = dit.init_params(key, cfg, dtype=causal_dtype)
+        fake = dit.init_params(jax.random.fold_in(key, 1), cfg,
+                               dtype=causal_dtype, causal=False)
+        real = dit.init_params(jax.random.fold_in(key, 2), cfg,
+                               dtype=causal_dtype, causal=False)
+    return cfg, generator, fake, real
+
+
+def make_context_fn(config, cfg):
+    """Text contexts: real T5 when weights exist, deterministic pseudo
+    embeddings otherwise (keeps tiny/CI runs self-contained)."""
+    import jax
+    import jax.numpy as jnp
+    model_dir = getattr(config, "model_dir", "wan_models")
+    t5_path = os.path.join(model_dir, "models_t5_umt5-xxl-enc-bf16.pth")
+    if os.path.exists(t5_path):
+        from self_forcing_tpu.runtime import load_wan_models
+        models = load_wan_models(model_dir, load_vae=False)
+        return lambda prompts: models.encode_text(prompts)
+
+    def pseudo(prompts):
+        keys = [jax.random.PRNGKey(hash(p) % (2 ** 31)) for p in prompts]
+        return jnp.stack([jax.random.normal(k, (512, cfg.text_dim),
+                                            jnp.float32) for k in keys])
+    return pseudo
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config_path", type=str, required=True)
+    parser.add_argument("--logdir", type=str, default="logs/run")
+    parser.add_argument("--no_save", action="store_true")
+    parser.add_argument("--no_visualize", action="store_true")
+    parser.add_argument("--disable-wandb", action="store_true", default=True)
+    parser.add_argument("--max_steps", type=int, default=100)
+    args = parser.parse_args()
+
+    if os.environ.get("JAX_COORDINATOR"):
+        import jax
+        jax.distributed.initialize()
+
+    import jax
+    import jax.numpy as jnp
+    from self_forcing_tpu.config import load_config
+    from self_forcing_tpu.utils.metrics import MetricsLogger
+    from self_forcing_tpu.utils.misc import set_seed
+
+    config = load_config(args.config_path,
+                         os.path.join(os.path.dirname(args.config_path),
+                                      "default_config.yaml"))
+    set_seed(int(getattr(config, "seed", 0)))
+    is_main = jax.process_index() == 0
+    logger = MetricsLogger(args.logdir, disable_wandb=True, is_main=is_main)
+
+    trainer_kind = str(getattr(config, "trainer", "score_distillation"))
+    dtype = jnp.bfloat16 if getattr(config, "mixed_precision", False) \
+        else jnp.float32
+    cfg, generator, fake, real = build_models(config, dtype)
+    context_fn = make_context_fn(config, cfg)
+
+    shape = list(getattr(config, "image_or_video_shape", [1, 21, 16, 60, 104]))
+    B = int(getattr(config, "batch_size", shape[0]))
+    shape[0] = B
+
+    # ---- data
+    data_path = str(getattr(config, "data_path", ""))
+    batches = None
+    if trainer_kind == "ode" and os.path.exists(data_path):
+        from self_forcing_tpu.data.datasets import ODERegressionDataset
+        from self_forcing_tpu.data.loader import DataLoader
+        ds = ODERegressionDataset(data_path)
+        batches = iter(DataLoader(ds, B, infinite=True))
+    elif trainer_kind in ("diffusion", "gan") and os.path.isdir(data_path):
+        from self_forcing_tpu.data.datasets import ShardingDataset
+        from self_forcing_tpu.data.loader import DataLoader
+        ds = ShardingDataset(data_path)
+        batches = iter(DataLoader(ds, B, infinite=True))
+    elif os.path.exists(data_path):
+        from self_forcing_tpu.data.datasets import TextDataset
+        from self_forcing_tpu.data.loader import DataLoader
+        ds = TextDataset(data_path)
+        batches = iter(DataLoader(ds, B, infinite=True))
+
+    rng = np.random.default_rng(int(getattr(config, "seed", 0)))
+
+    def next_batch():
+        if batches is not None:
+            b = next(batches)
+        else:
+            b = {"prompts": [f"placeholder prompt {rng.integers(1000)}"
+                             for _ in range(B)]}
+        out = {}
+        if "prompts" in b:
+            out["context"] = context_fn(list(b["prompts"]))
+        if "ode_latent" in b:
+            out["ode_latent"] = jnp.asarray(b["ode_latent"])
+            out["latents"] = out["ode_latent"][:, -1]
+        elif trainer_kind in ("diffusion", "gan"):
+            out["latents"] = jax.random.normal(
+                jax.random.PRNGKey(int(rng.integers(2 ** 31))),
+                tuple(shape), jnp.float32)
+        return out
+
+    # ---- trainer dispatch (reference train.py:33-41)
+    if trainer_kind == "score_distillation":
+        from self_forcing_tpu.training.trainer_distillation import (
+            ScoreDistillationTrainer)
+        neg = context_fn([str(getattr(config, "negative_prompt", ""))] * B)
+        trainer = ScoreDistillationTrainer(
+            config, generator, fake, real, cfg, cfg, cfg, neg)
+    elif trainer_kind == "gan":
+        from self_forcing_tpu.training.trainer_gan import GANTrainer
+        trainer = GANTrainer(config, generator, fake, cfg, cfg)
+    elif trainer_kind == "ode":
+        from self_forcing_tpu.training.trainer_ode import ODETrainer
+        trainer = ODETrainer(config, generator, cfg)
+    elif trainer_kind == "diffusion":
+        from self_forcing_tpu.training.trainer_diffusion import (
+            DiffusionTrainer)
+        trainer = DiffusionTrainer(config, generator, cfg)
+    else:
+        raise ValueError(f"unknown trainer {trainer_kind!r}")
+
+    log_iters = int(getattr(config, "log_iters", 50))
+    for step in range(args.max_steps):
+        t0 = time.time()
+        log = trainer.train_step(next_batch())
+        log["step_time_s"] = round(time.time() - t0, 3)
+        logger.log(log, step=step)
+        if is_main and (step % 10 == 0 or step == args.max_steps - 1):
+            brief = {k: round(v, 5) for k, v in log.items()
+                     if isinstance(v, float)}
+            print(f"[{step}] {brief}")
+        if not args.no_save and step and step % log_iters == 0 and is_main:
+            trainer.save(os.path.abspath(
+                os.path.join(args.logdir,
+                             f"checkpoint_model_{step:06d}")))
+    if not args.no_save and is_main:
+        trainer.save(os.path.abspath(os.path.join(args.logdir, "final")))
+    logger.close()
+
+
+if __name__ == "__main__":
+    main()
