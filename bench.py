@@ -13,11 +13,17 @@ vs_baseline is against the 16 FPS real-time target (BASELINE.json).
 from __future__ import annotations
 
 import dataclasses
+import functools
 import json
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
 
 
 def main():
@@ -28,7 +34,7 @@ def main():
     from self_forcing_tpu.config import Config
 
     platform = jax.devices()[0].platform
-    on_tpu = platform == "tpu"
+    on_tpu = platform in ("tpu", "axon")
 
     if on_tpu:
         cfg = dataclasses.replace(WAN_1_3B, num_frame_per_block=3)
@@ -48,14 +54,11 @@ def main():
 
     key = jax.random.PRNGKey(0)
     params = dit.init_params(key, cfg, dtype=dtype)
-    if on_tpu:
-        vae_params = jax.tree.map(
-            lambda x: x.astype(jnp.bfloat16),
-            vae_mod.init_params(jax.random.fold_in(key, 1), vae_cfg))
-        zc = vae_cfg.z_dim
-    else:
-        vae_params = vae_mod.init_params(jax.random.fold_in(key, 1), vae_cfg)
-        zc = vae_cfg.z_dim
+    vae_dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    vae_params = jax.tree.map(
+        lambda x: x.astype(vae_dtype),
+        vae_mod.init_params(jax.random.fold_in(key, 1), vae_cfg))
+    zc = vae_cfg.z_dim
 
     args = Config({
         "denoising_step_list": [1000, 750, 500, 250],
@@ -71,22 +74,31 @@ def main():
                                 (B, 512, cfg.text_dim), dtype)
     noise = jax.random.normal(jax.random.fold_in(key, 3), (B, F, C, H, W),
                               dtype)
-    # the DiT latent channel count vs tiny-VAE z mismatch on CPU: decode a
-    # reshaped latent of the right channel count (throughput-only smoke).
     nb = cfg.num_frame_per_block
 
     ctx_kv = dit.precompute_context(params, cfg, context)
     fs = (H // 2) * (W // 2)
 
+    # jitted streaming VAE block decode (one dispatch per block; donated
+    # carried cache; 2 programs total)
+    @functools.partial(jax.jit, donate_argnums=(2,))
+    def vae_first(vp, z, cache):
+        return vae_mod.decode_block(vp, vae_cfg, z, cache, first=True)
+
+    @functools.partial(jax.jit, donate_argnums=(2,))
+    def vae_block(vp, z, cache):
+        return vae_mod.decode_block(vp, vae_cfg, z, cache, first=False)
+
     def run_once(rng):
-        """Streaming loop: per-block denoise, overlapped VAE decode."""
+        """Streaming loop: per-block denoise, overlapped VAE decode (JAX
+        async dispatch overlaps the next block's DiT work with this
+        block's decode)."""
         cache = dit.init_kv_cache(cfg, B, fs, max(F, 21), dtype)
         t0 = time.perf_counter()
         ttfc = None
         dec_cache = None
-        pixels = []
+        last_px = None
         start = jnp.int32(0)
-        lat_for_vae = None
         first_decoded = False
         for b in range(F // nb):
             rng, k = jax.random.split(rng)
@@ -95,34 +107,25 @@ def main():
                 noise[:, b * nb:(b + 1) * nb], k, pipe.denoising_step_list,
                 pipe.context_noise, 1, start)
             start = start + nb
-            # streaming VAE decode of this block (async dispatch overlaps
-            # with the next block's denoise)
-            lat = blk.transpose(0, 1, 3, 4, 2)[..., :zc]
+            lat = blk.transpose(0, 1, 3, 4, 2)[..., :zc].astype(vae_dtype)
             if dec_cache is None:
                 dec_cache = vae_mod.init_decoder_cache(
-                    vae_params, vae_cfg, B, H, W, lat.dtype)
-                px0, dec_cache = vae_mod.decode_frame(
-                    vae_params, vae_cfg, lat[:, :1], dec_cache, first=True)
-                pixels.append(px0)
-                rest = lat[:, 1:]
+                    vae_params, vae_cfg, B, H, W, vae_dtype)
+                last_px, dec_cache = vae_first(vae_params, lat, dec_cache)
             else:
-                rest = lat
-            for f in range(rest.shape[1]):
-                px, dec_cache = vae_mod.decode_frame(
-                    vae_params, vae_cfg, rest[:, f:f + 1], dec_cache,
-                    first=False)
-                pixels.append(px)
+                last_px, dec_cache = vae_block(vae_params, lat, dec_cache)
             if not first_decoded:
-                jax.block_until_ready(pixels[-1])
+                jax.block_until_ready(last_px)
                 ttfc = time.perf_counter() - t0
                 first_decoded = True
-        jax.block_until_ready(pixels[-1])
+        jax.block_until_ready(last_px)
         total = time.perf_counter() - t0
         return total, ttfc
 
-    # warmup/compile
     rng = jax.random.PRNGKey(42)
+    log("bench: warmup/compile pass...")
     run_once(rng)
+    log("bench: timing...")
 
     times = []
     ttfcs = []
@@ -130,6 +133,7 @@ def main():
         total, ttfc = run_once(jax.random.fold_in(rng, i))
         times.append(total)
         ttfcs.append(ttfc)
+        log(f"bench: rep {i}: {total:.2f}s total, ttfc {ttfc:.2f}s")
 
     best = min(times)
     fps = pixel_frames / best

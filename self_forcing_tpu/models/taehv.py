@@ -166,7 +166,7 @@ def _conv_init(key, cin, cout, k, dtype, bias=True):
 
 
 def init_decoder_params(key: jax.Array, dtype=jnp.float32) -> Params:
-    ks = iter(jax.random.split(key, 32))
+    ks = iter(jax.random.split(key, 64))
     p: Params = {
         "conv_in": _conv_init(next(ks), LATENT_CHANNELS, N_F[0], 3, dtype)}
     for s, (cin, cout) in enumerate(zip(N_F[:-1], N_F[1:])):

@@ -456,6 +456,49 @@ def _block_train(bp: Params, cfg: WanConfig, x: jax.Array, e0: jax.Array,
     return x + _gate(y, f_gate, frame_seqlen)
 
 
+def _block_decode_fresh(bp: Params, cfg: WanConfig, x: jax.Array,
+                        e0: jax.Array, rope_cos: jax.Array,
+                        rope_sin: jax.Array, k_layer: jax.Array,
+                        v_layer: jax.Array, attn_lo: jax.Array,
+                        cache_hi: jax.Array, ctx_kv_layer: dict,
+                        frame_seqlen: int):
+    """One block with READ-ONLY cache attention: the current chunk's K/V
+    are returned for a single out-of-scan cache write instead of being
+    written per-layer (the cache-bandwidth fast path; semantics identical
+    to causal_model.py:194-241).
+
+    Returns (x, k_new, v_new).
+    """
+    from self_forcing_tpu.ops.attention import decode_attention_fresh
+
+    mod = bp["modulation"].astype(jnp.float32)[:, None]
+    e = (mod + e0.astype(jnp.float32)).astype(x.dtype)
+    e_shift, e_scale, e_gate = e[:, :, 0:1], e[:, :, 1:2], e[:, :, 2:3]
+    f_shift, f_scale, f_gate = e[:, :, 3:4], e[:, :, 4:5], e[:, :, 5:6]
+
+    xn = _modulate(layer_norm(x, cfg.eps), e_shift, e_scale, frame_seqlen)
+    q, k, v = _qkv(bp["self_attn"], cfg, xn)
+    q = _rope_pairs(q, rope_cos, rope_sin)
+    k = _rope_pairs(k, rope_cos, rope_sin)
+
+    attn = decode_attention_fresh(q, k_layer, v_layer, k, v, attn_lo,
+                                  cache_hi)
+    B, L = attn.shape[:2]
+    y = linear(bp["self_attn"]["o"], attn.reshape(B, L, cfg.dim))
+    x = x + _gate(y, e_gate, frame_seqlen)
+
+    if "norm3" in bp:
+        xc = layer_norm(x, cfg.eps, bp["norm3"]["w"], bp["norm3"]["b"])
+    else:
+        xc = x
+    x = x + _cross_attention(bp, cfg, xc, ctx_kv_layer)
+
+    xn = _modulate(layer_norm(x, cfg.eps), f_shift, f_scale, frame_seqlen)
+    y = linear(bp["ffn"]["fc2"], gelu_tanh(linear(bp["ffn"]["fc1"], xn)))
+    x = x + _gate(y, f_gate, frame_seqlen)
+    return x, k, v
+
+
 def _block_decode(bp: Params, cfg: WanConfig, x: jax.Array, e0: jax.Array,
                   rope_cos: jax.Array, rope_sin: jax.Array,
                   k_layer: jax.Array, v_layer: jax.Array,
@@ -810,40 +853,71 @@ def forward_inference(params: Params, cfg: WanConfig, x: jax.Array,
     attn_lo = jnp.maximum(0, local_end - max_attn)
     attn_hi = local_end
 
-    def maybe_roll(layer_kv):
-        if cfg.local_attn_size == -1:
-            return layer_kv
-        k_l, v_l = layer_kv
-        return jax.lax.cond(
-            overflow,
-            lambda kv: (_rolled_cache(kv[0], sink_tokens, evict),
-                        _rolled_cache(kv[1], sink_tokens, evict)),
-            lambda kv: kv,
-            (k_l, v_l))
-
     has_img = "k_img" in ctx_kv
 
-    def scan_body(tok, xs):
+    if cfg.local_attn_size == -1:
+        # ---- fast path (global cache, no eviction): the cache is READ
+        # ONLY inside the layer scan; each layer emits its fresh K/V
+        # (Lq tokens) and ONE fused dynamic_update_slice outside the scan
+        # writes all layers at once.  Avoids hauling the multi-GB cache
+        # through scan carries/ys (~2x forward latency at 1.3B geometry).
+        def scan_body(tok, xs):
+            if has_img:
+                bp, k_l, v_l, kt, vt, ki, vi = xs
+                layer_ctx = {"k_txt": kt, "v_txt": vt, "k_img": ki,
+                             "v_img": vi}
+            else:
+                bp, k_l, v_l, kt, vt = xs
+                layer_ctx = {"k_txt": kt, "v_txt": vt}
+            tok, k_new, v_new = _block_decode_fresh(
+                bp, cfg, tok, e0, cos, sin, k_l, v_l, attn_lo, write_at,
+                layer_ctx, frame_seqlen)
+            return tok, (k_new, v_new)
+
         if has_img:
-            bp, k_l, v_l, kt, vt, ki, vi = xs
-            layer_ctx = {"k_txt": kt, "v_txt": vt, "k_img": ki, "v_img": vi}
+            xs = (params["blocks"], cache.k, cache.v, ctx_kv["k_txt"],
+                  ctx_kv["v_txt"], ctx_kv["k_img"], ctx_kv["v_img"])
         else:
-            bp, k_l, v_l, kt, vt = xs
-            layer_ctx = {"k_txt": kt, "v_txt": vt}
-        k_l, v_l = maybe_roll((k_l, v_l))
-        tok, k_l, v_l = _block_decode(
-            bp, cfg, tok, e0, cos, sin, k_l, v_l, write_at, attn_lo, attn_hi,
-            layer_ctx, frame_seqlen)
-        return tok, (k_l, v_l)
-
-    if has_img:
-        xs = (params["blocks"], cache.k, cache.v, ctx_kv["k_txt"],
-              ctx_kv["v_txt"], ctx_kv["k_img"], ctx_kv["v_img"])
+            xs = (params["blocks"], cache.k, cache.v, ctx_kv["k_txt"],
+                  ctx_kv["v_txt"])
+        tokens, (ks_new, vs_new) = jax.lax.scan(scan_body, tokens, xs)
+        new_k = jax.lax.dynamic_update_slice(
+            cache.k, ks_new.astype(cache.k.dtype), (0, 0, write_at, 0, 0))
+        new_v = jax.lax.dynamic_update_slice(
+            cache.v, vs_new.astype(cache.v.dtype), (0, 0, write_at, 0, 0))
     else:
-        xs = (params["blocks"], cache.k, cache.v, ctx_kv["k_txt"],
-              ctx_kv["v_txt"])
+        # ---- windowed path with rolling eviction + sinks
+        # (causal_model.py:203-229)
+        def maybe_roll(layer_kv):
+            k_l, v_l = layer_kv
+            return jax.lax.cond(
+                overflow,
+                lambda kv: (_rolled_cache(kv[0], sink_tokens, evict),
+                            _rolled_cache(kv[1], sink_tokens, evict)),
+                lambda kv: kv,
+                (k_l, v_l))
 
-    tokens, (new_k, new_v) = jax.lax.scan(scan_body, tokens, xs)
+        def scan_body(tok, xs):
+            if has_img:
+                bp, k_l, v_l, kt, vt, ki, vi = xs
+                layer_ctx = {"k_txt": kt, "v_txt": vt, "k_img": ki,
+                             "v_img": vi}
+            else:
+                bp, k_l, v_l, kt, vt = xs
+                layer_ctx = {"k_txt": kt, "v_txt": vt}
+            k_l, v_l = maybe_roll((k_l, v_l))
+            tok, k_l, v_l = _block_decode(
+                bp, cfg, tok, e0, cos, sin, k_l, v_l, write_at, attn_lo,
+                attn_hi, layer_ctx, frame_seqlen)
+            return tok, (k_l, v_l)
+
+        if has_img:
+            xs = (params["blocks"], cache.k, cache.v, ctx_kv["k_txt"],
+                  ctx_kv["v_txt"], ctx_kv["k_img"], ctx_kv["v_img"])
+        else:
+            xs = (params["blocks"], cache.k, cache.v, ctx_kv["k_txt"],
+                  ctx_kv["v_txt"])
+        tokens, (new_k, new_v) = jax.lax.scan(scan_body, tokens, xs)
 
     new_cache = KVCache(k=new_k, v=new_v,
                         global_end=jnp.asarray(current_end, jnp.int32),

@@ -398,6 +398,32 @@ def decode_frame(params: Params, cfg: VAEConfig, z: jax.Array, cache: list,
     return _decoder_pass(params["decoder"], cfg, x, cache, first)
 
 
+def decode_block(params: Params, cfg: VAEConfig, z: jax.Array, cache: list,
+                 first: bool):
+    """Decode a multi-frame latent block in ONE call (lax.scan over frames
+    inside jit) — the streaming serving path wants one dispatch per block,
+    not one per frame (demo_utils/vae_block3.py's role).
+
+    z: [B, T, h, w, zc]; returns (pixels [B, T*4(-3 if first), H, W, 3],
+    new_cache).
+    """
+    B, T = z.shape[:2]
+    outs = []
+    if first:
+        out0, cache = decode_frame(params, cfg, z[:, :1], cache, first=True)
+        outs.append(out0)
+        z = z[:, 1:]
+        T -= 1
+    if T > 0:
+        # all remaining frames in ONE decoder pass: causal_conv3d handles
+        # multi-frame inputs against the carried cache, and batching the
+        # frames keeps the spatial convs MXU-efficient (3x fewer, 3x
+        # larger conv calls than a per-frame scan).
+        y, cache = decode_frame(params, cfg, z, cache, first=False)
+        outs.append(y)
+    return jnp.concatenate(outs, axis=1), cache
+
+
 def decode(params: Params, cfg: VAEConfig, latents: jax.Array) -> jax.Array:
     """latents [B, T, h, w, z] -> pixels [B, 1+(T-1)*4, H, W, 3] in [-1, 1].
 

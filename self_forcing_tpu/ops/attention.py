@@ -179,6 +179,56 @@ def flash_attention_xla(q: jax.Array, k: jax.Array, v: jax.Array,
     return _chunked_online_attention(q, k, v, scale, visible_fn, kv_chunk)
 
 
+def decode_attention_fresh(q: jax.Array, k_cache: jax.Array,
+                           v_cache: jax.Array, k_new: jax.Array,
+                           v_new: jax.Array, kv_start: jax.Array,
+                           kv_end: jax.Array,
+                           scale: float | None = None) -> jax.Array:
+    """KV-cache attention where the *current block's* K/V have not been
+    written into the cache yet: queries see cache[kv_start:kv_end) plus all
+    of k_new/v_new.
+
+    This is the cache-bandwidth-friendly decode path: the cache stays
+    read-only inside the per-layer scan and is updated once outside
+    (models/wan/dit.py fast path), instead of hauling the multi-GB cache
+    through scan carries.
+    """
+    if _use_pallas():
+        from self_forcing_tpu.ops.pallas_attention import (
+            decode_attention_fresh_pallas)
+        return decode_attention_fresh_pallas(q, k_cache, v_cache, k_new,
+                                             v_new, kv_start, kv_end,
+                                             scale=scale)
+    return decode_attention_fresh_xla(q, k_cache, v_cache, k_new, v_new,
+                                      kv_start, kv_end, scale=scale)
+
+
+@partial(jax.jit, static_argnames=("kv_chunk", "scale"))
+def decode_attention_fresh_xla(q: jax.Array, k_cache: jax.Array,
+                               v_cache: jax.Array, k_new: jax.Array,
+                               v_new: jax.Array, kv_start: jax.Array,
+                               kv_end: jax.Array,
+                               scale: float | None = None,
+                               kv_chunk: int = 1560) -> jax.Array:
+    """XLA reference for decode_attention_fresh: concat [cache | new] and
+    mask cache positions outside [kv_start, kv_end)."""
+    d = q.shape[-1]
+    scale = (d ** -0.5) if scale is None else scale
+    Lq = q.shape[1]
+    S = k_cache.shape[1]
+    k_all = jnp.concatenate([k_cache, k_new.astype(k_cache.dtype)], axis=1)
+    v_all = jnp.concatenate([v_cache, v_new.astype(v_cache.dtype)], axis=1)
+    lo = jnp.asarray(kv_start, jnp.int32)
+    hi = jnp.asarray(kv_end, jnp.int32)
+
+    def visible_fn(kv_idx):
+        vis = jnp.where(kv_idx < S, (kv_idx >= lo) & (kv_idx < hi), True)
+        return jnp.broadcast_to(vis[None, :], (Lq, kv_idx.shape[0]))
+
+    return _chunked_online_attention(q, k_all, v_all, scale, visible_fn,
+                                     kv_chunk)
+
+
 @partial(jax.jit, static_argnames=("kv_chunk", "scale"))
 def decode_attention_xla(q: jax.Array, k_cache: jax.Array,
                          v_cache: jax.Array,

@@ -203,6 +203,184 @@ def decode_attention_pallas(q: jax.Array, k_cache: jax.Array,
 
 
 # =====================================================================
+# decode attention with fresh (not-yet-cached) block KV
+# =====================================================================
+
+def _decode_fresh_kernel(lo_ref, hi_ref, q_ref, k_ref, v_ref, kn_ref,
+                         vn_ref, o_ref, m_scr, l_scr, acc_scr, *,
+                         scale: float, tq: int, tk: int, kv_len: int,
+                         kt_cache: int, fresh_len: int):
+    """Flash-decode layout: grid (BN, KT_cache + KT_fresh, QT) with q
+    INNERMOST so every KV tile is streamed from HBM exactly once; the
+    online-softmax state for all q tiles stays resident in VMEM scratch
+    ([QT*tq, ...] slices indexed by qi)."""
+    ki = pl.program_id(1)
+    nk = pl.num_programs(1)
+    qi = pl.program_id(2)
+
+    row = pl.multiple_of(qi * tq, tq)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scr[pl.ds(row, tq), :] = jnp.full((tq, 128), NEG_INF, jnp.float32)
+        l_scr[pl.ds(row, tq), :] = jnp.zeros((tq, 128), jnp.float32)
+        acc_scr[pl.ds(row, tq), :] = jnp.zeros_like(acc_scr[pl.ds(row, tq), :])
+
+    lo = lo_ref[0]
+    hi = hi_ref[0]
+    is_cache = ki < kt_cache
+    kv_base = ki * tk
+    live = jnp.where(is_cache, (kv_base < hi) & (kv_base + tk > lo), True)
+
+    def _accumulate(k, v, vis):
+        q = q_ref[0].astype(jnp.float32) * scale
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        s = jnp.where(vis, s, NEG_INF)
+        m_prev = m_scr[pl.ds(row, tq), 0:1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        corr = jnp.exp(m_prev - m_new)
+        l_new = (l_scr[pl.ds(row, tq), 0:1] * corr
+                 + jnp.sum(p, axis=-1, keepdims=True))
+        pv = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        acc_scr[pl.ds(row, tq), :] = acc_scr[pl.ds(row, tq), :] * corr + pv
+        m_scr[pl.ds(row, tq), :] = jnp.broadcast_to(m_new, (tq, 128))
+        l_scr[pl.ds(row, tq), :] = jnp.broadcast_to(l_new, (tq, 128))
+
+    @pl.when(live & is_cache)
+    def _cache_tile():
+        k = k_ref[0].astype(jnp.float32)
+        v = v_ref[0].astype(jnp.float32)
+        col = kv_base + jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 1)
+        vis = (col >= lo) & (col < hi) & (col < kv_len)
+        _accumulate(k, v, vis)
+
+    @pl.when(~is_cache)
+    def _fresh_tile():
+        k = kn_ref[0].astype(jnp.float32)
+        v = vn_ref[0].astype(jnp.float32)
+        col = (ki - kt_cache) * tk + jax.lax.broadcasted_iota(
+            jnp.int32, (tq, tk), 1)
+        vis = col < fresh_len
+        _accumulate(k, v, vis)
+
+    @pl.when(ki == nk - 1)
+    def _finalize():
+        l = l_scr[pl.ds(row, tq), 0:1]
+        o_ref[0] = (acc_scr[pl.ds(row, tq), :]
+                    / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+def _decode_fresh_fwd(q, k_cache, v_cache, k_new, v_new, kv_start, kv_end,
+                      scale, tq, tk, interpret):
+    B, Lq, N, D = q.shape
+    S = k_cache.shape[1]
+    Lf = k_new.shape[1]
+    BN = B * N
+    qt = _cdiv(Lq, tq)
+    ktc = _cdiv(S, tk)
+    ktf = _cdiv(Lf, tk)
+
+    def fold(a, L, tiles):
+        return _pad_to(a.transpose(0, 2, 1, 3).reshape(BN, L, D), 1,
+                       tiles * tk)
+
+    qf = _pad_to(q.transpose(0, 2, 1, 3).reshape(BN, Lq, D), 1, qt * tq)
+    kf = fold(k_cache, S, ktc)
+    vf = fold(v_cache, S, ktc)
+    knf = fold(k_new.astype(k_cache.dtype), Lf, ktf)
+    vnf = fold(v_new.astype(v_cache.dtype), Lf, ktf)
+
+    lo = jnp.asarray(kv_start, jnp.int32).reshape(1)
+    hi = jnp.asarray(kv_end, jnp.int32).reshape(1)
+
+    def cache_idx(b, ki, qi, lo, hi):
+        return (b, jnp.minimum(ki, ktc - 1), 0)
+
+    def fresh_idx(b, ki, qi, lo, hi):
+        return (b, jnp.clip(ki - ktc, 0, ktf - 1), 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(BN, ktc + ktf, qt),   # q innermost: KV streamed once
+        in_specs=[
+            pl.BlockSpec((1, tq, D), lambda b, ki, qi, lo, hi: (b, qi, 0)),
+            pl.BlockSpec((1, tk, D), cache_idx),
+            pl.BlockSpec((1, tk, D), cache_idx),
+            pl.BlockSpec((1, tk, D), fresh_idx),
+            pl.BlockSpec((1, tk, D), fresh_idx),
+        ],
+        out_specs=pl.BlockSpec((1, tq, D),
+                               lambda b, ki, qi, lo, hi: (b, qi, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((qt * tq, 128), jnp.float32),
+            pltpu.VMEM((qt * tq, 128), jnp.float32),
+            pltpu.VMEM((qt * tq, D), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_decode_fresh_kernel, scale=scale, tq=tq, tk=tk,
+                          kv_len=S, kt_cache=ktc, fresh_len=Lf),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((BN, qt * tq, D), q.dtype),
+        interpret=interpret,
+    )(lo, hi, qf, kf, vf, knf, vnf)
+    return out[:, :Lq].reshape(B, N, Lq, D).transpose(0, 2, 1, 3)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+def _decode_fresh_op(q, k_cache, v_cache, k_new, v_new, kv_start, kv_end,
+                     scale, tq, tk, interpret):
+    return _decode_fresh_fwd(q, k_cache, v_cache, k_new, v_new, kv_start,
+                             kv_end, scale, tq, tk, interpret)
+
+
+def _decode_fresh_op_fwd(q, k_cache, v_cache, k_new, v_new, kv_start,
+                         kv_end, scale, tq, tk, interpret):
+    out = _decode_fresh_fwd(q, k_cache, v_cache, k_new, v_new, kv_start,
+                            kv_end, scale, tq, tk, interpret)
+    return out, (q, k_cache, v_cache, k_new, v_new, kv_start, kv_end)
+
+
+def _decode_fresh_op_bwd(scale, tq, tk, interpret, res, g):
+    from self_forcing_tpu.ops import attention as xla_attn
+    q, k_cache, v_cache, k_new, v_new, kv_start, kv_end = res
+
+    def ref(q_, kc_, vc_, kn_, vn_):
+        return xla_attn.decode_attention_fresh_xla(
+            q_, kc_, vc_, kn_, vn_, kv_start, kv_end, scale=scale)
+
+    _, vjp = jax.vjp(ref, q, k_cache, v_cache, k_new, v_new)
+    dq, dkc, dvc, dkn, dvn = vjp(g)
+    return dq, dkc, dvc, dkn, dvn, None, None
+
+
+_decode_fresh_op.defvjp(_decode_fresh_op_fwd, _decode_fresh_op_bwd)
+
+
+def decode_attention_fresh_pallas(q: jax.Array, k_cache: jax.Array,
+                                  v_cache: jax.Array, k_new: jax.Array,
+                                  v_new: jax.Array, kv_start: jax.Array,
+                                  kv_end: jax.Array,
+                                  scale: Optional[float] = None,
+                                  tq: int = 256, tk: int = 2048,
+                                  interpret: bool = False) -> jax.Array:
+    """Decode attention over cache[kv_start:kv_end) plus a fresh block of
+    K/V that has not been written to the cache (read-only-cache fast path,
+    models/wan/dit.py)."""
+    D = q.shape[-1]
+    scale = (D ** -0.5) if scale is None else scale
+    tq = min(tq, max(128, 1 << (q.shape[1] - 1).bit_length()))
+    tkf = min(tk, max(128, 1 << (k_new.shape[1] - 1).bit_length()))
+    return _decode_fresh_op(q, k_cache, v_cache, k_new, v_new,
+                            jnp.asarray(kv_start, jnp.int32),
+                            jnp.asarray(kv_end, jnp.int32),
+                            scale, tq, min(tk, tkf), interpret)
+
+
+# =====================================================================
 # masked flash attention (training): IntervalMask block-sparse
 # =====================================================================
 

@@ -36,7 +36,9 @@ from self_forcing_tpu.models.wan import vae as vae_mod
 from self_forcing_tpu.scheduler import FlowMatchScheduler, warp_denoising_steps
 
 
-@partial(jax.jit, static_argnames=("cfg", "steps", "context_noise", "num_blocks"))
+@partial(jax.jit, static_argnames=("cfg", "steps", "context_noise",
+                                   "num_blocks"),
+         donate_argnums=(5,))  # the KV cache updates in place
 def generate_blocks(params, cfg: WanConfig, scheduler: FlowMatchScheduler,
                     rope: RopeTables, ctx_kv: dict, cache: dit.KVCache,
                     noise: jax.Array, rng: jax.Array,
@@ -89,7 +91,7 @@ def generate_blocks(params, cfg: WanConfig, scheduler: FlowMatchScheduler,
     return out, cache
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(4,))
 def prime_block(params, cfg: WanConfig, rope: RopeTables, ctx_kv: dict,
                 cache: dit.KVCache, latents: jax.Array,
                 start_frame: jax.Array) -> dit.KVCache:

@@ -98,3 +98,39 @@ def test_flash_grad_matches_xla():
     for a, b in zip(gp, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_decode_fresh_matches_xla():
+    from self_forcing_tpu.ops.attention import decode_attention_fresh_xla
+    from self_forcing_tpu.ops.pallas_attention import (
+        decode_attention_fresh_pallas)
+    q, k, v = _qkv(jax.random.PRNGKey(7), 96, 320)
+    kn = jax.random.normal(jax.random.PRNGKey(8), (B, 96, N, D))
+    vn = jax.random.normal(jax.random.PRNGKey(9), (B, 96, N, D))
+    for lo, hi in [(0, 0), (0, 192), (64, 320)]:
+        ref = decode_attention_fresh_xla(q, k, v, kn, vn, jnp.int32(lo),
+                                         jnp.int32(hi))
+        out = decode_attention_fresh_pallas(q, k, v, kn, vn, jnp.int32(lo),
+                                            jnp.int32(hi), tq=128, tk=128,
+                                            interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_decode_fresh_grad_matches_xla():
+    from self_forcing_tpu.ops.attention import decode_attention_fresh_xla
+    from self_forcing_tpu.ops.pallas_attention import (
+        decode_attention_fresh_pallas)
+    q, k, v = _qkv(jax.random.PRNGKey(10), 64, 128)
+    kn = jax.random.normal(jax.random.PRNGKey(11), (B, 64, N, D))
+    vn = jax.random.normal(jax.random.PRNGKey(12), (B, 64, N, D))
+    lo, hi = jnp.int32(0), jnp.int32(128)
+
+    gp = jax.grad(lambda q_, kn_, vn_: jnp.sum(decode_attention_fresh_pallas(
+        q_, k, v, kn_, vn_, lo, hi, tq=128, tk=128, interpret=True) ** 2),
+        argnums=(0, 1, 2))(q, kn, vn)
+    gx = jax.grad(lambda q_, kn_, vn_: jnp.sum(decode_attention_fresh_xla(
+        q_, k, v, kn_, vn_, lo, hi) ** 2), argnums=(0, 1, 2))(q, kn, vn)
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)

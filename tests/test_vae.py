@@ -81,3 +81,23 @@ def test_encode_decode_shapes(models):
     assert lat.shape == (B, 1 + (T - 1) // 4, H // 8, W // 8, CFG.z_dim)
     out = jvae.decode(params, CFG, lat)
     assert out.shape == (B, T, H, W, 3)
+
+
+def test_decode_block_matches_full():
+    """One-pass multi-frame block decode == frame-by-frame decode (the
+    streaming fast path must be numerically identical)."""
+    import jax, jax.numpy as jnp
+    import numpy as np
+    from self_forcing_tpu.models.wan import vae as vae_mod
+    cfg = vae_mod.VAE_TINY
+    params = vae_mod.init_params(jax.random.PRNGKey(0), cfg)
+    z = jax.random.normal(jax.random.PRNGKey(1), (1, 7, 4, 4, cfg.z_dim))
+    full = vae_mod.decode(params, cfg, z)
+
+    cache = vae_mod.init_decoder_cache(params, cfg, 1, 4, 4, z.dtype)
+    p1, cache = vae_mod.decode_block(params, cfg, z[:, :3], cache, True)
+    p2, cache = vae_mod.decode_block(params, cfg, z[:, 3:5], cache, False)
+    p3, cache = vae_mod.decode_block(params, cfg, z[:, 5:], cache, False)
+    streamed = jnp.clip(jnp.concatenate([p1, p2, p3], axis=1), -1, 1)
+    np.testing.assert_allclose(np.asarray(streamed), np.asarray(full),
+                               rtol=5e-4, atol=5e-4)
