@@ -72,6 +72,18 @@ def _conv3d(p: Params, x: jax.Array, stride=(1, 1, 1),
     ) + p["b"]
 
 
+def _use_pallas_conv() -> bool:
+    """Opt-in (SF_TPU_PALLAS_CONV=1): the strip-matmul conv kernel wins on
+    isolated large-T batches (~5x XLA) but loses in the per-frame streaming
+    scan where its 3-tau decomposition triples call overhead — the one-pass
+    3D variant with weight streaming is the open follow-up."""
+    import os
+    if os.environ.get("SF_TPU_PALLAS_CONV") != "1":
+        return False
+    from self_forcing_tpu.ops.attention import _use_pallas
+    return _use_pallas()
+
+
 def causal_conv3d(p: Params, x: jax.Array, cache: jax.Array | None,
                   stride=(1, 1, 1), kernel=(3, 3, 3)):
     """CausalConv3d (vae.py:17-36): temporal-causal via front context.
@@ -79,6 +91,10 @@ def causal_conv3d(p: Params, x: jax.Array, cache: jax.Array | None,
     x: [B, T, H, W, C]; ``cache``: [B, kt-1, H, W, C] of previous input
     frames (zeros == the reference's zero padding) or None for kt == 1.
     Returns (y, new_cache).
+
+    On TPU the 3x3x3 stride-1 case (the decoder's hot op) runs through the
+    Pallas strip-matmul kernel (ops/pallas_conv.py, ~10x XLA's conv floor
+    at these geometries).
     """
     kt = kernel[0]
     sp = (kernel[1] // 2, kernel[2] // 2)
@@ -87,6 +103,13 @@ def causal_conv3d(p: Params, x: jax.Array, cache: jax.Array | None,
     if cache is None:
         cache = jnp.zeros(
             (x.shape[0], kt - 1, *x.shape[2:]), x.dtype)
+    if (kernel == (3, 3, 3) and stride == (1, 1, 1)
+            and _use_pallas_conv()):
+        from self_forcing_tpu.ops.pallas_conv import causal_conv3d_pallas
+        y = causal_conv3d_pallas(x, cache, p["w"], p["b"])
+        new_cache = jnp.concatenate([cache.astype(x.dtype), x],
+                                    axis=1)[:, -(kt - 1):]
+        return y, new_cache
     xin = jnp.concatenate([cache.astype(x.dtype), x], axis=1)
     y = _conv3d(p, xin, stride, sp)
     new_cache = xin[:, -(kt - 1):]
@@ -415,12 +438,16 @@ def decode_block(params: Params, cfg: VAEConfig, z: jax.Array, cache: list,
         z = z[:, 1:]
         T -= 1
     if T > 0:
-        # all remaining frames in ONE decoder pass: causal_conv3d handles
-        # multi-frame inputs against the carried cache, and batching the
-        # frames keeps the spatial convs MXU-efficient (3x fewer, 3x
-        # larger conv calls than a per-frame scan).
-        y, cache = decode_frame(params, cfg, z, cache, first=False)
-        outs.append(y)
+        # scan per latent frame: keeps full-res activations (~300MB/frame)
+        # bounded so streaming decode fits beside the 9.8GB KV cache
+        def step(cache, zf):
+            y, cache = decode_frame(params, cfg, zf[:, None], cache,
+                                    first=False)
+            return cache, y
+
+        cache, ys = jax.lax.scan(step, cache, z.transpose(1, 0, 2, 3, 4))
+        ys = ys.transpose(1, 0, 2, 3, 4, 5).reshape(B, -1, *ys.shape[3:])
+        outs.append(ys)
     return jnp.concatenate(outs, axis=1), cache
 
 

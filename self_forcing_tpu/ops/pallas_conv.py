@@ -1,0 +1,138 @@
+"""Pallas causal-conv3d kernel — the VAE's hot op.
+
+XLA's conv lowering on this TPU has a ~10ms-per-call floor at the VAE
+decoder's geometries (480x832 spatial, 96-384 channels), which makes the
+33-conv decoder stack a major cost in the streaming pipeline (reference
+equivalents: the TensorRT VAE engine, demo_utils/vae.py:318, and torch's
+cuDNN convs).  This kernel family runs the conv as strip matmuls at HBM
+bandwidth (~10x the XLA floor at 1.3B geometry).
+
+Decomposition: a 3x3x3 temporal-causal conv = sum over the 3 temporal taps
+of a 2D 9-tap conv.  The 2D kernel DMAs a (th+2)-row strip of one frame
+from HBM into VMEM, then accumulates 9 matmuls
+  out[rows, j] += x[rows+di-1, j+dj-1] @ w[di, dj]
+with the column shift realized by rolling the matmul *output* along W
+(Mosaic-friendly: no misaligned lane slices).  The temporal sum happens in
+XLA (3 kernel calls + adds), keeping per-kernel VMEM small enough for the
+384-channel stages.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _conv2d_kernel(x_hbm, w_ref, b_ref, o_ref, xs, sem, *, th: int,
+                   W: int, C: int):
+    bt = pl.program_id(0)
+    hi = pl.program_id(1)
+    row0 = hi * th
+
+    dma = pltpu.make_async_copy(
+        x_hbm.at[bt, pl.ds(row0, th + 2), :, :], xs, sem)
+    dma.start()
+    dma.wait()
+
+    Wp = xs.shape[1]
+    Cop = o_ref.shape[-1]
+
+    def tap(idx, acc):
+        di = idx // 3
+        dj = idx % 3
+        base = xs[pl.ds(di, th), :, :].reshape(th * Wp, C)
+        y = jax.lax.dot_general(
+            base, w_ref[di, dj], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).reshape(th, Wp, Cop)
+        # out[:, j] needs y_dj[:, j + dj] -> roll left by dj along W
+        y = jax.lax.switch(dj, [
+            lambda v: v,
+            lambda v: pltpu.roll(v, Wp - 1, 1),
+            lambda v: pltpu.roll(v, Wp - 2, 1)], y)
+        return acc + y
+
+    acc = jax.lax.fori_loop(0, 9, tap,
+                            jnp.zeros((th, Wp, Cop), jnp.float32))
+    acc = acc + b_ref[0].astype(jnp.float32)
+    o_ref[0] = acc[:, :W].astype(o_ref.dtype)
+
+
+def _conv2d_9tap(x: jax.Array, w: jax.Array, b: jax.Array,
+                 interpret: bool) -> jax.Array:
+    """x [N, H, W, C] (spatial SAME); w [3, 3, Cp, Cop]; -> [N, H, W, Cop]
+    (output channel-padded; caller slices)."""
+    N, H, W, C = x.shape
+    Cop = w.shape[-1]
+    bpe = x.dtype.itemsize
+    Wp = -(-(W + 2) // 8) * 8
+    Cp = -(-C // 128) * 128
+
+    w_bytes = 9 * Cp * Cop * bpe
+
+    def fits(t):
+        # acc factor calibrated on v5e: fori carry double-buffer + y +
+        # switch temporaries ~5 f32 copies of the [t, Wp, Cop] tile
+        scratch = (t + 2) * Wp * Cp * bpe
+        acc = 5 * t * Wp * Cop * 4
+        out = 2 * t * W * Cop * bpe
+        return w_bytes + scratch + acc + out + 2_000_000 <= 16_000_000
+
+    cand = [t for t in range(8, 0, -1) if H % t == 0 and fits(t)]
+    assert cand, f"no strip height fits VMEM for {(H, W, C, Cop)}"
+    th = cand[0]
+
+    xin = jnp.pad(x, ((0, 0), (1, 1), (1, Wp - W - 1), (0, Cp - C)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(N, H // th),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),    # x in HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # w
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # b [1, Cop]
+        ],
+        out_specs=pl.BlockSpec((1, th, W, Cop),
+                               lambda bt, hi: (bt, hi, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((th + 2, Wp, Cp), x.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_conv2d_kernel, th=th, W=W, C=Cp),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((N, H, W, Cop), x.dtype),
+        interpret=interpret,
+    )(xin, w, b.reshape(1, -1))
+
+
+def causal_conv3d_pallas(x: jax.Array, cache: jax.Array, w: jax.Array,
+                         b: jax.Array, th: int = 8,
+                         interpret: bool = False) -> jax.Array:
+    """3x3x3 temporal-causal SAME-spatial conv (stride 1).
+
+    x [B, T, H, W, C]; cache [B, 2, H, W, C]; w [3, 3, 3, C, Cout]
+    (DHWIO); b [Cout].  Returns [B, T, H, W, Cout].
+    """
+    del th  # strip height is chosen per-geometry inside _conv2d_9tap
+    B, T, H, W, C = x.shape
+    Cout = w.shape[-1]
+    Cp = -(-C // 128) * 128
+    Cop = -(-Cout // 128) * 128
+    if Cp != C or Cop != Cout:
+        w = jnp.pad(w, ((0, 0), (0, 0), (0, 0), (0, Cp - C),
+                        (0, Cop - Cout)))
+    bp = jnp.pad(b, (0, Cop - Cout))
+    zeros = jnp.zeros((Cop,), b.dtype)
+
+    xin = jnp.concatenate([cache.astype(x.dtype), x], axis=1)
+    acc = None
+    for tau in range(3):
+        frames = xin[:, tau:tau + T].reshape(B * T, H, W, C)
+        y = _conv2d_9tap(frames, w[tau], bp if tau == 2 else zeros,
+                         interpret)
+        acc = y if acc is None else acc + y
+    return acc[..., :Cout].reshape(B, T, H, W, Cout)

@@ -134,3 +134,23 @@ def test_decode_fresh_grad_matches_xla():
     for a, b in zip(gp, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_pallas_conv3d_matches_lax():
+    """Strip-matmul causal conv kernel (ops/pallas_conv.py) vs lax conv."""
+    from self_forcing_tpu.ops.pallas_conv import causal_conv3d_pallas
+    key = jax.random.PRNGKey(20)
+    Bc, T, H, W, C, Co = 1, 2, 8, 16, 16, 16
+    x = jax.random.normal(key, (Bc, T, H, W, C), jnp.float32)
+    cache = jax.random.normal(jax.random.fold_in(key, 1),
+                              (Bc, 2, H, W, C), jnp.float32)
+    w = jax.random.normal(jax.random.fold_in(key, 2),
+                          (3, 3, 3, C, Co), jnp.float32) * 0.05
+    b = jax.random.normal(jax.random.fold_in(key, 3), (Co,), jnp.float32)
+    xin = jnp.concatenate([cache, x], axis=1)
+    ref = jax.lax.conv_general_dilated(
+        xin, w, (1, 1, 1), ((0, 0), (1, 1), (1, 1)),
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC")) + b
+    out = causal_conv3d_pallas(x, cache, w, b, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=3e-5, atol=3e-5)
