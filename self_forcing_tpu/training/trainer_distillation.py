@@ -249,3 +249,35 @@ class ScoreDistillationTrainer:
         if self.state.generator_ema is not None:
             tree["generator_ema"] = self.state.generator_ema
         save_pytree(path, tree)
+
+    # full-state resume — the reference can't resume optimizer state
+    # (SURVEY.md §5.4: generator weights only, trainer/distillation.py:
+    # 182-191); here the whole TrainState round-trips through orbax.
+    def save_state(self, path: str):
+        from self_forcing_tpu.utils.checkpoints import save_pytree
+        save_pytree(path, {
+            "generator": self.state.generator,
+            "fake_score": self.state.fake_score,
+            "gen_opt_state": self.state.gen_opt_state,
+            "critic_opt_state": self.state.critic_opt_state,
+            "generator_ema": self.state.generator_ema,
+            "step": self.state.step,
+        })
+
+    def load_state(self, path: str):
+        from self_forcing_tpu.utils.checkpoints import restore_pytree
+        like = {
+            "generator": self.state.generator,
+            "fake_score": self.state.fake_score,
+            "gen_opt_state": self.state.gen_opt_state,
+            "critic_opt_state": self.state.critic_opt_state,
+            "generator_ema": self.state.generator_ema,
+            "step": self.state.step,
+        }
+        tree = restore_pytree(path, like)
+        self.state = TrainState(
+            generator=tree["generator"], fake_score=tree["fake_score"],
+            gen_opt_state=tree["gen_opt_state"],
+            critic_opt_state=tree["critic_opt_state"],
+            generator_ema=tree["generator_ema"],
+            step=int(tree["step"]))

@@ -1,0 +1,104 @@
+"""Coverage for aux components: prompt extension fallback, trainer
+full-state resume, metrics logger, misc utils, memory/profiling helpers."""
+import os
+import types
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from self_forcing_tpu.prompt_extend import (PromptOutput, QwenPromptExpander,
+                                            template_extend)
+
+
+def test_prompt_extend_fallback():
+    out = template_extend("a cat runs")
+    assert out.status and "a cat runs" in out.prompt
+    assert len(out.prompt) > len("a cat runs")
+    # Qwen expander degrades gracefully without weights/network
+    exp = QwenPromptExpander(model_name="/nonexistent/model")
+    out2 = exp("a dog", tar_lang="en")
+    assert out2.status and "a dog" in out2.prompt
+
+
+def test_trainer_save_load_state(tmp_path):
+    from self_forcing_tpu.models.wan import dit
+    from self_forcing_tpu.models.wan.configs import WAN_TINY
+    from self_forcing_tpu.training.trainer_distillation import (
+        ScoreDistillationTrainer)
+
+    cfg_args = types.SimpleNamespace(
+        num_train_timestep=1000, timestep_shift=5.0, num_frame_per_block=2,
+        denoising_step_list=[1000, 500], lr=1e-4, seed=0,
+        num_training_frames=4, warp_denoising_step=False,
+        last_step_only=True, dfake_gen_update_ratio=1, ema_weight=0.0,
+        image_or_video_shape=[1, 4, 16, 8, 8])
+    key = jax.random.PRNGKey(0)
+    gen = dit.init_params(key, WAN_TINY, jnp.float32)
+    fake = dit.init_params(jax.random.fold_in(key, 1), WAN_TINY,
+                           jnp.float32, causal=False)
+    real = dit.init_params(jax.random.fold_in(key, 2), WAN_TINY,
+                           jnp.float32, causal=False)
+    ctx = jax.random.normal(jax.random.fold_in(key, 3),
+                            (1, 8, WAN_TINY.text_dim))
+    tr = ScoreDistillationTrainer(cfg_args, gen, fake, real, WAN_TINY,
+                                  WAN_TINY, WAN_TINY, jnp.zeros_like(ctx))
+    tr.state.step = 7
+    path = str(tmp_path / "ckpt")
+    tr.save_state(path)
+
+    tr2 = ScoreDistillationTrainer(cfg_args, gen, fake, real, WAN_TINY,
+                                   WAN_TINY, WAN_TINY, jnp.zeros_like(ctx))
+    tr2.load_state(path)
+    assert tr2.state.step == 7
+    a = jax.tree.leaves(tr.state.generator)[0]
+    b = jax.tree.leaves(tr2.state.generator)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_metrics_logger(tmp_path):
+    from self_forcing_tpu.utils.metrics import MetricsLogger
+    lg = MetricsLogger(str(tmp_path), disable_wandb=True)
+    lg.log({"loss": 1.5, "note": "x"}, step=3)
+    lg.close()
+    import json
+    rec = json.loads(open(tmp_path / "metrics.jsonl").read().splitlines()[0])
+    assert rec["loss"] == 1.5 and rec["step"] == 3
+
+
+def test_misc_utils():
+    from self_forcing_tpu.utils.misc import merge_dict_list, set_seed
+    set_seed(3)
+    merged = merge_dict_list([{"a": 1.0, "b": np.ones(2)},
+                              {"a": 3.0, "b": np.zeros(2)}])
+    assert merged["a"] == 2.0
+    assert merged["b"].shape == (2, 2)
+
+
+def test_memory_helpers():
+    from self_forcing_tpu.utils.memory import get_hbm_stats, move_to_device
+    stats = get_hbm_stats()
+    assert set(stats) == {"bytes_in_use", "bytes_limit",
+                          "peak_bytes_in_use"}
+    tree = move_to_device({"x": np.ones(3)})
+    assert jnp.asarray(tree["x"]).sum() == 3
+
+
+def test_phase_timer():
+    from self_forcing_tpu.utils.profiling import PhaseTimer
+    t = PhaseTimer()
+    with t.phase("init"):
+        pass
+    t.add_block_time(0.01)
+    rep = t.report()
+    assert "init" in rep and "Block 0" in rep
+
+
+def test_video_io_roundtrip(tmp_path):
+    from self_forcing_tpu.utils.video_io import load_video, save_video
+    frames = (np.random.default_rng(0).integers(
+        0, 255, (5, 32, 48, 3))).astype(np.uint8)
+    p = str(tmp_path / "v.mp4")
+    save_video(frames, p, fps=8)
+    back = load_video(p)
+    assert back.shape == frames.shape
