@@ -105,11 +105,15 @@ def causal_conv3d(p: Params, x: jax.Array, cache: jax.Array | None,
             (x.shape[0], kt - 1, *x.shape[2:]), x.dtype)
     if (kernel == (3, 3, 3) and stride == (1, 1, 1)
             and _use_pallas_conv()):
-        from self_forcing_tpu.ops.pallas_conv import causal_conv3d_pallas
-        y = causal_conv3d_pallas(x, cache, p["w"], p["b"])
-        new_cache = jnp.concatenate([cache.astype(x.dtype), x],
-                                    axis=1)[:, -(kt - 1):]
-        return y, new_cache
+        # only the FUSED single-call kernel wins in the streaming scan;
+        # convs whose weights don't fit VMEM (384ch, small spatial) stay
+        # on XLA (the 3-call temporal split loses to padding overhead)
+        from self_forcing_tpu.ops.pallas_conv import _conv3d_fused
+        y = _conv3d_fused(x, cache, p["w"], p["b"], False)
+        if y is not None:
+            new_cache = jnp.concatenate([cache.astype(x.dtype), x],
+                                        axis=1)[:, -(kt - 1):]
+            return y, new_cache
     xin = jnp.concatenate([cache.astype(x.dtype), x], axis=1)
     y = _conv3d(p, xin, stride, sp)
     new_cache = xin[:, -(kt - 1):]

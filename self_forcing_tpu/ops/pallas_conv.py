@@ -109,6 +109,104 @@ def _conv2d_9tap(x: jax.Array, w: jax.Array, b: jax.Array,
     )(xin, w, b.reshape(1, -1))
 
 
+# ---------------------------------------------------------------------
+# fused 3D kernel: one pallas call per conv (all 27 taps), weights VMEM-
+# resident — used when the packed weights fit (C*Cout <= ~256x256)
+# ---------------------------------------------------------------------
+
+def _conv3d_kernel(x_hbm, w_ref, b_ref, o_ref, xs, sem, *, th: int, T: int,
+                   W: int, C: int):
+    bt = pl.program_id(0)
+    hi = pl.program_id(1)
+    t = bt % T
+    b = bt // T
+    row0 = hi * th
+
+    def fetch(slot):
+        return pltpu.make_async_copy(
+            x_hbm.at[b, t + slot, pl.ds(row0, th + 2), :, :],
+            xs.at[slot], sem.at[slot])
+
+    for fr in range(3):
+        fetch(fr).start()
+    for fr in range(3):
+        fetch(fr).wait()
+
+    Wp = xs.shape[2]
+    Cop = o_ref.shape[-1]
+
+    def tap(idx, acc):
+        tau = idx // 9
+        di = (idx // 3) % 3
+        dj = idx % 3
+        base = xs[tau, pl.ds(di, th), :, :].reshape(th * Wp, C)
+        y = jax.lax.dot_general(
+            base, w_ref[tau * 9 + di * 3 + dj],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).reshape(th, Wp, Cop)
+        y = jax.lax.switch(dj, [
+            lambda v: v,
+            lambda v: pltpu.roll(v, Wp - 1, 1),
+            lambda v: pltpu.roll(v, Wp - 2, 1)], y)
+        return acc + y
+
+    acc = jax.lax.fori_loop(0, 27, tap,
+                            jnp.zeros((th, Wp, Cop), jnp.float32))
+    acc = acc + b_ref[0].astype(jnp.float32)
+    o_ref[0] = acc[:, :W].astype(o_ref.dtype)
+
+
+def _conv3d_fused(x, cache, w, b, interpret):
+    B, T, H, W, C = x.shape
+    Cout = w.shape[-1]
+    bpe = x.dtype.itemsize
+    Wp = -(-(W + 2) // 8) * 8
+    Cp = -(-C // 128) * 128
+    Cop = -(-Cout // 128) * 128
+    w_bytes = 27 * Cp * Cop * bpe
+
+    def fits(t):
+        scratch = 3 * (t + 2) * Wp * Cp * bpe
+        acc = 5 * t * Wp * Cop * 4
+        out = 2 * t * W * Cop * bpe
+        return w_bytes + scratch + acc + out + 2_000_000 <= 16_000_000
+
+    cand = [t for t in range(8, 0, -1) if H % t == 0 and fits(t)]
+    if not cand:
+        return None
+    th = cand[0]
+
+    xin = jnp.concatenate([cache.astype(x.dtype), x], axis=1)
+    xin = jnp.pad(xin, ((0, 0), (0, 0), (1, 1), (1, Wp - W - 1),
+                        (0, Cp - C)))
+    wp = jnp.pad(w, ((0, 0), (0, 0), (0, 0), (0, Cp - C), (0, Cop - Cout))
+                 ).reshape(27, Cp, Cop)
+    bp = jnp.pad(b, (0, Cop - Cout))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(B * T, H // th),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, th, W, Cop),
+                               lambda bt, hi: (bt, hi, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((3, th + 2, Wp, Cp), x.dtype),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_conv3d_kernel, th=th, T=T, W=W, C=Cp),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B * T, H, W, Cop), x.dtype),
+        interpret=interpret,
+    )(xin, wp, bp.reshape(1, -1))
+    return out[..., :Cout].reshape(B, T, H, W, Cout)
+
+
 def causal_conv3d_pallas(x: jax.Array, cache: jax.Array, w: jax.Array,
                          b: jax.Array, th: int = 8,
                          interpret: bool = False) -> jax.Array:
@@ -116,8 +214,15 @@ def causal_conv3d_pallas(x: jax.Array, cache: jax.Array, w: jax.Array,
 
     x [B, T, H, W, C]; cache [B, 2, H, W, C]; w [3, 3, 3, C, Cout]
     (DHWIO); b [Cout].  Returns [B, T, H, W, Cout].
+
+    Dispatch: one fused kernel call when the packed weights fit VMEM
+    (<= ~256x256 channels); otherwise the 3-call temporal split.
     """
-    del th  # strip height is chosen per-geometry inside _conv2d_9tap
+    del th
+    fused = _conv3d_fused(x, cache, w, b, interpret)
+    if fused is not None:
+        return fused
+
     B, T, H, W, C = x.shape
     Cout = w.shape[-1]
     Cp = -(-C // 128) * 128
