@@ -102,3 +102,22 @@ def test_video_io_roundtrip(tmp_path):
     save_video(frames, p, fps=8)
     back = load_video(p)
     assert back.shape == frames.shape
+
+
+def test_wan_t2v_generate_tiny():
+    """WanT2V quality-path facade (reference wan/text2video.py:110-266)."""
+    from self_forcing_tpu.models.wan import dit, vae as vae_mod
+    from self_forcing_tpu.models.wan.configs import WAN_TINY
+    from self_forcing_tpu.wan_generate import WanT2V
+
+    params = dit.init_params(jax.random.PRNGKey(0), WAN_TINY, jnp.float32)
+    vae_cfg = vae_mod.VAEConfig(dim=8, z_dim=16, dim_mult=(1, 2, 2, 2),
+                                num_res_blocks=1)
+    vae_params = vae_mod.init_params(jax.random.PRNGKey(1), vae_cfg)
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (1, 8, WAN_TINY.text_dim))
+    t2v = WanT2V(params, WAN_TINY, vae_params=vae_params, vae_cfg=vae_cfg)
+    video = t2v.generate("a cat", size=(64, 64), frame_num=5,
+                         sampling_steps=2, guide_scale=2.0, seed=1,
+                         context=ctx, neg_context=jnp.zeros_like(ctx))
+    assert video.shape == (5, 3, 64, 64)
+    assert np.isfinite(np.asarray(video)).all()
