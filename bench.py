@@ -30,7 +30,7 @@ def main():
     from self_forcing_tpu.models.wan import dit, vae as vae_mod
     from self_forcing_tpu.models.wan.configs import WAN_1_3B, WanConfig
     from self_forcing_tpu.pipelines.causal_inference import (
-        CausalInferencePipeline, generate_blocks)
+        CausalInferencePipeline, denoise_block, refresh_block)
     from self_forcing_tpu.config import Config
 
     platform = jax.devices()[0].platform
@@ -100,13 +100,15 @@ def main():
         last_px = None
         start = jnp.int32(0)
         first_decoded = False
-        for b in range(F // nb):
+        num_blocks = F // nb
+        for b in range(num_blocks):
             rng, k = jax.random.split(rng)
-            blk, cache = generate_blocks(
+            blk, cache = denoise_block(
                 params, cfg, pipe.scheduler, pipe.rope, ctx_kv, cache,
                 noise[:, b * nb:(b + 1) * nb], k, pipe.denoising_step_list,
-                pipe.context_noise, 1, start)
-            start = start + nb
+                start)
+            # decode dispatch BEFORE the cache refresh: TTFC excludes the
+            # refresh forward (it only feeds the next block)
             lat = blk.transpose(0, 1, 3, 4, 2)[..., :zc].astype(vae_dtype)
             if dec_cache is None:
                 dec_cache = vae_mod.init_decoder_cache(
@@ -118,6 +120,11 @@ def main():
                 jax.block_until_ready(last_px)
                 ttfc = time.perf_counter() - t0
                 first_decoded = True
+            if b < num_blocks - 1:
+                rng, k2 = jax.random.split(rng)
+                cache = refresh_block(params, cfg, pipe.rope, ctx_kv, cache,
+                                      blk, k2, pipe.context_noise, start)
+            start = start + nb
         jax.block_until_ready(last_px)
         total = time.perf_counter() - t0
         return total, ttfc

@@ -91,6 +91,64 @@ def generate_blocks(params, cfg: WanConfig, scheduler: FlowMatchScheduler,
     return out, cache
 
 
+@partial(jax.jit, static_argnames=("cfg", "steps"), donate_argnums=(5,))
+def denoise_block(params, cfg: WanConfig, scheduler: FlowMatchScheduler,
+                  rope: RopeTables, ctx_kv: dict, cache: dit.KVCache,
+                  noise_blk: jax.Array, rng: jax.Array,
+                  steps: tuple[float, ...], start_frame: jax.Array):
+    """One block's 4-step denoise WITHOUT the cache refresh — the
+    streaming path dispatches the VAE decode of this block before the
+    refresh so time-to-first-chunk excludes it (the refresh only feeds
+    the NEXT block's context; the reference demo likewise skips it on the
+    last block, demo.py:396-404)."""
+    B, nb, C, H, W = noise_blk.shape
+    noisy = noise_blk
+    x0 = noisy
+    blk_rng = rng
+    for i, t_val in enumerate(steps):
+        t = jnp.full((B, nb), t_val, jnp.float32)
+        flow, cache = dit.forward_inference(
+            params, cfg, noisy, t, ctx_kv, cache, start_frame, rope)
+        x0 = scheduler.convert_flow_pred_to_x0(
+            flow.reshape(B * nb, C, H, W),
+            noisy.reshape(B * nb, C, H, W),
+            t.reshape(-1)).reshape(B, nb, C, H, W)
+        if i < len(steps) - 1:
+            blk_rng, k = jax.random.split(blk_rng)
+            eps = jax.random.normal(k, x0.shape, x0.dtype)
+            t_next = jnp.full((B * nb,), steps[i + 1], jnp.float32)
+            noisy = scheduler.add_noise(
+                x0.reshape(B * nb, C, H, W),
+                eps.reshape(B * nb, C, H, W),
+                t_next).reshape(B, nb, C, H, W)
+    return x0, cache
+
+
+@partial(jax.jit, static_argnames=("cfg", "context_noise"),
+         donate_argnums=(4,))
+def refresh_block(params, cfg: WanConfig, rope: RopeTables, ctx_kv: dict,
+                  cache: dit.KVCache, x0: jax.Array, rng: jax.Array,
+                  context_noise: float, start_frame: jax.Array
+                  ) -> dit.KVCache:
+    """Re-run the denoised block at ``context_noise`` to write clean
+    context into the cache (causal_inference.py:226-235)."""
+    B, nb, C, H, W = x0.shape
+    xin = x0
+    t_ctx = jnp.full((B, nb), float(context_noise), jnp.float32)
+    if context_noise > 0:
+        # re-noise the denoised block at the context timestep
+        # (causal_inference.py:226-231)
+        from self_forcing_tpu.scheduler import FlowMatchScheduler
+        sched = FlowMatchScheduler.create(1000, shift=8.0)
+        eps = jax.random.normal(rng, x0.shape, x0.dtype)
+        xin = sched.add_noise(
+            x0.reshape(B * nb, C, H, W), eps.reshape(B * nb, C, H, W),
+            t_ctx.reshape(-1)).reshape(x0.shape)
+    _, cache = dit.forward_inference(params, cfg, xin, t_ctx, ctx_kv, cache,
+                                     start_frame, rope)
+    return cache
+
+
 @partial(jax.jit, static_argnames=("cfg",), donate_argnums=(4,))
 def prime_block(params, cfg: WanConfig, rope: RopeTables, ctx_kv: dict,
                 cache: dit.KVCache, latents: jax.Array,
@@ -273,11 +331,21 @@ class CausalInferencePipeline:
         ctx_kv = dit.precompute_context(self.params, self.cfg, context)
         cache = self._init_cache(B, fs, max(F, 21), noise.dtype)
         start = jnp.int32(0)
-        for b in range(F // nb):
-            rng, k = jax.random.split(rng)
-            blk, cache = generate_blocks(
+        num_blocks = F // nb
+        for b in range(num_blocks):
+            rng, k1 = jax.random.split(rng)
+            blk, cache = denoise_block(
                 self.params, self.cfg, self.scheduler, self.rope, ctx_kv,
-                cache, noise[:, b * nb:(b + 1) * nb], k,
-                self.denoising_step_list, self.context_noise, 1, start)
-            start = start + nb
+                cache, noise[:, b * nb:(b + 1) * nb], k1,
+                self.denoising_step_list, start)
+            # hand the chunk to the caller BEFORE the cache refresh: the
+            # decode dispatch precedes the refresh program, cutting
+            # time-to-first-chunk; the refresh is skipped entirely on the
+            # last block (demo.py:396-404).
             yield blk
+            if b < num_blocks - 1:
+                rng, k2 = jax.random.split(rng)
+                cache = refresh_block(
+                    self.params, self.cfg, self.rope, ctx_kv, cache, blk,
+                    k2, self.context_noise, start)
+            start = start + nb
