@@ -25,7 +25,9 @@ def _ensure_diffusers_stub():
     class ConfigMixin:
         pass
 
-    class ModelMixin:
+    import torch.nn as _nn
+
+    class ModelMixin(_nn.Module):
         def __init_subclass__(cls, **kw):
             super().__init_subclass__(**kw)
 
