@@ -1,0 +1,1 @@
+"""Data layer: native record store, datasets, loader."""

@@ -1,0 +1,1 @@
+"""Model families: Wan DiT/VAE/T5, CLIP, TAEHV."""

@@ -1,0 +1,1 @@
+"""Serving: WebSocket transport + streaming demo app."""

@@ -1,0 +1,1 @@
+"""Training subsystem: trainers, objectives, optimizers, EMA."""

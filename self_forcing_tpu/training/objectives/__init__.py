@@ -1,0 +1,1 @@
+"""Distillation objectives (DMD/SiD/GAN/CausVid/ODE/diffusion)."""

@@ -1,0 +1,1 @@
+"""Utilities: checkpoints, losses, metrics, profiling, IO."""
