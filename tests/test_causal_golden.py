@@ -132,3 +132,67 @@ def test_kv_cache_inference_matches_reference(ref_setup):
         cache2, jnp.int32(NB), rope)
     assert float(jnp.abs(out_nocache - jnp.asarray(
         ref_outs[1].transpose(0, 2, 1, 3, 4))).max()) > 1e-3
+
+
+def test_rolling_window_eviction_matches_reference(ref_setup):
+    """local_attn_size window with sink tokens: the cache eviction path
+    (causal_model.py:203-229) vs our lax.cond + gather roll."""
+    import torch
+    mod, _ = ref_setup
+    torch.manual_seed(5)
+    CFGW = WanConfig(dim=128, ffn_dim=256, num_heads=2, num_layers=2,
+                     text_dim=64, freq_dim=32, num_frame_per_block=1,
+                     local_attn_size=2, sink_size=1)
+    model = mod.CausalWanModel(
+        model_type="t2v", patch_size=(1, 2, 2), text_len=512, in_dim=C,
+        dim=CFGW.dim, ffn_dim=CFGW.ffn_dim, freq_dim=CFGW.freq_dim,
+        text_dim=CFGW.text_dim, out_dim=C, num_heads=CFGW.num_heads,
+        num_layers=CFGW.num_layers, local_attn_size=2, sink_size=1,
+        qk_norm=True, cross_attn_norm=True, eps=1e-6)
+    model.num_frame_per_block = 1
+    with torch.no_grad():
+        model.head.head.weight.normal_(0, 0.02)
+        model.head.head.bias.normal_(0, 0.02)
+    model = model.eval().float()
+
+    rng = np.random.default_rng(5)
+    frames_np = rng.normal(size=(5, B, C, 1, H, W)).astype(np.float32) * 0.5
+    ctx_np = rng.normal(size=(B, 20, CFGW.text_dim)).astype(np.float32)
+    t_val = 600.0
+
+    # reference: cache sized local_attn_size frames (pipeline sizing,
+    # causal_inference.py:283-288)
+    S = CFGW.local_attn_size * FS
+    kv = [{"k": torch.zeros(B, S, CFGW.num_heads, CFGW.head_dim),
+           "v": torch.zeros(B, S, CFGW.num_heads, CFGW.head_dim),
+           "global_end_index": torch.tensor([0], dtype=torch.long),
+           "local_end_index": torch.tensor([0], dtype=torch.long)}
+          for _ in range(CFGW.num_layers)]
+    cross = [{"k": torch.zeros(B, 512, CFGW.num_heads, CFGW.head_dim),
+              "v": torch.zeros(B, 512, CFGW.num_heads, CFGW.head_dim),
+              "is_init": False} for _ in range(CFGW.num_layers)]
+    ref_outs = []
+    with torch.no_grad():
+        for f in range(5):
+            out = model(
+                torch.from_numpy(frames_np[f]),
+                torch.full((B, 1), t_val),
+                [torch.from_numpy(ctx_np[i]) for i in range(B)],
+                seq_len=8 * FS, kv_cache=kv, crossattn_cache=cross,
+                current_start=f * FS, cache_start=0)
+            ref_outs.append(out.numpy())
+
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    params = convert_dit_state_dict(sd, CFGW, dtype=jnp.float32)
+    rope = RopeTables.create(CFGW.head_dim)
+    ctx_kv = dit.precompute_context(params, CFGW, jnp.asarray(ctx_np))
+    cache = dit.init_kv_cache(CFGW, B, FS, 8, jnp.float32)
+    assert cache.k.shape[2] == S  # windowed sizing
+    for f in range(5):
+        x = jnp.asarray(frames_np[f]).transpose(0, 2, 1, 3, 4)
+        out, cache = dit.forward_inference(
+            params, CFGW, x, jnp.full((B, 1), t_val, jnp.float32), ctx_kv,
+            cache, jnp.int32(f), rope)
+        np.testing.assert_allclose(
+            np.asarray(out).transpose(0, 2, 1, 3, 4), ref_outs[f],
+            rtol=5e-3, atol=5e-3, err_msg=f"frame {f} mismatch")
