@@ -166,3 +166,32 @@ def test_trainers_one_step(setup):
     log3 = t3.train_step({"latents": clean, "context": ctx})
     assert np.isfinite(log3["critic_loss"])
     assert np.isfinite(log3["generator_loss"])
+
+
+def test_sid_losses(setup):
+    """SiD objective (model/sid.py): generator + critic losses finite and
+    alpha changes the loss."""
+    import copy
+    from self_forcing_tpu.training.objectives import sid
+    gen, fake, cls, ctx, clean, obj, bundle = setup
+    noise = jax.random.normal(jax.random.PRNGKey(21), (B, F, C, H, W))
+    real = dit.init_params(jax.random.PRNGKey(22), WAN_TINY,
+                           dtype=jnp.float32, causal=False)
+    # zero-init output heads make s_real == s_fake == identity -> give the
+    # score models distinct random heads so the loss is non-degenerate
+    fake = copy.deepcopy(fake)
+    for p, k in ((fake, 30), (real, 31)):
+        h = dict(p["head"]["head"])
+        h["w"] = jax.random.normal(jax.random.PRNGKey(k), h["w"].shape) * 0.02
+        p["head"]["head"] = h
+    g_loss, glog = sid.generator_loss(
+        bundle, obj, gen, fake, real, noise, ctx, jnp.zeros_like(ctx), 0,
+        jax.random.PRNGKey(23))
+    assert np.isfinite(float(g_loss))
+
+    import dataclasses as dc
+    obj2 = dc.replace(obj, sid_alpha=0.0)
+    g2, _ = sid.generator_loss(
+        bundle, obj2, gen, fake, real, noise, ctx, jnp.zeros_like(ctx), 0,
+        jax.random.PRNGKey(23))
+    assert float(g_loss) != float(g2)
