@@ -241,3 +241,141 @@ def causal_conv3d_pallas(x: jax.Array, cache: jax.Array, w: jax.Array,
                          interpret)
         acc = y if acc is None else acc + y
     return acc[..., :Cout].reshape(B, T, H, W, Cout)
+
+
+# ---------------------------------------------------------------------
+# v2: zero-copy fused kernel — no host-side pad/concat at all.
+# Requires W % 8 == 0 and C, Cout already 128-multiples (the VAE's
+# padded-channel mode provides this).  Edge handling:
+# - temporal: DMA source selected per tap from the cache or x operand;
+# - rows: strip DMA start clamped, first/last row taps masked;
+# - cols: matmul on the full-width strip, column shift applied by rolling
+#   the OUTPUT, wrapped columns masked.
+# ---------------------------------------------------------------------
+
+def _conv3d_v2_kernel(t_ref, x_hbm, w_ref, b_ref, o_ref, xs, sem, *,
+                      th: int, T: int, H: int, W: int, C: int):
+    b = pl.program_id(0)
+    hi = pl.program_id(1)
+    t = t_ref[0]
+
+    # DMA th+2 rows starting at clamp(out_row0 - 1, 0, H - th - 2); edge
+    # tiles are row-misaligned by +-1, fixed below with sublane rolls.
+    out_row0 = hi * th
+    row_lo = jnp.clip(out_row0 - 1, 0, H - (th + 2))
+    shift = out_row0 - 1 - row_lo          # -1 top tile, +1 bottom, else 0
+
+    def fetch(slot):
+        # x_hbm is the [cache | x] timeline (one cheap concat, NO pads)
+        return pltpu.make_async_copy(
+            x_hbm.at[b, t + slot, pl.ds(row_lo, th + 2), :, :],
+            xs.at[slot], sem.at[slot])
+
+    for fr in range(3):
+        fetch(fr).start()
+    for fr in range(3):
+        fetch(fr).wait()
+
+    Cop = o_ref.shape[-1]
+    col = jax.lax.broadcasted_iota(jnp.int32, (th, W), 1)
+    row = out_row0 + jax.lax.broadcasted_iota(jnp.int32, (th, W), 0)
+
+    def tap(idx, acc):
+        tau = idx // 9
+        di = (idx // 3) % 3
+        dj = idx % 3
+        # want strip rows [shift + di, shift + di + th); clip the start and
+        # realign by rolling output rows (wrapped rows are masked anyway)
+        start_raw = shift + di
+        start = jnp.clip(start_raw, 0, 2)
+        delta = start_raw - start              # -1, 0, or +1
+        base = xs[tau, pl.ds(start, th), :, :].reshape(th * W, C)
+        y = jax.lax.dot_general(
+            base, w_ref[idx], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).reshape(th, W, Cop)
+        # row realignment: delta=-1 -> roll down 1; delta=+1 -> roll up 1
+        # (dynamic shift; wrapped rows are masked by valid_row)
+        row_shift = jnp.where(delta == -1, 1,
+                              jnp.where(delta == 1, th - 1, 0))
+        y = pltpu.roll(y, row_shift, 0)
+        # column shift: out[:, j] takes y_dj[:, j + dj - 1]
+        y = jax.lax.switch(dj, [
+            lambda v: pltpu.roll(v, 1, 1),
+            lambda v: v,
+            lambda v: pltpu.roll(v, W - 1, 1)], y)
+        # scalar-select bounds (vector bool selects don't legalize)
+        lo_col = jnp.where(dj == 0, 1, 0)
+        hi_col = W - jnp.where(dj == 2, 1, 0)
+        valid_col = (col >= lo_col) & (col < hi_col)
+        in_row = row + (di - 1)
+        valid_row = (in_row >= 0) & (in_row < H)
+        # minor-dim insertion must happen on a 32-bit type (Mosaic)
+        mask = (valid_col & valid_row).astype(jnp.float32)[:, :, None]
+        return acc + y * mask
+
+    acc = jax.lax.fori_loop(0, 27, tap,
+                            jnp.zeros((th, W, Cop), jnp.float32))
+    acc = acc + b_ref[0].astype(jnp.float32)
+    o_ref[0] = acc.astype(o_ref.dtype)
+
+
+def causal_conv3d_pallas_v2(x: jax.Array, cache: jax.Array, w: jax.Array,
+                            b: jax.Array, th: int = 8,
+                            interpret: bool = False) -> jax.Array:
+    """Zero-copy fused causal conv3d: requires W % 8 == 0 and channel
+    counts that are 128-multiples (use vae padded-channel mode).
+
+    Returns None-equivalent via exception if constraints unmet — callers
+    check eligibility first.
+    """
+    B, T, H, W, C = x.shape
+    Cout = w.shape[-1]
+    assert W % 8 == 0 and C % 128 == 0 and Cout % 128 == 0, (W, C, Cout)
+
+    bpe = x.dtype.itemsize
+    w_bytes = 27 * C * Cout * bpe
+
+    def fits(t):
+        # calibrated on v5e: ~3 f32 copies of the working tile live
+        scratch = 3 * (t + 2) * W * C * bpe
+        acc = 3 * t * W * Cout * 4
+        out = 2 * t * W * Cout * bpe
+        return w_bytes + scratch + acc + out + 2_300_000 <= 16_000_000
+
+    # th < 4 tiles hit a Mosaic sublane pathology (1000x slowdowns
+    # measured) — require th >= 4 or bail to the caller's fallback
+    cand = [t for t in range(min(th, 8), 3, -1) if H % t == 0 and fits(t)
+            and H >= t + 2]
+    assert cand, f"no strip height fits VMEM for {(H, W, C, Cout)}"
+    th = cand[0]
+
+    wk = w.reshape(27, C, Cout)
+    xin = jnp.concatenate([cache.astype(x.dtype), x], axis=1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,   # frame offset
+        grid=(B, H // th),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, th, W, Cout),
+                               lambda b_, hi, t0: (b_, hi, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((3, th + 2, W, C), x.dtype),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+    )
+    call = pl.pallas_call(
+        functools.partial(_conv3d_v2_kernel, th=th, T=1, H=H, W=W, C=C),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, H, W, Cout), x.dtype),
+        interpret=interpret,
+    )
+    # one T=1 kernel call per output frame reading straight from the
+    # [cache | x] timeline (no per-call slices: XLA slice/copy of big
+    # video tensors is the slow path on this runtime)
+    outs = [call(jnp.full((1,), t, jnp.int32), xin, wk, b.reshape(1, -1))
+            for t in range(T)]
+    return jnp.stack(outs, axis=1)
