@@ -1,0 +1,88 @@
+"""Golden tests: IntervalMask families vs the reference's flex mask_mod
+functions evaluated densely (causal_model.py:518-723)."""
+import math
+
+import numpy as np
+import pytest
+
+from self_forcing_tpu.ops.masks import (block_causal_mask,
+                                        block_causal_mask_i2v,
+                                        teacher_forcing_mask)
+from tests.test_causal_golden import _load_ref_causal
+
+
+def _dense_ref_mask(build_fn, total):
+    """Run the reference mask builder with create_block_mask patched to
+    return the dense boolean mask."""
+    import torch
+    mod = _load_ref_causal()
+    saved = mod.create_block_mask
+
+    captured = {}
+
+    def capture(mask_mod, B, H, Q_LEN, KV_LEN, _compile=False, device=None):
+        q = torch.arange(Q_LEN, dtype=torch.long)[:, None]
+        k = torch.arange(KV_LEN, dtype=torch.long)[None, :]
+        captured["mask"] = mask_mod(None, None, q, k)
+        return captured["mask"]
+
+    mod.create_block_mask = capture
+    try:
+        build_fn(mod)
+    finally:
+        mod.create_block_mask = saved
+    return captured["mask"].numpy()[:total, :total]
+
+
+@pytest.mark.parametrize("nfpb,local", [(2, -1), (2, 1), (1, -1)])
+def test_block_causal_mask_matches_reference(nfpb, local):
+    F, fs = 4, 16
+    total = F * fs
+
+    def build(mod):
+        mod.CausalWanModel._prepare_blockwise_causal_attn_mask(
+            "cpu", num_frames=F, frame_seqlen=fs, num_frame_per_block=nfpb,
+            local_attn_size=local)
+
+    ref = _dense_ref_mask(build, total)
+    ours = np.asarray(block_causal_mask(F, fs, nfpb, local).materialize())
+    # the reference adds an identity diagonal (for padded rows); real
+    # in-window diagonals are always visible in both — compare with it
+    ref_no_eye = ref.copy()
+    ours_eye = ours | np.eye(total, dtype=bool)
+    np.testing.assert_array_equal(ours_eye, ref_no_eye | np.eye(total,
+                                                                dtype=bool))
+    # and the masks proper agree off the diagonal
+    off = ~np.eye(total, dtype=bool)
+    np.testing.assert_array_equal(ours & off, ref & off)
+
+
+@pytest.mark.parametrize("nfpb,local", [(2, -1), (2, 1)])
+def test_i2v_mask_matches_reference(nfpb, local):
+    F, fs = 5, 16  # 1 + 2*2 frames
+    total = F * fs
+
+    def build(mod):
+        mod.CausalWanModel._prepare_blockwise_causal_attn_mask_i2v(
+            "cpu", num_frames=F, frame_seqlen=fs, num_frame_per_block=nfpb,
+            local_attn_size=local)
+
+    ref = _dense_ref_mask(build, total)
+    ours = np.asarray(block_causal_mask_i2v(F, fs, nfpb, local)
+                      .materialize())
+    off = ~np.eye(total, dtype=bool)
+    np.testing.assert_array_equal(ours & off, ref & off)
+
+
+def test_teacher_forcing_mask_matches_reference():
+    F, fs, nfpb = 4, 16, 2
+    total = 2 * F * fs
+
+    def build(mod):
+        mod.CausalWanModel._prepare_teacher_forcing_mask(
+            "cpu", num_frames=F, frame_seqlen=fs, num_frame_per_block=nfpb)
+
+    ref = _dense_ref_mask(build, total)
+    ours = np.asarray(teacher_forcing_mask(F, fs, nfpb).materialize())
+    off = ~np.eye(total, dtype=bool)
+    np.testing.assert_array_equal(ours & off, ref & off)
