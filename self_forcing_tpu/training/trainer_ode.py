@@ -103,6 +103,23 @@ class ODETrainer:
                     scalars[f"loss_bucket_{lo}"] = float(ul[m].mean())
         return scalars
 
+
+    # full-state resume (reference lacks optimizer/step resume, SURVEY §5.4)
+    def save_state(self, path: str):
+        from self_forcing_tpu.utils.checkpoints import save_pytree
+        save_pytree(path, {"params": self.params, "opt_state": self.opt_state,
+                           "ema": self.ema, "step": self.step})
+
+    def load_state(self, path: str):
+        from self_forcing_tpu.utils.checkpoints import restore_pytree
+        like = {"params": self.params, "opt_state": self.opt_state,
+                "ema": self.ema, "step": self.step}
+        tree = restore_pytree(path, like)
+        self.params = tree["params"]
+        self.opt_state = tree["opt_state"]
+        self.ema = tree["ema"]
+        self.step = int(tree["step"])
+
     def save(self, path: str):
         from self_forcing_tpu.utils.checkpoints import save_pytree
         tree = {"generator": self.params}

@@ -121,3 +121,22 @@ def test_wan_t2v_generate_tiny():
                          context=ctx, neg_context=jnp.zeros_like(ctx))
     assert video.shape == (5, 3, 64, 64)
     assert np.isfinite(np.asarray(video)).all()
+
+
+def test_ode_trainer_resume(tmp_path):
+    import types
+    from self_forcing_tpu.models.wan import dit
+    from self_forcing_tpu.models.wan.configs import WAN_TINY
+    from self_forcing_tpu.training.trainer_ode import ODETrainer
+    args = types.SimpleNamespace(
+        num_train_timestep=1000, timestep_shift=5.0, num_frame_per_block=2,
+        denoising_step_list=[1000, 500], lr=1e-4, seed=0,
+        warp_denoising_step=False, ema_weight=0.0)
+    gen = dit.init_params(jax.random.PRNGKey(0), WAN_TINY, jnp.float32)
+    t = ODETrainer(args, gen, WAN_TINY)
+    t.step = 5
+    p = str(tmp_path / "ode_ckpt")
+    t.save_state(p)
+    t2 = ODETrainer(args, gen, WAN_TINY)
+    t2.load_state(p)
+    assert t2.step == 5
