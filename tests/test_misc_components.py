@@ -140,3 +140,42 @@ def test_ode_trainer_resume(tmp_path):
     t2 = ODETrainer(args, gen, WAN_TINY)
     t2.load_state(p)
     assert t2.step == 5
+
+
+def test_config_merge_semantics(tmp_path):
+    """Experiment config wins over default; nested dicts merge
+    (reference OmegaConf.merge order, train.py:20-22)."""
+    from self_forcing_tpu.config import load_config
+    (tmp_path / "default.yaml").write_text(
+        "a: 1\nb: {x: 1, y: 2}\nonly_default: 7\n")
+    (tmp_path / "exp.yaml").write_text(
+        "a: 5\nb: {x: 9}\nonly_exp: 3\n")
+    c = load_config(str(tmp_path / "exp.yaml"),
+                    str(tmp_path / "default.yaml"))
+    assert c.a == 5              # experiment wins
+    assert c.b.x == 9 and c.b.y == 2  # nested merge
+    assert c.only_default == 7 and c.only_exp == 3
+
+
+def test_quantized_pipeline_inference():
+    """int8 weight-only params run through the full few-step pipeline
+    (demo.py --quantize path)."""
+    import types
+    from self_forcing_tpu.models.wan import dit
+    from self_forcing_tpu.models.wan.configs import WAN_TINY
+    from self_forcing_tpu.ops.quant import quantize_dit_params
+    from self_forcing_tpu.pipelines.causal_inference import (
+        CausalInferencePipeline)
+    args = types.SimpleNamespace(
+        denoising_step_list=[1000, 500], warp_denoising_step=False,
+        num_frame_per_block=2, independent_first_frame=False,
+        context_noise=0, timestep_shift=8.0)
+    params = quantize_dit_params(
+        dit.init_params(jax.random.PRNGKey(0), WAN_TINY, jnp.float32),
+        min_dim=64)
+    pipe = CausalInferencePipeline(args, params, WAN_TINY)
+    noise = jax.random.normal(jax.random.PRNGKey(1), (1, 4, 16, 8, 8))
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (1, 8, WAN_TINY.text_dim))
+    _, lat = pipe.inference(noise, context=ctx, return_latents=True)
+    assert lat.shape == noise.shape
+    assert np.isfinite(np.asarray(lat)).all()
