@@ -21,11 +21,18 @@ acc) lives in VMEM scratch persisting across kv iterations; fp32
 accumulation, bf16 tensor I/O; scores hit the MXU as [TQ, 128] x [128, TK]
 contractions.
 
-Differentiation: both ops carry a ``jax.custom_vjp`` whose backward pass
-re-runs the XLA reference implementation (ops/attention.py) under
-``jax.vjp`` — exact same math, so gradients are correct while the forward
-(inference hot path) uses the kernel.  A fused Pallas backward is a later
-optimization.
+Differentiation:
+
+- :func:`flash_attention_pallas` has a full Pallas backward: the forward
+  emits logsumexp alongside the output, and two backward kernels
+  (:func:`_flash_bwd_dq_kernel`, :func:`_flash_bwd_dkv_kernel`) recompute
+  probabilities from (q, k, lse) tile-by-tile — the standard
+  flash-attention-2 recomputation scheme — with the same static
+  tile-liveness skipping as the forward, so block-sparse masks stay
+  block-sparse in the gradient.
+- :func:`decode_attention_fresh_pallas` (inference-shaped; rarely
+  differentiated) carries a ``jax.custom_vjp`` whose backward re-runs the
+  XLA reference implementation (ops/attention.py) under ``jax.vjp``.
 """
 from __future__ import annotations
 
@@ -385,7 +392,7 @@ def decode_attention_fresh_pallas(q: jax.Array, k_cache: jax.Array,
 # =====================================================================
 
 def _flash_kernel(tile_live_ref, s1_ref, e1_ref, s2_ref, e2_ref,
-                  q_ref, k_ref, v_ref, o_ref,
+                  q_ref, k_ref, v_ref, o_ref, lse_ref,
                   m_scr, l_scr, acc_scr, *, scale: float, tk: int,
                   kv_len: int):
     qi = pl.program_id(1)
@@ -435,6 +442,11 @@ def _flash_kernel(tile_live_ref, s1_ref, e1_ref, s2_ref, e2_ref,
     def _finalize():
         l = l_scr[:, 0:1]
         o_ref[0] = (acc_scr[:] / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+        # logsumexp rows (0 where the row saw nothing -> exp(-inf-0)=0
+        # downstream); lane-broadcast layout for Mosaic-safe stores
+        lse = jnp.where(l > 0, m_scr[:, 0:1] + jnp.log(jnp.maximum(l, 1e-30)),
+                        0.0)
+        lse_ref[0] = jnp.broadcast_to(lse, (lse.shape[0], 128))
 
 
 def _flash_fwd(q, k, v, s1, e1, s2, e2, scale, tq, tk, interpret):
@@ -485,22 +497,26 @@ def _flash_fwd(q, k, v, s1, e1, s2, e2, scale, tq, tk, interpret):
             pl.BlockSpec((1, tk, D), lambda b, qi, ki, tl: (b, ki, 0)),
             pl.BlockSpec((1, tk, D), lambda b, qi, ki, tl: (b, ki, 0)),
         ],
-        out_specs=pl.BlockSpec((1, tq, D),
-                               lambda b, qi, ki, tl: (b, qi, 0)),
+        out_specs=(
+            pl.BlockSpec((1, tq, D), lambda b, qi, ki, tl: (b, qi, 0)),
+            pl.BlockSpec((1, tq, 128), lambda b, qi, ki, tl: (b, qi, 0)),
+        ),
         scratch_shapes=[
             pltpu.VMEM((tq, 128), jnp.float32),
             pltpu.VMEM((tq, 128), jnp.float32),
             pltpu.VMEM((tq, D), jnp.float32),
         ],
     )
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         functools.partial(_flash_kernel, scale=scale, tk=tk, kv_len=Lk),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((BN, qt * tq, D), q.dtype),
+        out_shape=(jax.ShapeDtypeStruct((BN, qt * tq, D), q.dtype),
+                   jax.ShapeDtypeStruct((BN, qt * tq, 128), jnp.float32)),
         interpret=interpret,
     )(jnp.asarray(tile_live), prep(s1n), prep(e1n), prep(s2n), prep(e2n),
       qf, kf, vf)
-    return out[:, :Lq].reshape(B, N, Lq, D).transpose(0, 2, 1, 3)
+    return (out[:, :Lq].reshape(B, N, Lq, D).transpose(0, 2, 1, 3),
+            lse[:, :, 0])  # [BN, qt*tq]
 
 
 def flash_attention_pallas(q: jax.Array, k: jax.Array, v: jax.Array,
@@ -532,23 +548,244 @@ def flash_attention_pallas(q: jax.Array, k: jax.Array, v: jax.Array,
     tq = min(tq, max(128, 1 << (Lq - 1).bit_length()))
     tk = min(tk, max(128, 1 << (Lk - 1).bit_length()))
 
+    # backward tiles (v5e sweep at L=32760 block-causal: 512/2048 -> 66
+    # effective TF/s; XLA's attention backward OOMs at this geometry).
+    btq = min(512, tq)
+    btk = min(2048, tk)
+
     @functools.partial(jax.custom_vjp)
     def op(q_, k_, v_):
         return _flash_fwd(q_, k_, v_, s1, e1, s2, e2, scale, tq, tk,
-                          interpret)
+                          interpret)[0]
 
     def op_fwd(q_, k_, v_):
-        return op(q_, k_, v_), (q_, k_, v_)
+        out, lse = _flash_fwd(q_, k_, v_, s1, e1, s2, e2, scale, tq, tk,
+                              interpret)
+        return out, (q_, k_, v_, out, lse)
 
     def op_bwd(res, g):
-        from self_forcing_tpu.ops import attention as xla_attn
-        q_, k_, v_ = res
-
-        def ref(qq, kk, vv):
-            return xla_attn.flash_attention(qq, kk, vv, mask, scale=scale)
-
-        _, vjp = jax.vjp(ref, q_, k_, v_)
-        return vjp(g)
+        q_, k_, v_, out, lse = res
+        return _flash_bwd(q_, k_, v_, out, lse, g, s1, e1, s2, e2, scale,
+                          btq, btk, interpret)
 
     op.defvjp(op_fwd, op_bwd)
     return op(q, k, v)
+
+
+# =====================================================================
+# flash attention backward kernels (training): dq and dk/dv
+# =====================================================================
+
+def _flash_bwd_dq_kernel(tile_live_ref, s1_ref, e1_ref, s2_ref, e2_ref,
+                         q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref,
+                         dq_ref, dq_scr, *, scale: float, tk: int,
+                         kv_len: int):
+    """Grid (BN, QT, KT), kv innermost; dq accumulated in scratch."""
+    qi = pl.program_id(1)
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    live = tile_live_ref[qi, ki] != 0
+
+    @pl.when(live)
+    def _compute():
+        q = q_ref[0].astype(jnp.float32)
+        k = k_ref[0].astype(jnp.float32)
+        tq = q.shape[0]
+        s = scale * jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)           # [TQ, TK]
+        col = ki * tk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        row0 = pl.multiple_of(qi * tq, tq)
+        s1 = s1_ref[0, pl.ds(row0, tq)][:, None]
+        e1 = e1_ref[0, pl.ds(row0, tq)][:, None]
+        s2 = s2_ref[0, pl.ds(row0, tq)][:, None]
+        e2 = e2_ref[0, pl.ds(row0, tq)][:, None]
+        vis = ((((col >= s1) & (col < e1)) | ((col >= s2) & (col < e2)))
+               & (col < kv_len))
+        s = jnp.where(vis, s, NEG_INF)
+        lse = lse_ref[0, 0, pl.ds(row0, tq)][:, None]
+        p = jnp.exp(s - lse)                              # [TQ, TK]
+        do = do_ref[0].astype(jnp.float32)
+        v = v_ref[0].astype(jnp.float32)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)           # [TQ, TK]
+        delta = dl_ref[0, 0, pl.ds(row0, tq)][:, None]
+        ds = p * (dp - delta)
+        dq_scr[:] += scale * jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    @pl.when(ki == nk - 1)
+    def _finalize():
+        dq_ref[0] = dq_scr[:].astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(tile_live_ref, s1_ref, e1_ref, s2_ref, e2_ref,
+                          q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref,
+                          dk_ref, dv_ref, dk_scr, dv_scr, *, scale: float,
+                          tq: int, tk: int, kv_len: int):
+    """Grid (BN, KT, QT), q innermost; dk/dv accumulated in scratch."""
+    ki = pl.program_id(1)
+    qi = pl.program_id(2)
+    nq = pl.num_programs(2)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    live = tile_live_ref[qi, ki] != 0
+
+    @pl.when(live)
+    def _compute():
+        q = q_ref[0].astype(jnp.float32)
+        k = k_ref[0].astype(jnp.float32)
+        s = scale * jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)           # [TQ, TK]
+        col = ki * tk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        row0 = pl.multiple_of(qi * tq, tq)
+        s1 = s1_ref[0, pl.ds(row0, tq)][:, None]
+        e1 = e1_ref[0, pl.ds(row0, tq)][:, None]
+        s2 = s2_ref[0, pl.ds(row0, tq)][:, None]
+        e2 = e2_ref[0, pl.ds(row0, tq)][:, None]
+        vis = ((((col >= s1) & (col < e1)) | ((col >= s2) & (col < e2)))
+               & (col < kv_len))
+        s = jnp.where(vis, s, NEG_INF)
+        lse = lse_ref[0, 0, pl.ds(row0, tq)][:, None]
+        p = jnp.exp(s - lse)
+        do = do_ref[0].astype(jnp.float32)
+        # dv += p^T do
+        dv_scr[:] += jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)           # [TK, D]
+        v = v_ref[0].astype(jnp.float32)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        delta = dl_ref[0, 0, pl.ds(row0, tq)][:, None]
+        ds = p * (dp - delta)
+        # dk += scale * ds^T q
+        dk_scr[:] += scale * jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    @pl.when(qi == nq - 1)
+    def _finalize():
+        dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def _flash_bwd(q, k, v, out, lse, g, s1, e1, s2, e2, scale, tq, tk,
+               interpret):
+    """Pallas flash backward: returns (dq, dk, dv).
+
+    tq/tk here are the BACKWARD tiles (smaller than forward: three
+    [TQ, TK] f32 temporaries live at once).
+    """
+    B, Lq, N, D = q.shape
+    Lk = k.shape[1]
+    BN = B * N
+    qt = _cdiv(Lq, tq)
+    kt = _cdiv(Lk, tk)
+    Sq = qt * tq
+
+    qf = _pad_to(q.transpose(0, 2, 1, 3).reshape(BN, Lq, D), 1, Sq)
+    kf = _pad_to(k.transpose(0, 2, 1, 3).reshape(BN, Lk, D), 1, kt * tk)
+    vf = _pad_to(v.transpose(0, 2, 1, 3).reshape(BN, Lk, D), 1, kt * tk)
+    gf = _pad_to(g.transpose(0, 2, 1, 3).reshape(BN, Lq, D), 1, Sq)
+    # delta = rowsum(dout * out)
+    delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32),
+                    axis=-1)                               # [B, Lq, N]
+    delta = _pad_to(delta.transpose(0, 2, 1).reshape(BN, Lq), 1, Sq)
+    delta = delta[:, None, :]                             # [BN, 1, Sq]
+    lse = _pad_to(lse[:, :Lq], 1, Sq)[:, None, :]  # fwd->bwd tiles, [BN,1,Sq]
+
+    s1n, e1n = np.asarray(s1), np.asarray(e1)
+    s2n, e2n = np.asarray(s2), np.asarray(e2)
+    tile_live = np.zeros((qt, kt), np.int32)
+    for i in range(qt):
+        rows = slice(i * tq, min(i * tq + tq, Lq))
+        if s1n[rows].size == 0:
+            continue
+        lo1, hi1 = s1n[rows].min(), e1n[rows].max()
+        lo2, hi2 = s2n[rows].min(), e2n[rows].max()
+        for j in range(kt):
+            a, b = j * tk, (j + 1) * tk
+            tile_live[i, j] = int((a < hi1 and b > lo1)
+                                  or (a < hi2 and b > lo2))
+
+    def prep(x):
+        xp = np.zeros(Sq, np.int32)
+        xp[:Lq] = x
+        return jnp.asarray(xp.reshape(1, Sq))
+
+    iv = [prep(a) for a in (s1n, e1n, s2n, e2n)]
+    iv_spec = pl.BlockSpec((1, Sq), lambda *a: (0, 0))
+    row_spec = pl.BlockSpec((1, Sq), lambda *a: (0, 0))
+
+    def bn_row_spec():
+        return pl.BlockSpec((1, 1, Sq), lambda b, i, j, tl: (b, 0, 0))
+
+    # ---- dq: grid (BN, qt, kt)
+    dq = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel, scale=scale, tk=tk,
+                          kv_len=Lk),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(BN, qt, kt),
+            in_specs=[
+                iv_spec, iv_spec, iv_spec, iv_spec,
+                pl.BlockSpec((1, tq, D), lambda b, qi, ki, tl: (b, qi, 0)),
+                pl.BlockSpec((1, tk, D), lambda b, qi, ki, tl: (b, ki, 0)),
+                pl.BlockSpec((1, tk, D), lambda b, qi, ki, tl: (b, ki, 0)),
+                pl.BlockSpec((1, tq, D), lambda b, qi, ki, tl: (b, qi, 0)),
+                bn_row_spec(),
+                bn_row_spec(),
+            ],
+            out_specs=pl.BlockSpec((1, tq, D),
+                                   lambda b, qi, ki, tl: (b, qi, 0)),
+            scratch_shapes=[pltpu.VMEM((tq, D), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((BN, Sq, D), q.dtype),
+        interpret=interpret,
+    )(jnp.asarray(tile_live), *iv, qf, kf, vf, gf, lse, delta)
+
+    # ---- dk/dv: grid (BN, kt, qt)
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel, scale=scale, tq=tq, tk=tk,
+                          kv_len=Lk),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(BN, kt, qt),
+            in_specs=[
+                iv_spec, iv_spec, iv_spec, iv_spec,
+                pl.BlockSpec((1, tq, D), lambda b, ki, qi, tl: (b, qi, 0)),
+                pl.BlockSpec((1, tk, D), lambda b, ki, qi, tl: (b, ki, 0)),
+                pl.BlockSpec((1, tk, D), lambda b, ki, qi, tl: (b, ki, 0)),
+                pl.BlockSpec((1, tq, D), lambda b, ki, qi, tl: (b, qi, 0)),
+                bn_row_spec(),
+                bn_row_spec(),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, tk, D), lambda b, ki, qi, tl: (b, ki, 0)),
+                pl.BlockSpec((1, tk, D), lambda b, ki, qi, tl: (b, ki, 0)),
+            ),
+            scratch_shapes=[pltpu.VMEM((tk, D), jnp.float32),
+                            pltpu.VMEM((tk, D), jnp.float32)],
+        ),
+        out_shape=(jax.ShapeDtypeStruct((BN, kt * tk, D), k.dtype),
+                   jax.ShapeDtypeStruct((BN, kt * tk, D), v.dtype)),
+        interpret=interpret,
+    )(jnp.asarray(tile_live), *iv, qf, kf, vf, gf, lse, delta)
+
+    dq = dq[:, :Lq].reshape(B, N, Lq, D).transpose(0, 2, 1, 3)
+    dk = dk[:, :Lk].reshape(B, N, Lk, D).transpose(0, 2, 1, 3)
+    dv = dv[:, :Lk].reshape(B, N, Lk, D).transpose(0, 2, 1, 3)
+    return dq, dk, dv
