@@ -100,6 +100,28 @@ def test_flash_grad_matches_xla():
                                    rtol=2e-4, atol=2e-4)
 
 
+def test_flash_grad_odd_length_padding():
+    """Backward at a length no tile divides: exercises the q/k padding and
+    the fwd->bwd lse re-tiling (fwd and bwd tile grids differ), plus the
+    two-interval teacher-forcing mask in the gradient."""
+    F, fs = 5, 40                                 # L = 200
+    mask = teacher_forcing_mask(F, fs, num_frame_per_block=1)
+    q, k, v = _qkv(jax.random.PRNGKey(11), F * fs, F * fs)
+
+    def loss_p(q, k, v):
+        return jnp.sum(flash_attention_pallas(q, k, v, mask, tq=128,
+                                              tk=128, interpret=True) ** 2)
+
+    def loss_x(q, k, v):
+        return jnp.sum(flash_attention_xla(q, k, v, mask) ** 2)
+
+    gp = jax.grad(loss_p, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_x, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
+
+
 def test_decode_fresh_matches_xla():
     from self_forcing_tpu.ops.attention import decode_attention_fresh_xla
     from self_forcing_tpu.ops.pallas_attention import (
