@@ -59,3 +59,41 @@ LATENT_HEIGHT = 60
 LATENT_WIDTH = 104
 FRAME_SEQLEN = (LATENT_HEIGHT // 2) * (LATENT_WIDTH // 2)  # 1560
 SEQ_LEN = LATENT_FRAMES * FRAME_SEQLEN                     # 32760
+
+# ---------------------------------------------------------------------
+# Named registries mirroring the reference's wan/configs/__init__.py:15-41
+# (WAN_CONFIGS / SIZE_CONFIGS / MAX_AREA_CONFIGS / SUPPORTED_SIZES) so
+# callers of the upstream generation API (wan_generate.py) can select
+# models/sizes by the same keys.
+# ---------------------------------------------------------------------
+
+WAN_I2V_14B = dataclasses.replace(WAN_14B, model_type="i2v", in_dim=36)
+
+WAN_CONFIGS = {
+    "t2v-14B": WAN_14B,
+    "t2v-1.3B": WAN_1_3B,
+    "i2v-14B": WAN_I2V_14B,
+    "t2i-14B": WAN_14B,
+}
+
+SIZE_CONFIGS = {
+    "720*1280": (720, 1280),
+    "1280*720": (1280, 720),
+    "480*832": (480, 832),
+    "832*480": (832, 480),
+    "1024*1024": (1024, 1024),
+}
+
+MAX_AREA_CONFIGS = {
+    "720*1280": 720 * 1280,
+    "1280*720": 1280 * 720,
+    "480*832": 480 * 832,
+    "832*480": 832 * 480,
+}
+
+SUPPORTED_SIZES = {
+    "t2v-14B": ("720*1280", "1280*720", "480*832", "832*480"),
+    "t2v-1.3B": ("480*832", "832*480"),
+    "i2v-14B": ("720*1280", "1280*720", "480*832", "832*480"),
+    "t2i-14B": tuple(SIZE_CONFIGS.keys()),
+}
