@@ -106,7 +106,7 @@ def main():
             blk, cache = denoise_block(
                 params, cfg, pipe.scheduler, pipe.rope, ctx_kv, cache,
                 noise[:, b * nb:(b + 1) * nb], k, pipe.denoising_step_list,
-                start)
+                start, static_kv_hi=b * nb * fs)
             # decode dispatch BEFORE the cache refresh: TTFC excludes the
             # refresh forward (it only feeds the next block)
             lat = blk.transpose(0, 1, 3, 4, 2)[..., :zc].astype(vae_dtype)
@@ -123,7 +123,8 @@ def main():
             if b < num_blocks - 1:
                 rng, k2 = jax.random.split(rng)
                 cache = refresh_block(params, cfg, pipe.rope, ctx_kv, cache,
-                                      blk, k2, pipe.context_noise, start)
+                                      blk, k2, pipe.context_noise, start,
+                                      static_kv_hi=b * nb * fs)
             start = start + nb
         jax.block_until_ready(last_px)
         total = time.perf_counter() - t0

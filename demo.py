@@ -25,7 +25,12 @@ def main():
     parser.add_argument("--port", type=int, default=5001)
     parser.add_argument("--host", type=str, default="0.0.0.0")
     parser.add_argument("--quantize", action="store_true",
-                        help="int8 weight-only linears (demo.py:277-283)")
+                        help="int8 quantized linears (the reference FP8 "
+                             "toggle, demo.py:277-283)")
+    parser.add_argument("--quantize_mode", type=str, default="w8a8",
+                        choices=["w8a8", "w8"],
+                        help="w8a8 = dynamic-activation int8 on the MXU "
+                             "int8 path (2.17x); w8 = weight-only")
     parser.add_argument("--taehv", action="store_true",
                         help="TAEHV fast decoder (demo.py:269-275)")
     parser.add_argument("--taehv_checkpoint", type=str,
@@ -74,8 +79,8 @@ def main():
 
     if args.quantize:
         from self_forcing_tpu.ops.quant import quantize_dit_params
-        params = quantize_dit_params(params)
-        print("[demo] int8 weight-only linears enabled")
+        params = quantize_dit_params(params, mode=args.quantize_mode)
+        print(f"[demo] int8 linears enabled ({args.quantize_mode})")
 
     pipeline = CausalInferencePipeline(config, params, cfg)
 

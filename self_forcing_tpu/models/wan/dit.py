@@ -48,16 +48,12 @@ Params = dict  # nested dict pytree of jnp arrays
 
 def linear(p: Params, x: jax.Array) -> jax.Array:
     """x @ w + b, with optional fused LoRA delta (utils/lora.py:12-50) and
-    optional weight-only int8 quantization (ops/quant.py — the demo FP8
-    toggle, demo.py:277-283)."""
-    if "w_q" in p:
-        out = jax.lax.dot_general(
-            x, p["w_q"], (((x.ndim - 1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        out = (out * p["w_scale"]).astype(x.dtype)
-        if "b" in p:
-            out = out + p["b"].astype(x.dtype)
-        return out
+    optional int8 quantization (ops/quant.py — the demo FP8 toggle,
+    demo.py:277-283): 'w_q' = weight-only, 'w_qa' = dynamic-activation
+    W8A8 on the MXU's native int8 path (2.17x bf16 measured on v5e)."""
+    if "w_q" in p or "w_qa" in p:
+        from self_forcing_tpu.ops.quant import quantized_linear
+        return quantized_linear(p, x)
     out = x @ p["w"]
     if "b" in p:
         out = out + p["b"]
@@ -367,10 +363,16 @@ def head_forward(params: Params, cfg: WanConfig, x: jax.Array,
 class KVCache:
     """Static-shape per-layer KV cache (causal_inference.py:278-298).
 
-    k/v: [L, B, S, N, Dh].  ``global_end`` is the absolute token index of
-    the newest cached token; ``local_end`` its position inside the (possibly
-    rolled) cache — identical bookkeeping to causal_model.py:202-236 but as
-    traced scalars shared by all layers.
+    k/v: [L, B*N, S, Dh] — stored PRE-FOLDED in the Pallas decode kernels'
+    native (batch*heads, tokens, head_dim) layout so the per-layer hot
+    path does zero transposes/pads (a [B, S, N, Dh] layout costs ~2.5
+    ms/layer/forward in XLA relayout fusions at 1.3B geometry).  In the
+    global-window case S is rounded up to the kernel tile (2048) so the
+    runtime pad is a no-op; the pad region is never visible (attention is
+    masked to [lo, hi), hi <= logical S).  ``global_end`` is the absolute
+    token index of the newest cached token; ``local_end`` its position
+    inside the (possibly rolled) cache — identical bookkeeping to
+    causal_model.py:202-236 but as traced scalars shared by all layers.
     """
 
     k: jax.Array
@@ -394,7 +396,9 @@ def init_kv_cache(cfg: WanConfig, batch_size: int, frame_seqlen: int,
         S = cfg.local_attn_size * frame_seqlen
     else:
         S = num_frames * frame_seqlen
-    shape = (cfg.num_layers, batch_size, S, cfg.num_heads, cfg.head_dim)
+        if S > 2048:   # align to the decode kernel tile: runtime pad no-op
+            S = -(-S // 2048) * 2048
+    shape = (cfg.num_layers, batch_size * cfg.num_heads, S, cfg.head_dim)
     return KVCache(
         k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
         global_end=jnp.zeros((), jnp.int32),
@@ -461,7 +465,8 @@ def _block_decode_fresh(bp: Params, cfg: WanConfig, x: jax.Array,
                         rope_sin: jax.Array, k_layer: jax.Array,
                         v_layer: jax.Array, attn_lo: jax.Array,
                         cache_hi: jax.Array, ctx_kv_layer: dict,
-                        frame_seqlen: int):
+                        frame_seqlen: int,
+                        static_kv_hi: int | None = None):
     """One block with READ-ONLY cache attention: the current chunk's K/V
     are returned for a single out-of-scan cache write instead of being
     written per-layer (the cache-bandwidth fast path; semantics identical
@@ -482,7 +487,7 @@ def _block_decode_fresh(bp: Params, cfg: WanConfig, x: jax.Array,
     k = _rope_pairs(k, rope_cos, rope_sin)
 
     attn = decode_attention_fresh(q, k_layer, v_layer, k, v, attn_lo,
-                                  cache_hi)
+                                  cache_hi, static_hi=static_kv_hi)
     B, L = attn.shape[:2]
     y = linear(bp["self_attn"]["o"], attn.reshape(B, L, cfg.dim))
     x = x + _gate(y, e_gate, frame_seqlen)
@@ -496,7 +501,10 @@ def _block_decode_fresh(bp: Params, cfg: WanConfig, x: jax.Array,
     xn = _modulate(layer_norm(x, cfg.eps), f_shift, f_scale, frame_seqlen)
     y = linear(bp["ffn"]["fc2"], gelu_tanh(linear(bp["ffn"]["fc1"], xn)))
     x = x + _gate(y, f_gate, frame_seqlen)
-    return x, k, v
+    # emit fresh K/V in the cache's folded [B*N, Lq, D] layout
+    kf = k.transpose(0, 2, 1, 3).reshape(B * cfg.num_heads, L, cfg.head_dim)
+    vf = v.transpose(0, 2, 1, 3).reshape(B * cfg.num_heads, L, cfg.head_dim)
+    return x, kf, vf
 
 
 def _block_decode(bp: Params, cfg: WanConfig, x: jax.Array, e0: jax.Array,
@@ -518,11 +526,15 @@ def _block_decode(bp: Params, cfg: WanConfig, x: jax.Array, e0: jax.Array,
     q = _rope_pairs(q, rope_cos, rope_sin)
     k = _rope_pairs(k, rope_cos, rope_sin)
 
-    # write new K/V into the cache at [write_at, write_at + Lq)
+    # write new K/V into the folded [B*N, S, D] cache at
+    # [write_at, write_at + Lq)
+    B_, Lq_ = k.shape[:2]
+    kf = k.transpose(0, 2, 1, 3).reshape(-1, Lq_, cfg.head_dim)
+    vf = v.transpose(0, 2, 1, 3).reshape(-1, Lq_, cfg.head_dim)
     k_layer = jax.lax.dynamic_update_slice(
-        k_layer, k.astype(k_layer.dtype), (0, write_at, 0, 0))
+        k_layer, kf.astype(k_layer.dtype), (0, write_at, 0))
     v_layer = jax.lax.dynamic_update_slice(
-        v_layer, v.astype(v_layer.dtype), (0, write_at, 0, 0))
+        v_layer, vf.astype(v_layer.dtype), (0, write_at, 0))
 
     attn = decode_attention(q, k_layer, v_layer, attn_lo, attn_hi)
     B, L = attn.shape[:2]
@@ -802,7 +814,8 @@ def forward_inference(params: Params, cfg: WanConfig, x: jax.Array,
                       start_frame: jax.Array, rope: RopeTables,
                       y: jax.Array | None = None,
                       add_condition: jax.Array | None = None,
-                      cache_start_frame: jax.Array | None = None
+                      cache_start_frame: jax.Array | None = None,
+                      static_kv_hi: int | None = None
                       ) -> tuple[jax.Array, KVCache]:
     """KV-cached streaming forward (CausalWanModel._forward_inference,
     causal_model.py:725-893).
@@ -871,7 +884,7 @@ def forward_inference(params: Params, cfg: WanConfig, x: jax.Array,
                 layer_ctx = {"k_txt": kt, "v_txt": vt}
             tok, k_new, v_new = _block_decode_fresh(
                 bp, cfg, tok, e0, cos, sin, k_l, v_l, attn_lo, write_at,
-                layer_ctx, frame_seqlen)
+                layer_ctx, frame_seqlen, static_kv_hi)
             return tok, (k_new, v_new)
 
         if has_img:
@@ -881,10 +894,11 @@ def forward_inference(params: Params, cfg: WanConfig, x: jax.Array,
             xs = (params["blocks"], cache.k, cache.v, ctx_kv["k_txt"],
                   ctx_kv["v_txt"])
         tokens, (ks_new, vs_new) = jax.lax.scan(scan_body, tokens, xs)
+        # ks_new/vs_new: [L, B*N, Lq, D] — already in the cache layout
         new_k = jax.lax.dynamic_update_slice(
-            cache.k, ks_new.astype(cache.k.dtype), (0, 0, write_at, 0, 0))
+            cache.k, ks_new.astype(cache.k.dtype), (0, 0, write_at, 0))
         new_v = jax.lax.dynamic_update_slice(
-            cache.v, vs_new.astype(cache.v.dtype), (0, 0, write_at, 0, 0))
+            cache.v, vs_new.astype(cache.v.dtype), (0, 0, write_at, 0))
     else:
         # ---- windowed path with rolling eviction + sinks
         # (causal_model.py:203-229)

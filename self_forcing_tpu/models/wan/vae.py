@@ -166,53 +166,21 @@ def attention_block(p: Params, x: jax.Array) -> jax.Array:
     return idn + o.reshape(B, T, H, W, C)
 
 
-def _subpixel_up_weights(w3: jax.Array) -> jax.Array:
-    """Exact rewrite of (nearest 2x upsample ∘ 3x3 SAME conv) as a single
-    2x2 VALID conv over the 1-padded low-res input with 4 output phases.
-
-    For output row 2i+di, the 3x3 taps hit upsampled rows (2i+di+a-1)//2:
-    di=0 -> {i-1: w[0], i: w[1]+w[2]}, di=1 -> {i: w[0]+w[1], i+1: w[2]}
-    (same along columns).  Each phase is therefore a 2x2 kernel of tap
-    sums; 16 low-res taps replace 9 high-res taps (2.25x fewer FLOPs) and
-    the 4x nearest-upsample materialization disappears.
-
-    w3: [3, 3, C, Co] (HWIO) -> [2, 2, C, 4*Co], phases (di, dj) di-major.
-    """
-    w = w3.astype(jnp.float32)
-    rows = {0: (w[0], w[1] + w[2]), 1: (w[0] + w[1], w[2])}
-    phases = []
-    for di in (0, 1):
-        r0, r1 = rows[di]                     # [3, C, Co] each (cols unsummed)
-        for dj in (0, 1):
-            if dj == 0:
-                k = jnp.stack([jnp.stack([r0[0], r0[1] + r0[2]]),
-                               jnp.stack([r1[0], r1[1] + r1[2]])])
-            else:
-                k = jnp.stack([jnp.stack([r0[0] + r0[1], r0[2]]),
-                               jnp.stack([r1[0] + r1[1], r1[2]])])
-            phases.append(k)                  # [2, 2, C, Co]
-    return jnp.stack(phases, axis=3).reshape(
-        2, 2, w.shape[2], 4 * w.shape[3])
-
-
 def _spatial_resample_up(p: Params, x: jax.Array) -> jax.Array:
-    """nearest 2x upsample + 3x3 conv to C/2 (vae.py:76-83), computed at
-    LOW resolution via the subpixel identity (see _subpixel_up_weights)."""
+    """nearest 2x upsample + 3x3 conv to C/2 (vae.py:76-83).
+
+    NOTE a subpixel rewrite (fold the upsample into a 2x2 conv with 4
+    output phases, 2.25x fewer FLOPs) was tried and measured 21% SLOWER
+    end-to-end on v5e (6.2 vs 5.2 s for the 81-frame streaming decode):
+    the phase-reassembly relayout on the full-res output costs more than
+    the saved conv FLOPs.  Keep the straightforward form — XLA's native
+    conv path wins here (see PERF.md).
+    """
     B, T, H, W, C = x.shape
-    w2 = _subpixel_up_weights(p["conv"]["w"]).astype(x.dtype)
-    Co = p["conv"]["w"].shape[-1]
-    x2 = x.reshape(B * T, H, W, C)
-    y = jax.lax.conv_general_dilated(
-        x2, w2, window_strides=(1, 1), padding=((1, 1), (1, 1)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))   # [BT, H+1, W+1, 4Co]
-    y = y.reshape(B * T, H + 1, W + 1, 4, Co)
-    # out[2i+di, 2j+dj] = phase(di,dj)[i, j] = y[i+di, j+dj, 2*di+dj]
-    ph = jnp.stack([y[:, 0:H, 0:W, 0], y[:, 0:H, 1:W + 1, 1],
-                    y[:, 1:H + 1, 0:W, 2], y[:, 1:H + 1, 1:W + 1, 3]],
-                   axis=3)                            # [BT, H, W, 4, Co]
-    out = ph.reshape(B * T, H, W, 2, 2, Co).transpose(0, 1, 3, 2, 4, 5)
-    out = out.reshape(B, T, 2 * H, 2 * W, Co)
-    return out + p["conv"]["b"].astype(x.dtype)
+    x = jnp.repeat(jnp.repeat(x, 2, axis=2), 2, axis=3)
+    x2 = x.reshape(B * T, 2 * H, 2 * W, C)
+    y = _conv2d(p["conv"], x2)
+    return y.reshape(B, T, 2 * H, 2 * W, -1)
 
 
 def _spatial_resample_down(p: Params, x: jax.Array) -> jax.Array:

@@ -133,17 +133,34 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                                kv_chunk=kv_chunk)
 
 
+def unfold_kv(a: jax.Array, num_heads: int) -> jax.Array:
+    """Pre-folded cache [B*N, S, D] -> [B, S, N, D] (XLA reference paths).
+
+    The production KV cache is stored pre-folded in the Pallas kernels'
+    native layout so the hot path does zero transposes; the XLA fallback
+    unfolds here instead."""
+    if a.ndim == 3:
+        BN, S, D = a.shape
+        return a.reshape(BN // num_heads, num_heads, S, D).transpose(
+            0, 2, 1, 3)
+    return a
+
+
 def decode_attention(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
                      kv_start: jax.Array, kv_end: jax.Array,
                      scale: float | None = None,
                      kv_chunk: int = 1560) -> jax.Array:
-    """KV-cache window attention; Pallas kernel on TPU, XLA elsewhere."""
+    """KV-cache window attention; Pallas kernel on TPU, XLA elsewhere.
+
+    k_cache/v_cache: [B, S, N, D], or pre-folded [B*N, S, D]."""
     if _use_pallas():
         from self_forcing_tpu.ops.pallas_attention import (
             decode_attention_pallas)
         return decode_attention_pallas(q, k_cache, v_cache, kv_start,
                                        kv_end, scale=scale)
-    return decode_attention_xla(q, k_cache, v_cache, kv_start, kv_end,
+    N = q.shape[2]
+    return decode_attention_xla(q, unfold_kv(k_cache, N),
+                                unfold_kv(v_cache, N), kv_start, kv_end,
                                 scale=scale, kv_chunk=kv_chunk)
 
 
@@ -183,7 +200,8 @@ def decode_attention_fresh(q: jax.Array, k_cache: jax.Array,
                            v_cache: jax.Array, k_new: jax.Array,
                            v_new: jax.Array, kv_start: jax.Array,
                            kv_end: jax.Array,
-                           scale: float | None = None) -> jax.Array:
+                           scale: float | None = None,
+                           static_hi: int | None = None) -> jax.Array:
     """KV-cache attention where the *current block's* K/V have not been
     written into the cache yet: queries see cache[kv_start:kv_end) plus all
     of k_new/v_new.
@@ -198,9 +216,13 @@ def decode_attention_fresh(q: jax.Array, k_cache: jax.Array,
             decode_attention_fresh_pallas)
         return decode_attention_fresh_pallas(q, k_cache, v_cache, k_new,
                                              v_new, kv_start, kv_end,
-                                             scale=scale)
-    return decode_attention_fresh_xla(q, k_cache, v_cache, k_new, v_new,
-                                      kv_start, kv_end, scale=scale)
+                                             scale=scale,
+                                             static_hi=static_hi)
+    N = q.shape[2]
+    return decode_attention_fresh_xla(
+        q, unfold_kv(k_cache, N), unfold_kv(v_cache, N),
+        unfold_kv(k_new, N), unfold_kv(v_new, N),
+        kv_start, kv_end, scale=scale)
 
 
 @partial(jax.jit, static_argnames=("kv_chunk", "scale"))

@@ -118,29 +118,47 @@ def _decode_kernel(lo_ref, hi_ref, q_ref, k_ref, v_ref, o_ref,
         o_ref[0] = (acc_scr[:] / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
+def _fold_kv(a: jax.Array) -> jax.Array:
+    """[B, S, N, D] -> [BN, S, D]; pre-folded [BN, S, D] passes through
+    (the production cache is stored in this kernel-native layout so the
+    hot path does zero transposes)."""
+    if a.ndim == 4:
+        B, S, N, D = a.shape
+        return a.transpose(0, 2, 1, 3).reshape(B * N, S, D)
+    return a
+
+
 def _decode_fwd(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
                 kv_start: jax.Array, kv_end: jax.Array, scale: float,
                 tq: int, tk: int, interpret: bool) -> jax.Array:
     B, Lq, N, D = q.shape
-    S = k_cache.shape[1]
+    S = k_cache.shape[1]   # token axis in both layouts
     BN = B * N
     qt = _cdiv(Lq, tq)
     kt = _cdiv(S, tk)
 
     qf = _pad_to(q.transpose(0, 2, 1, 3).reshape(BN, Lq, D), 1, qt * tq)
-    kf = _pad_to(k_cache.transpose(0, 2, 1, 3).reshape(BN, S, D), 1, kt * tk)
-    vf = _pad_to(v_cache.transpose(0, 2, 1, 3).reshape(BN, S, D), 1, kt * tk)
+    kf = _pad_to(_fold_kv(k_cache), 1, kt * tk)
+    vf = _pad_to(_fold_kv(v_cache), 1, kt * tk)
 
     lo = jnp.asarray(kv_start, jnp.int32).reshape(1)
     hi = jnp.asarray(kv_end, jnp.int32).reshape(1)
+
+    def kv_idx(b, qi, ki, lo, hi):
+        # Clamp dead tiles (outside [lo, hi)) onto the live range so
+        # consecutive dead grid steps re-reference the already-resident
+        # block and Mosaic elides their DMAs entirely.
+        first = lo[0] // tk
+        last = jnp.maximum((hi[0] - 1) // tk, first)
+        return (b, jnp.clip(ki, first, last), 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(BN, qt, kt),
         in_specs=[
             pl.BlockSpec((1, tq, D), lambda b, qi, ki, lo, hi: (b, qi, 0)),
-            pl.BlockSpec((1, tk, D), lambda b, qi, ki, lo, hi: (b, ki, 0)),
-            pl.BlockSpec((1, tk, D), lambda b, qi, ki, lo, hi: (b, ki, 0)),
+            pl.BlockSpec((1, tk, D), kv_idx),
+            pl.BlockSpec((1, tk, D), kv_idx),
         ],
         out_specs=pl.BlockSpec((1, tq, D),
                                lambda b, qi, ki, lo, hi: (b, qi, 0)),
@@ -281,30 +299,41 @@ def _decode_fresh_kernel(lo_ref, hi_ref, q_ref, k_ref, v_ref, kn_ref,
 
 
 def _decode_fresh_fwd(q, k_cache, v_cache, k_new, v_new, kv_start, kv_end,
-                      scale, tq, tk, interpret):
+                      scale, tq, tk, interpret, static_hi=None):
     B, Lq, N, D = q.shape
-    S = k_cache.shape[1]
+    S = k_cache.shape[1]   # token axis in both layouts
     Lf = k_new.shape[1]
     BN = B * N
     qt = _cdiv(Lq, tq)
-    ktc = _cdiv(S, tk)
+    kt_full = _cdiv(S, tk)
+    ktc = kt_full
+    if static_hi is not None:
+        # static upper bound on the live window: size the grid to exactly
+        # the live cache tiles (callers know the block index statically),
+        # so dead tiles never enter the grid at all.  The operand stays
+        # the full cache buffer — only the index space shrinks.
+        ktc = min(ktc, _cdiv(max(int(static_hi), 1), tk)) \
+            if static_hi > 0 else 0
     ktf = _cdiv(Lf, tk)
 
-    def fold(a, L, tiles):
-        return _pad_to(a.transpose(0, 2, 1, 3).reshape(BN, L, D), 1,
-                       tiles * tk)
-
     qf = _pad_to(q.transpose(0, 2, 1, 3).reshape(BN, Lq, D), 1, qt * tq)
-    kf = fold(k_cache, S, ktc)
-    vf = fold(v_cache, S, ktc)
-    knf = fold(k_new.astype(k_cache.dtype), Lf, ktf)
-    vnf = fold(v_new.astype(v_cache.dtype), Lf, ktf)
+    # operands stay full-size; static_hi only shrinks the index space
+    kf = _pad_to(_fold_kv(k_cache), 1, kt_full * tk)
+    vf = _pad_to(_fold_kv(v_cache), 1, kt_full * tk)
+    knf = _pad_to(_fold_kv(k_new).astype(k_cache.dtype), 1, ktf * tk)
+    vnf = _pad_to(_fold_kv(v_new).astype(v_cache.dtype), 1, ktf * tk)
 
     lo = jnp.asarray(kv_start, jnp.int32).reshape(1)
     hi = jnp.asarray(kv_end, jnp.int32).reshape(1)
 
     def cache_idx(b, ki, qi, lo, hi):
-        return (b, jnp.minimum(ki, ktc - 1), 0)
+        # Clamp dead cache tiles into [lo, hi)'s tile range: dead grid
+        # steps then re-reference the resident block and their DMAs are
+        # elided (big win on early blocks where most of the window is
+        # empty).
+        first = lo[0] // tk
+        last = jnp.maximum((hi[0] - 1) // tk, first)
+        return (b, jnp.clip(jnp.minimum(ki, ktc - 1), first, last), 0)
 
     def fresh_idx(b, ki, qi, lo, hi):
         return (b, jnp.clip(ki - ktc, 0, ktf - 1), 0)
@@ -337,21 +366,36 @@ def _decode_fresh_fwd(q, k_cache, v_cache, k_new, v_new, kv_start, kv_end,
     return out[:, :Lq].reshape(B, N, Lq, D).transpose(0, 2, 1, 3)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
-def _decode_fresh_op(q, k_cache, v_cache, k_new, v_new, kv_start, kv_end,
-                     scale, tq, tk, interpret):
+def _decode_fresh_dispatch(q, k_cache, v_cache, k_new, v_new, kv_start,
+                           kv_end, scale, tq, tk, interpret, static_hi):
+    import os
+    # Opt-in experiment (measured SLOWER at full window than the static-
+    # grid kernel — Mosaic's managed pipelining wins; see PERF.md):
+    if os.environ.get("SF_TPU_DYN_DECODE", "0") == "1":
+        return _decode_fresh_dyn_fwd(q, k_cache, v_cache, k_new, v_new,
+                                     kv_start, kv_end, scale, tq, tk,
+                                     interpret)
     return _decode_fresh_fwd(q, k_cache, v_cache, k_new, v_new, kv_start,
-                             kv_end, scale, tq, tk, interpret)
+                             kv_end, scale, tq, tk, interpret, static_hi)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
+def _decode_fresh_op(q, k_cache, v_cache, k_new, v_new, kv_start, kv_end,
+                     scale, tq, tk, interpret, static_hi):
+    return _decode_fresh_dispatch(q, k_cache, v_cache, k_new, v_new,
+                                  kv_start, kv_end, scale, tq, tk,
+                                  interpret, static_hi)
 
 
 def _decode_fresh_op_fwd(q, k_cache, v_cache, k_new, v_new, kv_start,
-                         kv_end, scale, tq, tk, interpret):
-    out = _decode_fresh_fwd(q, k_cache, v_cache, k_new, v_new, kv_start,
-                            kv_end, scale, tq, tk, interpret)
+                         kv_end, scale, tq, tk, interpret, static_hi):
+    out = _decode_fresh_dispatch(q, k_cache, v_cache, k_new, v_new,
+                                 kv_start, kv_end, scale, tq, tk, interpret,
+                                 static_hi)
     return out, (q, k_cache, v_cache, k_new, v_new, kv_start, kv_end)
 
 
-def _decode_fresh_op_bwd(scale, tq, tk, interpret, res, g):
+def _decode_fresh_op_bwd(scale, tq, tk, interpret, static_hi, res, g):
     from self_forcing_tpu.ops import attention as xla_attn
     q, k_cache, v_cache, k_new, v_new, kv_start, kv_end = res
 
@@ -367,16 +411,185 @@ def _decode_fresh_op_bwd(scale, tq, tk, interpret, res, g):
 _decode_fresh_op.defvjp(_decode_fresh_op_fwd, _decode_fresh_op_bwd)
 
 
+# ---------------------------------------------------------------------
+# dynamic-bound variant: grid (BN,), KV walked by an in-kernel fori_loop
+# over EXACTLY the live tiles (manual double-buffered DMA).  The static-
+# grid kernel above pays ~1 us per (dead) grid step — 1.7 ms/layer at the
+# 1.3B geometry when the window is nearly empty (early blocks); here dead
+# tiles simply do not exist.
+# ---------------------------------------------------------------------
+
+def _decode_fresh_dyn_kernel(lo_ref, hi_ref, q_hbm, kc_hbm, vc_hbm,
+                             kn_hbm, vn_hbm, o_hbm,
+                             qv, kbuf, vbuf, m_scr, l_scr, acc_scr,
+                             sem_q, sem_k, sem_v, sem_o, *,
+                             scale: float, tq: int, tk: int, qt: int,
+                             nf: int, fresh_len: int):
+    b = pl.program_id(0)
+    lo = lo_ref[0]
+    hi = hi_ref[0]
+
+    first = lo // tk
+    last = jax.lax.div(hi + tk - 1, tk)          # one past the last live
+    nc = jnp.maximum(last - first, 0)            # live cache tiles
+    total = nc + nf
+
+    pltpu.make_async_copy(q_hbm.at[b], qv, sem_q).start()
+
+    def start_fetch(i, slot):
+        is_cache = i < nc
+        tok = jnp.clip(first + i, 0, jnp.maximum(last - 1, 0)) * tk
+        j = jnp.clip(i - nc, 0, nf - 1) * tk
+
+        @pl.when(is_cache)
+        def _():
+            pltpu.make_async_copy(kc_hbm.at[b, pl.ds(tok, tk)],
+                                  kbuf.at[slot], sem_k.at[slot]).start()
+            pltpu.make_async_copy(vc_hbm.at[b, pl.ds(tok, tk)],
+                                  vbuf.at[slot], sem_v.at[slot]).start()
+
+        @pl.when(~is_cache)
+        def _():
+            pltpu.make_async_copy(kn_hbm.at[b, pl.ds(j, tk)],
+                                  kbuf.at[slot], sem_k.at[slot]).start()
+            pltpu.make_async_copy(vn_hbm.at[b, pl.ds(j, tk)],
+                                  vbuf.at[slot], sem_v.at[slot]).start()
+
+    def wait_fetch(slot):
+        # waits only consume the semaphore; both sources copy [tk, D]
+        pltpu.make_async_copy(kc_hbm.at[b, pl.ds(0, tk)],
+                              kbuf.at[slot], sem_k.at[slot]).wait()
+        pltpu.make_async_copy(vc_hbm.at[b, pl.ds(0, tk)],
+                              vbuf.at[slot], sem_v.at[slot]).wait()
+
+    start_fetch(jnp.int32(0), 0)
+
+    m_scr[...] = jnp.full_like(m_scr, NEG_INF)
+    l_scr[...] = jnp.zeros_like(l_scr)
+    acc_scr[...] = jnp.zeros_like(acc_scr)
+    pltpu.make_async_copy(q_hbm.at[b], qv, sem_q).wait()
+
+    def kv_step(i, _):
+        slot = jax.lax.rem(i, 2)
+
+        @pl.when(i + 1 < total)
+        def _():
+            start_fetch(i + 1, jax.lax.rem(i + 1, 2))
+
+        wait_fetch(slot)
+        is_cache = i < nc
+        base_c = (first + i) * tk
+        base_f = (i - nc) * tk
+        colid = jax.lax.broadcasted_iota(jnp.int32, (1, tk), 1)
+        # no bool-vector select (Mosaic can't legalize it): combine with &/|
+        vis_cache = (base_c + colid >= lo) & (base_c + colid < hi)
+        vis_fresh = base_f + colid < fresh_len
+        vis = (is_cache & vis_cache) | (~is_cache & vis_fresh)
+
+        k = kbuf[slot].astype(jnp.float32)
+        v = vbuf[slot].astype(jnp.float32)
+
+        def q_step(qi, _):
+            row = pl.multiple_of(qi * tq, tq)
+            q = qv[pl.ds(row, tq)].astype(jnp.float32) * scale
+            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            s = jnp.where(vis, s, NEG_INF)
+            m_prev = m_scr[pl.ds(row, tq), 0:1]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            corr = jnp.exp(m_prev - m_new)
+            l_new = (l_scr[pl.ds(row, tq), 0:1] * corr
+                     + jnp.sum(p, axis=-1, keepdims=True))
+            pv = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            acc_scr[pl.ds(row, tq), :] = (acc_scr[pl.ds(row, tq), :] * corr
+                                          + pv)
+            m_scr[pl.ds(row, tq), :] = jnp.broadcast_to(m_new, (tq, 128))
+            l_scr[pl.ds(row, tq), :] = jnp.broadcast_to(l_new, (tq, 128))
+            return 0
+
+        jax.lax.fori_loop(0, qt, q_step, 0)
+        return 0
+
+    jax.lax.fori_loop(0, total, kv_step, 0)
+
+    qv[...] = (acc_scr[...]
+               / jnp.maximum(l_scr[:, 0:1], 1e-30)).astype(qv.dtype)
+    cp = pltpu.make_async_copy(qv, o_hbm.at[b], sem_o)
+    cp.start()
+    cp.wait()
+
+
+def _decode_fresh_dyn_fwd(q, k_cache, v_cache, k_new, v_new, kv_start,
+                          kv_end, scale, tq, tk, interpret):
+    # scoped VMEM is a hard 16MB: all-q softmax state (~7.6MB at Lq=4680)
+    # + [tq, tk] f32 score temporaries + kv double buffers must fit
+    tq, tk = min(tq, 256), min(tk, 1024)
+    B, Lq, N, D = q.shape
+    S = k_cache.shape[1]
+    Lf = k_new.shape[1]
+    BN = B * N
+    qt = _cdiv(Lq, tq)
+    nf = _cdiv(Lf, tk)
+
+    qf = _pad_to(q.transpose(0, 2, 1, 3).reshape(BN, Lq, D), 1, qt * tq)
+    kf = _fold_kv(k_cache)
+    vf = _fold_kv(v_cache)
+    knf = _pad_to(_fold_kv(k_new).astype(kf.dtype), 1, nf * tk)
+    vnf = _pad_to(_fold_kv(v_new).astype(vf.dtype), 1, nf * tk)
+    if S % tk:
+        kf = _pad_to(kf, 1, _cdiv(S, tk) * tk)
+        vf = _pad_to(vf, 1, _cdiv(S, tk) * tk)
+
+    lo = jnp.asarray(kv_start, jnp.int32).reshape(1)
+    hi = jnp.asarray(kv_end, jnp.int32).reshape(1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(BN,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 5,
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((qt * tq, D), qf.dtype),          # q / out staging
+            pltpu.VMEM((2, tk, D), kf.dtype),            # kv double buffers
+            pltpu.VMEM((2, tk, D), vf.dtype),
+            pltpu.VMEM((qt * tq, 128), jnp.float32),     # m
+            pltpu.VMEM((qt * tq, 128), jnp.float32),     # l
+            pltpu.VMEM((qt * tq, D), jnp.float32),       # acc
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_decode_fresh_dyn_kernel, scale=scale, tq=tq,
+                          tk=tk, qt=qt, nf=nf, fresh_len=Lf),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((BN, qt * tq, D), q.dtype),
+        interpret=interpret,
+    )(lo, hi, qf, kf, vf, knf, vnf)
+    return out[:, :Lq].reshape(B, N, Lq, D).transpose(0, 2, 1, 3)
+
+
 def decode_attention_fresh_pallas(q: jax.Array, k_cache: jax.Array,
                                   v_cache: jax.Array, k_new: jax.Array,
                                   v_new: jax.Array, kv_start: jax.Array,
                                   kv_end: jax.Array,
                                   scale: Optional[float] = None,
-                                  tq: int = 256, tk: int = 2048,
-                                  interpret: bool = False) -> jax.Array:
+                                  tq: int = 512, tk: int = 2048,
+                                  interpret: bool = False,
+                                  static_hi: Optional[int] = None
+                                  ) -> jax.Array:
     """Decode attention over cache[kv_start:kv_end) plus a fresh block of
     K/V that has not been written to the cache (read-only-cache fast path,
-    models/wan/dit.py)."""
+    models/wan/dit.py).  tq=512 halves the grid vs 256 (fewer dead-step
+    iterations at early blocks; VMEM scratch stays ~8MB at Lq=4680).
+
+    ``static_hi``: static upper bound on ``kv_end`` when the caller knows
+    the block index at trace time (the AR pipeline's python loop) — the
+    kernel grid is then sized to exactly the live cache tiles."""
     D = q.shape[-1]
     scale = (D ** -0.5) if scale is None else scale
     tq = min(tq, max(128, 1 << (q.shape[1] - 1).bit_length()))
@@ -384,7 +597,7 @@ def decode_attention_fresh_pallas(q: jax.Array, k_cache: jax.Array,
     return _decode_fresh_op(q, k_cache, v_cache, k_new, v_new,
                             jnp.asarray(kv_start, jnp.int32),
                             jnp.asarray(kv_end, jnp.int32),
-                            scale, tq, min(tk, tkf), interpret)
+                            scale, tq, min(tk, tkf), interpret, static_hi)
 
 
 # =====================================================================

@@ -91,16 +91,22 @@ def generate_blocks(params, cfg: WanConfig, scheduler: FlowMatchScheduler,
     return out, cache
 
 
-@partial(jax.jit, static_argnames=("cfg", "steps"), donate_argnums=(5,))
+@partial(jax.jit, static_argnames=("cfg", "steps", "static_kv_hi"),
+         donate_argnums=(5,))
 def denoise_block(params, cfg: WanConfig, scheduler: FlowMatchScheduler,
                   rope: RopeTables, ctx_kv: dict, cache: dit.KVCache,
                   noise_blk: jax.Array, rng: jax.Array,
-                  steps: tuple[float, ...], start_frame: jax.Array):
+                  steps: tuple[float, ...], start_frame: jax.Array,
+                  static_kv_hi: int | None = None):
     """One block's 4-step denoise WITHOUT the cache refresh — the
     streaming path dispatches the VAE decode of this block before the
     refresh so time-to-first-chunk excludes it (the refresh only feeds
     the NEXT block's context; the reference demo likewise skips it on the
-    last block, demo.py:396-404)."""
+    last block, demo.py:396-404).
+
+    ``static_kv_hi``: static token count already in the cache (the python
+    block loop knows it) — sizes the Pallas attention grid to the live
+    window, at the cost of one compiled specialization per block."""
     B, nb, C, H, W = noise_blk.shape
     noisy = noise_blk
     x0 = noisy
@@ -108,7 +114,8 @@ def denoise_block(params, cfg: WanConfig, scheduler: FlowMatchScheduler,
     for i, t_val in enumerate(steps):
         t = jnp.full((B, nb), t_val, jnp.float32)
         flow, cache = dit.forward_inference(
-            params, cfg, noisy, t, ctx_kv, cache, start_frame, rope)
+            params, cfg, noisy, t, ctx_kv, cache, start_frame, rope,
+            static_kv_hi=static_kv_hi)
         x0 = scheduler.convert_flow_pred_to_x0(
             flow.reshape(B * nb, C, H, W),
             noisy.reshape(B * nb, C, H, W),
@@ -124,12 +131,12 @@ def denoise_block(params, cfg: WanConfig, scheduler: FlowMatchScheduler,
     return x0, cache
 
 
-@partial(jax.jit, static_argnames=("cfg", "context_noise"),
+@partial(jax.jit, static_argnames=("cfg", "context_noise", "static_kv_hi"),
          donate_argnums=(4,))
 def refresh_block(params, cfg: WanConfig, rope: RopeTables, ctx_kv: dict,
                   cache: dit.KVCache, x0: jax.Array, rng: jax.Array,
-                  context_noise: float, start_frame: jax.Array
-                  ) -> dit.KVCache:
+                  context_noise: float, start_frame: jax.Array,
+                  static_kv_hi: int | None = None) -> dit.KVCache:
     """Re-run the denoised block at ``context_noise`` to write clean
     context into the cache (causal_inference.py:226-235)."""
     B, nb, C, H, W = x0.shape
@@ -145,7 +152,8 @@ def refresh_block(params, cfg: WanConfig, rope: RopeTables, ctx_kv: dict,
             x0.reshape(B * nb, C, H, W), eps.reshape(B * nb, C, H, W),
             t_ctx.reshape(-1)).reshape(x0.shape)
     _, cache = dit.forward_inference(params, cfg, xin, t_ctx, ctx_kv, cache,
-                                     start_frame, rope)
+                                     start_frame, rope,
+                                     static_kv_hi=static_kv_hi)
     return cache
 
 
@@ -334,10 +342,13 @@ class CausalInferencePipeline:
         num_blocks = F // nb
         for b in range(num_blocks):
             rng, k1 = jax.random.split(rng)
+            # python loop => the cached-token count is static: size the
+            # attention kernel grid to the live window (global path only)
+            hint = b * nb * fs if self.cfg.local_attn_size == -1 else None
             blk, cache = denoise_block(
                 self.params, self.cfg, self.scheduler, self.rope, ctx_kv,
                 cache, noise[:, b * nb:(b + 1) * nb], k1,
-                self.denoising_step_list, start)
+                self.denoising_step_list, start, static_kv_hi=hint)
             # hand the chunk to the caller BEFORE the cache refresh: the
             # decode dispatch precedes the refresh program, cutting
             # time-to-first-chunk; the refresh is skipped entirely on the
@@ -347,5 +358,5 @@ class CausalInferencePipeline:
                 rng, k2 = jax.random.split(rng)
                 cache = refresh_block(
                     self.params, self.cfg, self.rope, ctx_kv, cache, blk,
-                    k2, self.context_noise, start)
+                    k2, self.context_noise, start, static_kv_hi=hint)
             start = start + nb

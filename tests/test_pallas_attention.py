@@ -7,11 +7,13 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from self_forcing_tpu.ops.attention import (decode_attention_xla,
+from self_forcing_tpu.ops.attention import (decode_attention_fresh_xla,
+                                            decode_attention_xla,
                                             flash_attention_xla)
 from self_forcing_tpu.ops.masks import block_causal_mask, teacher_forcing_mask
-from self_forcing_tpu.ops.pallas_attention import (decode_attention_pallas,
-                                                   flash_attention_pallas)
+from self_forcing_tpu.ops.pallas_attention import (
+    decode_attention_fresh_pallas, decode_attention_pallas,
+    flash_attention_pallas)
 
 B, N, D = 1, 2, 128
 
@@ -176,3 +178,42 @@ def test_pallas_conv3d_matches_lax():
     out = causal_conv3d_pallas(x, cache, w, b, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=3e-5, atol=3e-5)
+
+
+def test_w8a8_matmul_matches_xla():
+    """Fused-epilogue W8A8 Pallas matmul == the XLA int8 dot + dequant."""
+    from self_forcing_tpu.ops.pallas_matmul import w8a8_matmul
+    key = jax.random.PRNGKey(7)
+    M, K, N_ = 40, 256, 384
+    x_q = jax.random.randint(key, (M, K), -127, 128).astype(jnp.int8)
+    w_q = jax.random.randint(jax.random.fold_in(key, 1), (K, N_),
+                             -127, 128).astype(jnp.int8)
+    s_x = jax.random.uniform(jax.random.fold_in(key, 2), (M, 1),
+                             minval=0.01, maxval=0.1)
+    w_s = jax.random.uniform(jax.random.fold_in(key, 3), (N_,),
+                             minval=0.01, maxval=0.1)
+    b = jax.random.normal(jax.random.fold_in(key, 4), (N_,))
+    ref = (jax.lax.dot_general(
+        x_q, w_q, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32).astype(jnp.float32)
+        * (s_x * w_s) + b)
+    out = w8a8_matmul(x_q, s_x, w_q, w_s, b, out_dtype=jnp.float32,
+                      interpret=True)
+    assert out is not None
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_decode_fresh_static_hi_matches_xla():
+    """Static grid bound (pipeline block hints) must not change results."""
+    q, k, v = _qkv(jax.random.PRNGKey(3), 96, 320)
+    kn, vn = _qkv(jax.random.PRNGKey(4), 96, 96)[1:]
+    for lo, hi, static_hi in [(0, 0, 0), (0, 128, 128), (0, 128, 192),
+                              (0, 320, 320)]:
+        ref = decode_attention_fresh_xla(q, k, v, kn, vn,
+                                         jnp.int32(lo), jnp.int32(hi))
+        out = decode_attention_fresh_pallas(
+            q, k, v, kn, vn, jnp.int32(lo), jnp.int32(hi),
+            tq=32, tk=64, interpret=True, static_hi=static_hi)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)

@@ -74,11 +74,12 @@ def test_quantized_linear_accuracy():
          "b": jnp.zeros((512,))}
     x = jax.random.normal(jax.random.fold_in(k, 1), (4, 256))
     ref = x @ p["w"] + p["b"]
-    q = quantize_linear_params(p)
-    assert q["w_q"].dtype == jnp.int8
-    out = quantized_linear(q, x)
-    err = float(jnp.abs(out - ref).max() / jnp.abs(ref).max())
-    assert err < 0.02, err
+    for mode, key, tol in [("w8", "w_q", 0.02), ("w8a8", "w_qa", 0.03)]:
+        q = quantize_linear_params(p, mode=mode)
+        assert q[key].dtype == jnp.int8
+        out = quantized_linear(q, x)
+        err = float(jnp.abs(out - ref).max() / jnp.abs(ref).max())
+        assert err < tol, (mode, err)
 
 
 def test_quantized_dit_forward():
@@ -88,14 +89,23 @@ def test_quantized_dit_forward():
     from self_forcing_tpu.ops.quant import quantize_dit_params
     params = dit.init_params(jax.random.PRNGKey(0), WAN_TINY,
                              dtype=jnp.float32)
-    qp = quantize_dit_params(params, min_dim=64)
-    assert "w_q" in qp["blocks"]["ffn"]["fc1"]
+    # the head is zero-init like the reference (causal_model.py:1128);
+    # randomize it so the output is non-degenerate and rel-err meaningful
+    params["head"]["head"]["w"] = 0.02 * jax.random.normal(
+        jax.random.PRNGKey(3), params["head"]["head"]["w"].shape)
     rope = RopeTables.create(WAN_TINY.head_dim)
     x = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 16, 8, 8))
     ctx = jax.random.normal(jax.random.PRNGKey(2), (1, 8, WAN_TINY.text_dim))
-    out = dit.forward_train(qp, WAN_TINY, x, jnp.full((1, 2), 500.0), ctx,
-                            None, rope, remat=False)
-    assert np.isfinite(np.asarray(out)).all()
+    ref = dit.forward_train(params, WAN_TINY, x, jnp.full((1, 2), 500.0),
+                            ctx, None, rope, remat=False)
+    for mode, key in [("w8", "w_q"), ("w8a8", "w_qa")]:
+        qp = quantize_dit_params(params, min_dim=64, mode=mode)
+        assert key in qp["blocks"]["ffn"]["fc1"]
+        out = dit.forward_train(qp, WAN_TINY, x, jnp.full((1, 2), 500.0),
+                                ctx, None, rope, remat=False)
+        assert np.isfinite(np.asarray(out)).all()
+        err = float(jnp.abs(out - ref).max() / jnp.abs(ref).max())
+        assert err < 0.25, (mode, err)  # quality toggle, not exactness
 
 
 # ------------------------------------------------------------- websocket
