@@ -121,7 +121,12 @@ def causal_conv3d(p: Params, x: jax.Array, cache: jax.Array | None,
 
 
 def rms_norm_channel(gamma: jax.Array, x: jax.Array) -> jax.Array:
-    """RMS_norm (vae.py:39-54): F.normalize over channel * sqrt(C) * gamma."""
+    """RMS_norm (vae.py:39-54): F.normalize over channel * sqrt(C) * gamma.
+
+    Keep this the naive form: XLA fuses the reduce + rescale with the
+    neighbouring silu/conv into one pass.  An MXU-row-sum variant that is
+    2.2x faster STANDALONE made the whole decoder 26% slower end-to-end
+    by breaking those fusions (measured on v5e; see PERF.md)."""
     C = x.shape[-1]
     xf = x.astype(jnp.float32)
     inv = jax.lax.rsqrt(jnp.sum(xf * xf, axis=-1, keepdims=True) + 1e-24)
@@ -417,6 +422,68 @@ def init_decoder_cache(params: Params, cfg: VAEConfig, batch: int,
             h, w = h * 2, w * 2
     conv_cache(p["head_conv"]["w"].shape[-2])
     return cache
+
+
+def pad_decoder_channels(params: Params, align: int = 128) -> Params:
+    """EXACT rewrite of the decoder's final stage with channel widths
+    padded up to ``align`` (the TPU lane width).
+
+    Measured on v5e: XLA's conv3d at 480x832 runs 30 TF/s with 96
+    channels but 119 TF/s with 128 — padding is 2.2x faster in wall
+    clock despite 1.78x more FLOPs (PERF.md).  The rewrite is exact:
+    zero-padded channels stay exactly zero through conv (zero out-channel
+    weights), silu(0)=0, and residual adds; the channel RMS norm's
+    sqrt(C) factor is compensated by scaling gamma by sqrt(C_true/C_pad)
+    (padded zeros don't change the sum of squares).
+
+    Pads only widths < align (the 96-wide stage; 192/384 already run at
+    80+ TF/s).  Decoder caches size themselves from the padded weights.
+    """
+    dec = params["decoder"]
+    stages = dec["stages"]
+    C = stages[-1]["blocks"][-1]["conv2"]["w"].shape[-1]
+    if C % align == 0 or C > align:
+        return params
+    Cp = align
+    scale = math.sqrt(C / Cp)
+
+    def pad_axis(a, axis, size):
+        cfg_ = [(0, 0)] * a.ndim
+        cfg_[axis] = (0, size - a.shape[axis])
+        return jnp.pad(a, cfg_)
+
+    def pad_conv(p, cin, cout):
+        q = dict(p)
+        q["w"] = pad_axis(pad_axis(p["w"], p["w"].ndim - 2, cin),
+                          p["w"].ndim - 1, cout)
+        if "b" in p:
+            q["b"] = pad_axis(p["b"], 0, cout)
+        return q
+
+    def pad_norm(g):
+        return pad_axis(g * scale, 0, Cp)
+
+    # fresh containers sharing the unmodified leaves (safe to mutate)
+    out = jax.tree.map(lambda x: x, params)
+    dec = out["decoder"]
+    last = dec["stages"][-1]
+    # the upsample conv feeding the final stage emits the padded width
+    feeder = dec["stages"][-2]["resample"]["conv"]
+    dec["stages"][-2]["resample"]["conv"] = pad_conv(
+        feeder, feeder["w"].shape[-2], Cp)
+    for bp in last["blocks"]:
+        cin = bp["conv1"]["w"].shape[-2]
+        bp["norm1"] = pad_norm(bp["norm1"])
+        bp["conv1"] = pad_conv(bp["conv1"], Cp if cin == C else cin, Cp)
+        bp["norm2"] = pad_norm(bp["norm2"])
+        bp["conv2"] = pad_conv(bp["conv2"], Cp, Cp)
+        if bp.get("shortcut"):
+            bp["shortcut"] = pad_conv(bp["shortcut"],
+                                      Cp if cin == C else cin, Cp)
+    dec["head_norm"] = pad_norm(dec["head_norm"])
+    dec["head_conv"] = pad_conv(dec["head_conv"], Cp,
+                                dec["head_conv"]["w"].shape[-1])
+    return out
 
 
 def decode_frame(params: Params, cfg: VAEConfig, z: jax.Array, cache: list,

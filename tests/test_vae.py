@@ -101,3 +101,31 @@ def test_decode_block_matches_full():
     streamed = jnp.clip(jnp.concatenate([p1, p2, p3], axis=1), -1, 1)
     np.testing.assert_allclose(np.asarray(streamed), np.asarray(full),
                                rtol=5e-4, atol=5e-4)
+
+
+def test_pad_decoder_channels_exact():
+    """Channel-padded decoder (TPU lane alignment) is numerically exact."""
+    cfg = jvae.VAE_TINY
+    key = jax.random.PRNGKey(5)
+    params = jvae.init_params(key, cfg, dtype=jnp.float32)
+    # randomize gammas so the sqrt(C/Cp) compensation is actually tested
+    def jitter(p, k):
+        if isinstance(p, dict):
+            return {kk: jitter(v, jax.random.fold_in(k, hash(kk) % 1000))
+                    for kk, v in p.items()}
+        if isinstance(p, list):
+            return [jitter(v, jax.random.fold_in(k, i))
+                    for i, v in enumerate(p)]
+        if getattr(p, "ndim", None) == 1:
+            return p + 0.1 * jax.random.normal(k, p.shape)
+        return p
+    params["decoder"]["head_norm"] = (
+        params["decoder"]["head_norm"]
+        + 0.3 * jax.random.normal(key, params["decoder"]["head_norm"].shape))
+    padded = jvae.pad_decoder_channels(params, align=16)
+    assert padded["decoder"]["stages"][-1]["blocks"][-1]["conv2"]["w"].shape[-1] == 16
+    z = jax.random.normal(jax.random.fold_in(key, 1), (1, 3, 4, 4, cfg.z_dim))
+    ref = jvae.decode(params, cfg, z)
+    out = jvae.decode(padded, cfg, z)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
