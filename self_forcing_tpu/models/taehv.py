@@ -131,10 +131,12 @@ class TAEHVStreamer:
     keep the last `overlap` latent frames, re-decode [overlap | new] and
     drop the overlap's pixels."""
 
-    def __init__(self, params: Params, overlap: int = 3):
+    def __init__(self, params: Params, overlap: int = 3, decode_fn=None):
         self.params = params
         self.overlap = overlap
         self._tail = None
+        # injectable decode (e.g. a jitted decode_video) — same signature
+        self._decode_fn = decode_fn or decode_video
 
     def reset(self):
         self._tail = None
@@ -142,11 +144,11 @@ class TAEHVStreamer:
     def decode_chunk(self, latents: jax.Array) -> jax.Array:
         """[N, T_new, 16, h, w] -> pixel frames for the new latents."""
         if self._tail is None:
-            out = decode_video(self.params, latents, trim=True)
+            out = self._decode_fn(self.params, latents, trim=True)
             emitted_new = out
         else:
             x = jnp.concatenate([self._tail, latents], axis=1)
-            out = decode_video(self.params, x, trim=True)
+            out = self._decode_fn(self.params, x, trim=True)
             # first (overlap*4 - trim) pixel frames belong to the tail
             skip = self.overlap * 4 - FRAMES_TO_TRIM
             emitted_new = out[:, skip:]
