@@ -590,6 +590,9 @@ def decode_attention_fresh_pallas(q: jax.Array, k_cache: jax.Array,
     ``static_hi``: static upper bound on ``kv_end`` when the caller knows
     the block index at trace time (the AR pipeline's python loop) — the
     kernel grid is then sized to exactly the live cache tiles."""
+    import os
+    tq = int(os.environ.get("SF_TPU_DECODE_TQ", tq))
+    tk = int(os.environ.get("SF_TPU_DECODE_TK", tk))
     D = q.shape[-1]
     scale = (D ** -0.5) if scale is None else scale
     tq = min(tq, max(128, 1 << (q.shape[1] - 1).bit_length()))
