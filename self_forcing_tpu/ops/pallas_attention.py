@@ -261,7 +261,8 @@ def _decode_fresh_kernel(lo_ref, hi_ref, q_ref, k_ref, v_ref, kn_ref,
         q = q_ref[0].astype(jnp.float32) * scale
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-        s = jnp.where(vis, s, NEG_INF)
+        if vis is not None:
+            s = jnp.where(vis, s, NEG_INF)
         m_prev = m_scr[pl.ds(row, tq), 0:1]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
@@ -274,7 +275,19 @@ def _decode_fresh_kernel(lo_ref, hi_ref, q_ref, k_ref, v_ref, kn_ref,
         m_scr[pl.ds(row, tq), :] = jnp.broadcast_to(m_new, (tq, 128))
         l_scr[pl.ds(row, tq), :] = jnp.broadcast_to(l_new, (tq, 128))
 
-    @pl.when(live & is_cache)
+    # fully-inside tiles skip the visibility mask entirely (the mask's
+    # iota/compare/select chain costs ~1 ms/layer at the full window —
+    # 7.5% of the whole denoise; measured on v5e)
+    cache_full = (kv_base >= lo) & (kv_base + tk <= jnp.minimum(hi, kv_len))
+    fresh_base = (ki - kt_cache) * tk
+    fresh_full = fresh_base + tk <= fresh_len
+
+    @pl.when(live & is_cache & cache_full)
+    def _cache_tile_full():
+        _accumulate(k_ref[0].astype(jnp.float32),
+                    v_ref[0].astype(jnp.float32), None)
+
+    @pl.when(live & is_cache & ~cache_full)
     def _cache_tile():
         k = k_ref[0].astype(jnp.float32)
         v = v_ref[0].astype(jnp.float32)
@@ -282,12 +295,16 @@ def _decode_fresh_kernel(lo_ref, hi_ref, q_ref, k_ref, v_ref, kn_ref,
         vis = (col >= lo) & (col < hi) & (col < kv_len)
         _accumulate(k, v, vis)
 
-    @pl.when(~is_cache)
+    @pl.when(~is_cache & fresh_full)
+    def _fresh_tile_full():
+        _accumulate(kn_ref[0].astype(jnp.float32),
+                    vn_ref[0].astype(jnp.float32), None)
+
+    @pl.when(~is_cache & ~fresh_full)
     def _fresh_tile():
         k = kn_ref[0].astype(jnp.float32)
         v = vn_ref[0].astype(jnp.float32)
-        col = (ki - kt_cache) * tk + jax.lax.broadcasted_iota(
-            jnp.int32, (tq, tk), 1)
+        col = fresh_base + jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 1)
         vis = col < fresh_len
         _accumulate(k, v, vis)
 

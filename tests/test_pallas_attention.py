@@ -209,7 +209,7 @@ def test_decode_fresh_static_hi_matches_xla():
     q, k, v = _qkv(jax.random.PRNGKey(3), 96, 320)
     kn, vn = _qkv(jax.random.PRNGKey(4), 96, 96)[1:]
     for lo, hi, static_hi in [(0, 0, 0), (0, 128, 128), (0, 128, 192),
-                              (0, 320, 320)]:
+                              (0, 320, 320), (0, 100, 128), (37, 290, 320)]:
         ref = decode_attention_fresh_xla(q, k, v, kn, vn,
                                          jnp.int32(lo), jnp.int32(hi))
         out = decode_attention_fresh_pallas(
