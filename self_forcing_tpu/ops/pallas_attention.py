@@ -624,6 +624,32 @@ def decode_attention_fresh_pallas(q: jax.Array, k_cache: jax.Array,
 # masked flash attention (training): IntervalMask block-sparse
 # =====================================================================
 
+
+def _tile_states(s1n, e1n, s2n, e2n, Lq, Lk, tq, tk, qt, kt):
+    """Host-precomputed per-tile state: 0 = dead (skip), 1 = partial
+    (mask needed), 2 = fully visible (mask-free fast path — the mask's
+    iota/compare/select chain is ~25% of the kernel's VPU work)."""
+    states = np.zeros((qt, kt), np.int32)
+    for i in range(qt):
+        rows = slice(i * tq, min(i * tq + tq, Lq))
+        if rows.stop <= rows.start:
+            continue
+        a1, b1 = s1n[rows], e1n[rows]
+        a2, b2 = s2n[rows], e2n[rows]
+        lo1, hi1 = a1.min(), b1.max()
+        lo2, hi2 = a2.min(), b2.max()
+        has_pad_rows = (i * tq + tq) > Lq
+        for j in range(kt):
+            a, b = j * tk, (j + 1) * tk
+            if not ((a < hi1 and b > lo1) or (a < hi2 and b > lo2)):
+                continue
+            full = (not has_pad_rows and b <= Lk
+                    and bool(np.all(((a1 <= a) & (b1 >= b))
+                                    | ((a2 <= a) & (b2 >= b)))))
+            states[i, j] = 2 if full else 1
+    return states
+
+
 def _flash_kernel(tile_live_ref, s1_ref, e1_ref, s2_ref, e2_ref,
                   q_ref, k_ref, v_ref, o_ref, lse_ref,
                   m_scr, l_scr, acc_scr, *, scale: float, tk: int,
@@ -638,25 +664,25 @@ def _flash_kernel(tile_live_ref, s1_ref, e1_ref, s2_ref, e2_ref,
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    live = tile_live_ref[qi, ki] != 0
+    state = tile_live_ref[qi, ki]
 
-    @pl.when(live)
-    def _compute():
+    def _compute(masked):
         q = q_ref[0].astype(jnp.float32) * scale
         k = k_ref[0].astype(jnp.float32)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)           # [TQ, TK]
         tq = q.shape[0]
-        col = ki * tk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        row0 = pl.multiple_of(qi * tq, tq)
-        s1 = s1_ref[0, pl.ds(row0, tq)][:, None]
-        e1 = e1_ref[0, pl.ds(row0, tq)][:, None]
-        s2 = s2_ref[0, pl.ds(row0, tq)][:, None]
-        e2 = e2_ref[0, pl.ds(row0, tq)][:, None]
-        vis = (((col >= s1) & (col < e1)) | ((col >= s2) & (col < e2)))
-        vis = vis & (col < kv_len)
-        s = jnp.where(vis, s, NEG_INF)
+        if masked:
+            col = ki * tk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            row0 = pl.multiple_of(qi * tq, tq)
+            s1 = s1_ref[0, pl.ds(row0, tq)][:, None]
+            e1 = e1_ref[0, pl.ds(row0, tq)][:, None]
+            s2 = s2_ref[0, pl.ds(row0, tq)][:, None]
+            e2 = e2_ref[0, pl.ds(row0, tq)][:, None]
+            vis = (((col >= s1) & (col < e1)) | ((col >= s2) & (col < e2)))
+            vis = vis & (col < kv_len)
+            s = jnp.where(vis, s, NEG_INF)
 
         m_prev = m_scr[:, 0:1]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
@@ -670,6 +696,14 @@ def _flash_kernel(tile_live_ref, s1_ref, e1_ref, s2_ref, e2_ref,
         acc_scr[:] = acc_scr[:] * corr + pv
         m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
         l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    @pl.when(state == 1)
+    def _masked():
+        _compute(True)
+
+    @pl.when(state == 2)
+    def _full():
+        _compute(False)
 
     @pl.when(ki == nk - 1)
     def _finalize():
@@ -694,21 +728,10 @@ def _flash_fwd(q, k, v, s1, e1, s2, e2, scale, tq, tk, interpret):
     kf = _pad_to(k.transpose(0, 2, 1, 3).reshape(BN, Lk, D), 1, kt * tk)
     vf = _pad_to(v.transpose(0, 2, 1, 3).reshape(BN, Lk, D), 1, kt * tk)
 
-    # host-precomputed tile liveness [QT, KT]: any (q, kv) pair visible.
+    # host-precomputed tri-state tile table (dead/partial/fully-visible)
     s1n, e1n = np.asarray(s1), np.asarray(e1)
     s2n, e2n = np.asarray(s2), np.asarray(e2)
-    qt_lo = np.arange(qt) * tq
-    tile_live = np.zeros((qt, kt), np.int32)
-    for i in range(qt):
-        rows = slice(qt_lo[i], min(qt_lo[i] + tq, Lq))
-        lo1 = s1n[rows].min() if s1n[rows].size else 0
-        hi1 = e1n[rows].max() if e1n[rows].size else 0
-        lo2 = s2n[rows].min() if s2n[rows].size else 0
-        hi2 = e2n[rows].max() if e2n[rows].size else 0
-        for j in range(kt):
-            a, b = j * tk, (j + 1) * tk
-            tile_live[i, j] = int((a < hi1 and b > lo1)
-                                  or (a < hi2 and b > lo2))
+    tile_live = _tile_states(s1n, e1n, s2n, e2n, Lq, Lk, tq, tk, qt, kt)
 
     # pad interval arrays to [1, qt*tq]; passed as full-array VMEM blocks
     # (last-two-dims rule) and sliced per q-tile inside the kernel.
@@ -822,25 +845,25 @@ def _flash_bwd_dq_kernel(tile_live_ref, s1_ref, e1_ref, s2_ref, e2_ref,
     def _init():
         dq_scr[:] = jnp.zeros_like(dq_scr)
 
-    live = tile_live_ref[qi, ki] != 0
+    state = tile_live_ref[qi, ki]
 
-    @pl.when(live)
-    def _compute():
+    def _compute(masked):
         q = q_ref[0].astype(jnp.float32)
         k = k_ref[0].astype(jnp.float32)
         tq = q.shape[0]
         s = scale * jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)           # [TQ, TK]
-        col = ki * tk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         row0 = pl.multiple_of(qi * tq, tq)
-        s1 = s1_ref[0, pl.ds(row0, tq)][:, None]
-        e1 = e1_ref[0, pl.ds(row0, tq)][:, None]
-        s2 = s2_ref[0, pl.ds(row0, tq)][:, None]
-        e2 = e2_ref[0, pl.ds(row0, tq)][:, None]
-        vis = ((((col >= s1) & (col < e1)) | ((col >= s2) & (col < e2)))
-               & (col < kv_len))
-        s = jnp.where(vis, s, NEG_INF)
+        if masked:
+            col = ki * tk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s1 = s1_ref[0, pl.ds(row0, tq)][:, None]
+            e1 = e1_ref[0, pl.ds(row0, tq)][:, None]
+            s2 = s2_ref[0, pl.ds(row0, tq)][:, None]
+            e2 = e2_ref[0, pl.ds(row0, tq)][:, None]
+            vis = ((((col >= s1) & (col < e1)) | ((col >= s2) & (col < e2)))
+                   & (col < kv_len))
+            s = jnp.where(vis, s, NEG_INF)
         lse = lse_ref[0, 0, pl.ds(row0, tq)][:, None]
         p = jnp.exp(s - lse)                              # [TQ, TK]
         do = do_ref[0].astype(jnp.float32)
@@ -853,6 +876,14 @@ def _flash_bwd_dq_kernel(tile_live_ref, s1_ref, e1_ref, s2_ref, e2_ref,
         dq_scr[:] += scale * jax.lax.dot_general(
             ds, k, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
+
+    @pl.when(state == 1)
+    def _masked():
+        _compute(True)
+
+    @pl.when(state == 2)
+    def _full():
+        _compute(False)
 
     @pl.when(ki == nk - 1)
     def _finalize():
@@ -873,24 +904,24 @@ def _flash_bwd_dkv_kernel(tile_live_ref, s1_ref, e1_ref, s2_ref, e2_ref,
         dk_scr[:] = jnp.zeros_like(dk_scr)
         dv_scr[:] = jnp.zeros_like(dv_scr)
 
-    live = tile_live_ref[qi, ki] != 0
+    state = tile_live_ref[qi, ki]
 
-    @pl.when(live)
-    def _compute():
+    def _compute(masked):
         q = q_ref[0].astype(jnp.float32)
         k = k_ref[0].astype(jnp.float32)
         s = scale * jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)           # [TQ, TK]
-        col = ki * tk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         row0 = pl.multiple_of(qi * tq, tq)
-        s1 = s1_ref[0, pl.ds(row0, tq)][:, None]
-        e1 = e1_ref[0, pl.ds(row0, tq)][:, None]
-        s2 = s2_ref[0, pl.ds(row0, tq)][:, None]
-        e2 = e2_ref[0, pl.ds(row0, tq)][:, None]
-        vis = ((((col >= s1) & (col < e1)) | ((col >= s2) & (col < e2)))
-               & (col < kv_len))
-        s = jnp.where(vis, s, NEG_INF)
+        if masked:
+            col = ki * tk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s1 = s1_ref[0, pl.ds(row0, tq)][:, None]
+            e1 = e1_ref[0, pl.ds(row0, tq)][:, None]
+            s2 = s2_ref[0, pl.ds(row0, tq)][:, None]
+            e2 = e2_ref[0, pl.ds(row0, tq)][:, None]
+            vis = ((((col >= s1) & (col < e1)) | ((col >= s2) & (col < e2)))
+                   & (col < kv_len))
+            s = jnp.where(vis, s, NEG_INF)
         lse = lse_ref[0, 0, pl.ds(row0, tq)][:, None]
         p = jnp.exp(s - lse)
         do = do_ref[0].astype(jnp.float32)
@@ -908,6 +939,14 @@ def _flash_bwd_dkv_kernel(tile_live_ref, s1_ref, e1_ref, s2_ref, e2_ref,
         dk_scr[:] += scale * jax.lax.dot_general(
             ds, q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
+
+    @pl.when(state == 1)
+    def _masked():
+        _compute(True)
+
+    @pl.when(state == 2)
+    def _full():
+        _compute(False)
 
     @pl.when(qi == nq - 1)
     def _finalize():
@@ -942,17 +981,7 @@ def _flash_bwd(q, k, v, out, lse, g, s1, e1, s2, e2, scale, tq, tk,
 
     s1n, e1n = np.asarray(s1), np.asarray(e1)
     s2n, e2n = np.asarray(s2), np.asarray(e2)
-    tile_live = np.zeros((qt, kt), np.int32)
-    for i in range(qt):
-        rows = slice(i * tq, min(i * tq + tq, Lq))
-        if s1n[rows].size == 0:
-            continue
-        lo1, hi1 = s1n[rows].min(), e1n[rows].max()
-        lo2, hi2 = s2n[rows].min(), e2n[rows].max()
-        for j in range(kt):
-            a, b = j * tk, (j + 1) * tk
-            tile_live[i, j] = int((a < hi1 and b > lo1)
-                                  or (a < hi2 and b > lo2))
+    tile_live = _tile_states(s1n, e1n, s2n, e2n, Lq, Lk, tq, tk, qt, kt)
 
     def prep(x):
         xp = np.zeros(Sq, np.int32)
