@@ -815,7 +815,8 @@ def forward_inference(params: Params, cfg: WanConfig, x: jax.Array,
                       y: jax.Array | None = None,
                       add_condition: jax.Array | None = None,
                       cache_start_frame: jax.Array | None = None,
-                      static_kv_hi: int | None = None
+                      static_kv_hi: int | None = None,
+                      write_cache: bool = True
                       ) -> tuple[jax.Array, KVCache]:
     """KV-cached streaming forward (CausalWanModel._forward_inference,
     causal_model.py:725-893).
@@ -894,11 +895,21 @@ def forward_inference(params: Params, cfg: WanConfig, x: jax.Array,
             xs = (params["blocks"], cache.k, cache.v, ctx_kv["k_txt"],
                   ctx_kv["v_txt"])
         tokens, (ks_new, vs_new) = jax.lax.scan(scan_body, tokens, xs)
-        # ks_new/vs_new: [L, B*N, Lq, D] — already in the cache layout
-        new_k = jax.lax.dynamic_update_slice(
-            cache.k, ks_new.astype(cache.k.dtype), (0, 0, write_at, 0))
-        new_v = jax.lax.dynamic_update_slice(
-            cache.v, vs_new.astype(cache.v.dtype), (0, 0, write_at, 0))
+        if write_cache:
+            # ks_new/vs_new: [L, B*N, Lq, D] — already in the cache layout
+            new_k = jax.lax.dynamic_update_slice(
+                cache.k, ks_new.astype(cache.k.dtype), (0, 0, write_at, 0))
+            new_v = jax.lax.dynamic_update_slice(
+                cache.v, vs_new.astype(cache.v.dtype), (0, 0, write_at, 0))
+        else:
+            # DEAD-STORE elimination for the streaming sampler: within a
+            # block's denoise steps the fresh K/V are consumed directly by
+            # decode_attention_fresh ([0, write_at) window excludes the
+            # own-block cache region), and the cache-refresh pass rewrites
+            # these slots afterwards — so the intermediate writes (and the
+            # index advance) can be skipped entirely (~7 ms x 35 forwards
+            # per 81-frame video).
+            new_k, new_v = cache.k, cache.v
     else:
         # ---- windowed path with rolling eviction + sinks
         # (causal_model.py:203-229)
@@ -933,9 +944,12 @@ def forward_inference(params: Params, cfg: WanConfig, x: jax.Array,
                   ctx_kv["v_txt"])
         tokens, (new_k, new_v) = jax.lax.scan(scan_body, tokens, xs)
 
-    new_cache = KVCache(k=new_k, v=new_v,
-                        global_end=jnp.asarray(current_end, jnp.int32),
-                        local_end=jnp.asarray(local_end, jnp.int32))
+    if write_cache:
+        new_cache = KVCache(k=new_k, v=new_v,
+                            global_end=jnp.asarray(current_end, jnp.int32),
+                            local_end=jnp.asarray(local_end, jnp.int32))
+    else:
+        new_cache = cache
 
     out_tokens = head_forward(params, cfg, tokens, e, frame_seqlen)
     return unpatchify(cfg, out_tokens, grid), new_cache

@@ -66,7 +66,8 @@ def generate_blocks(params, cfg: WanConfig, scheduler: FlowMatchScheduler,
         for i, t_val in enumerate(steps):
             t = jnp.full((B, nb), t_val, jnp.float32)
             flow, cache = dit.forward_inference(
-                params, cfg, noisy, t, ctx_kv, cache, start_frame, rope)
+                params, cfg, noisy, t, ctx_kv, cache, start_frame, rope,
+                write_cache=False)  # the refresh below writes the block
             x0 = scheduler.convert_flow_pred_to_x0(
                 flow.reshape(B * nb, C, H, W),
                 noisy.reshape(B * nb, C, H, W),
@@ -113,9 +114,12 @@ def denoise_block(params, cfg: WanConfig, scheduler: FlowMatchScheduler,
     blk_rng = rng
     for i, t_val in enumerate(steps):
         t = jnp.full((B, nb), t_val, jnp.float32)
+        # write_cache=False: the refresh pass (or nothing, on the last
+        # block) provides the context for the NEXT block; within-block
+        # steps read the cache window [0, write_at) + their own fresh K/V
         flow, cache = dit.forward_inference(
             params, cfg, noisy, t, ctx_kv, cache, start_frame, rope,
-            static_kv_hi=static_kv_hi)
+            static_kv_hi=static_kv_hi, write_cache=False)
         x0 = scheduler.convert_flow_pred_to_x0(
             flow.reshape(B * nb, C, H, W),
             noisy.reshape(B * nb, C, H, W),

@@ -67,9 +67,14 @@ def _rollout_blocks(params, cfg: WanConfig, scheduler: FlowMatchScheduler,
         for i in range(exit_idx + 1):
             t = jnp.full((B, nb), steps[i], jnp.float32)
             is_exit = (i == exit_idx)
+            # write_cache=False: within-block denoise steps attend over
+            # [0, write_at) + their own fresh K/V, and the refresh forward
+            # below rewrites the block's cache slots — the intermediate
+            # writes are dead stores (same as the inference sampler).
             if is_exit and with_grad:
                 flow, cache = dit.forward_inference(
-                    params, cfg, noisy, t, ctx_kv, cache, start_frame, rope)
+                    params, cfg, noisy, t, ctx_kv, cache, start_frame, rope,
+                    write_cache=False)
                 x0 = scheduler.convert_flow_pred_to_x0(
                     flow.reshape(B * nb, C, H, W),
                     noisy.reshape(B * nb, C, H, W),
@@ -77,7 +82,7 @@ def _rollout_blocks(params, cfg: WanConfig, scheduler: FlowMatchScheduler,
             else:
                 flow, cache = dit.forward_inference(
                     _sg(params), cfg, _sg(noisy), t, _sg(ctx_kv), _sg(cache),
-                    start_frame, rope)
+                    start_frame, rope, write_cache=False)
                 flow, cache = _sg(flow), _sg(cache)
                 x0 = _sg(scheduler.convert_flow_pred_to_x0(
                     flow.reshape(B * nb, C, H, W),

@@ -106,3 +106,50 @@ def test_bidirectional_inference(setup):
     out = pipe.inference(noise, context)
     assert out.shape == (B, F, C, H, W)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_denoise_write_cache_dead_store_equivalence():
+    """The streaming sampler's intermediate cache writes are dead stores:
+    forcing write_cache=True inside the denoise steps must not change the
+    output (the refresh pass provides the next block's context)."""
+    import dataclasses
+    import types
+    from self_forcing_tpu.models.wan import dit
+    from self_forcing_tpu.models.wan.configs import WAN_TINY
+    from self_forcing_tpu.pipelines import causal_inference as ci
+
+    cfg = dataclasses.replace(WAN_TINY, num_frame_per_block=2)
+    B, F, C, H, W = 1, 6, 16, 8, 8
+    key = jax.random.PRNGKey(0)
+    params = dit.init_params(key, cfg, dtype=jnp.float32)
+    params["head"]["head"]["w"] = 0.02 * jax.random.normal(
+        jax.random.fold_in(key, 9), params["head"]["head"]["w"].shape)
+    args = types.SimpleNamespace(
+        denoising_step_list=[1000, 500], warp_denoising_step=False,
+        num_frame_per_block=2, independent_first_frame=False,
+        context_noise=100, timestep_shift=8.0)
+    pipe = ci.CausalInferencePipeline(args, params, cfg)
+    noise = jax.random.normal(jax.random.fold_in(key, 1), (B, F, C, H, W))
+    ctx = jax.random.normal(jax.random.fold_in(key, 2), (B, 8, cfg.text_dim))
+
+    def run():
+        out = []
+        for blk in pipe.stream(noise, ctx, rng=jax.random.PRNGKey(3)):
+            out.append(np.asarray(blk))
+        return np.concatenate(out, axis=1)
+
+    a = run()
+    orig = dit.forward_inference
+    def forced(*f_args, **kw):
+        kw["write_cache"] = True
+        return orig(*f_args, **kw)
+    dit.forward_inference = forced
+    try:
+        ci.denoise_block.clear_cache()
+        ci.refresh_block.clear_cache()
+        b_out = run()
+    finally:
+        dit.forward_inference = orig
+        ci.denoise_block.clear_cache()
+        ci.refresh_block.clear_cache()
+    np.testing.assert_allclose(a, b_out, rtol=1e-5, atol=1e-5)
