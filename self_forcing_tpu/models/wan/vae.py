@@ -486,9 +486,28 @@ def pad_decoder_channels(params: Params, align: int = 128) -> Params:
     return out
 
 
+def _seq_decode_frames() -> int:
+    """Max latent frames decoded per sequence pass in decode_block /
+    decode (SF_TPU_VAE_SEQ_FRAMES; 0 = per-frame scan, the default).
+
+    Measured on v5e (81-frame streaming decode, bf16): sequence mode is
+    20% SLOWER (6.16 s vs 5.12 s; first block 778 vs 661 ms) despite 3x
+    fewer conv dispatches — the decoder is fusion/bandwidth-bound, not
+    dispatch-bound, and the 3x larger full-res intermediates hurt more
+    than the amortized call overhead helps (same lesson as the padded /
+    subpixel variants, PERF.md).  Kept opt-in for future fused kernels."""
+    import os
+    try:
+        return int(os.environ.get("SF_TPU_VAE_SEQ_FRAMES", "0"))
+    except ValueError:
+        return 0
+
+
 def decode_frame(params: Params, cfg: VAEConfig, z: jax.Array, cache: list,
                  first: bool):
     """Decode one latent frame [B, 1, h, w, z] -> pixels + new cache.
+    (Also accepts T>1 — every primitive is T-general; used by the
+    sequence-decode path in decode_block/decode.)
 
     First frame yields 1 pixel frame; steady state 2^(#temporal upsamples)
     (= 4 for Wan).  Mirrors WanVAE_.decode's frame loop (vae.py:545-569).
@@ -517,16 +536,27 @@ def decode_block(params: Params, cfg: VAEConfig, z: jax.Array, cache: list,
         z = z[:, 1:]
         T -= 1
     if T > 0:
-        # scan per latent frame: keeps full-res activations (~300MB/frame)
-        # bounded so streaming decode fits beside the 9.8GB KV cache
-        def step(cache, zf):
-            y, cache = decode_frame(params, cfg, zf[:, None], cache,
-                                    first=False)
-            return cache, y
+        if _seq_decode_frames() >= T:
+            # whole-block sequence decode: every conv runs ONCE over the
+            # block's T frames (identical math — causal convs see
+            # [cache | frames] either way) instead of T scan iterations.
+            # Opt-in only: measured slower than the scan on v5e/XLA (see
+            # _seq_decode_frames); the seam exists for fused kernels that
+            # DO want larger temporal tiles.
+            y, cache = decode_frame(params, cfg, z, cache, first=False)
+            outs.append(y)
+        else:
+            # scan per latent frame: bounds full-res activations for large
+            # blocks (SF_TPU_VAE_SEQ_FRAMES=0 forces this path)
+            def step(cache, zf):
+                y, cache = decode_frame(params, cfg, zf[:, None], cache,
+                                        first=False)
+                return cache, y
 
-        cache, ys = jax.lax.scan(step, cache, z.transpose(1, 0, 2, 3, 4))
-        ys = ys.transpose(1, 0, 2, 3, 4, 5).reshape(B, -1, *ys.shape[3:])
-        outs.append(ys)
+            cache, ys = jax.lax.scan(step, cache, z.transpose(1, 0, 2, 3, 4))
+            ys = ys.transpose(1, 0, 2, 3, 4, 5).reshape(
+                B, -1, *ys.shape[3:])
+            outs.append(ys)
     return jnp.concatenate(outs, axis=1), cache
 
 
@@ -545,6 +575,17 @@ def decode(params: Params, cfg: VAEConfig, latents: jax.Array) -> jax.Array:
 
     if T == 1:
         return jnp.clip(out0, -1.0, 1.0)
+
+    k = _seq_decode_frames()
+    if k > 1:
+        # chunked sequence decode: each conv runs once per chunk of k
+        # latent frames (vs once per frame) — same math, fewer dispatches
+        outs = [out0]
+        for lo in range(1, T, k):
+            y, cache = decode_frame(params, cfg, latents[:, lo:lo + k],
+                                    cache, first=False)
+            outs.append(y)
+        return jnp.clip(jnp.concatenate(outs, axis=1), -1.0, 1.0)
 
     def step(cache, z):
         y, cache = decode_frame(params, cfg, z[:, None], cache, first=False)

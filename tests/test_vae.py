@@ -129,3 +129,29 @@ def test_pad_decoder_channels_exact():
     out = jvae.decode(padded, cfg, z)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_sequence_decode_matches_per_frame_scan(monkeypatch):
+    """Opt-in sequence decode (SF_TPU_VAE_SEQ_FRAMES>0, one multi-frame
+    pass per block) is numerically equivalent to the default per-frame
+    scan — causal convs see [cache | frames] either way."""
+    cfg = jvae.VAE_TINY
+    key = jax.random.PRNGKey(7)
+    params = jvae.init_params(key, cfg, dtype=jnp.float32)
+    B, T, h, w = 1, 7, 4, 4
+    z = jax.random.normal(jax.random.fold_in(key, 1), (B, T, h, w, cfg.z_dim))
+
+    def run():
+        full = jvae.decode(params, cfg, z)
+        cache = jvae.init_decoder_cache(params, cfg, B, h, w, z.dtype)
+        y0, cache = jvae.decode_block(params, cfg, z[:, :3], cache, True)
+        y1, cache = jvae.decode_block(params, cfg, z[:, 3:], cache, False)
+        blocks = jnp.clip(jnp.concatenate([y0, y1], axis=1), -1, 1)
+        return np.asarray(full), np.asarray(blocks)
+
+    monkeypatch.setenv("SF_TPU_VAE_SEQ_FRAMES", "0")
+    ref_full, ref_blocks = run()
+    monkeypatch.setenv("SF_TPU_VAE_SEQ_FRAMES", "4")
+    seq_full, seq_blocks = run()
+    np.testing.assert_allclose(seq_full, ref_full, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(seq_blocks, ref_blocks, rtol=2e-5, atol=2e-5)
