@@ -31,6 +31,10 @@ class WanConfig:
     # causal-specific runtime knobs (causal_model.py:512-513)
     num_frame_per_block: int = 1
     independent_first_frame: bool = False
+    # demo-config speed toggle: 'int8' runs the decode self-attention
+    # matmuls on the MXU int8 path (the attention analog of the reference
+    # demo's FP8 linears, demo.py:277-283); None = full-precision parity
+    attn_quant: str | None = None
 
     @property
     def head_dim(self) -> int:

@@ -466,11 +466,17 @@ def _block_decode_fresh(bp: Params, cfg: WanConfig, x: jax.Array,
                         v_layer: jax.Array, attn_lo: jax.Array,
                         cache_hi: jax.Array, ctx_kv_layer: dict,
                         frame_seqlen: int,
-                        static_kv_hi: int | None = None):
+                        static_kv_hi: int | None = None,
+                        layer_idx: jax.Array | None = None):
     """One block with READ-ONLY cache attention: the current chunk's K/V
     are returned for a single out-of-scan cache write instead of being
     written per-layer (the cache-bandwidth fast path; semantics identical
     to causal_model.py:194-241).
+
+    ``k_layer``/``v_layer`` are either this layer's [BN, S, D] slices, or
+    the FULL stacked [L, BN, S, D] cache with ``layer_idx`` set — the
+    Pallas kernel then picks the layer itself, avoiding the per-layer
+    slice materialization (PERF.md).
 
     Returns (x, k_new, v_new).
     """
@@ -487,7 +493,9 @@ def _block_decode_fresh(bp: Params, cfg: WanConfig, x: jax.Array,
     k = _rope_pairs(k, rope_cos, rope_sin)
 
     attn = decode_attention_fresh(q, k_layer, v_layer, k, v, attn_lo,
-                                  cache_hi, static_hi=static_kv_hi)
+                                  cache_hi, static_hi=static_kv_hi,
+                                  quant=cfg.attn_quant,
+                                  layer_idx=layer_idx)
     B, L = attn.shape[:2]
     y = linear(bp["self_attn"]["o"], attn.reshape(B, L, cfg.dim))
     x = x + _gate(y, e_gate, frame_seqlen)
@@ -875,24 +883,32 @@ def forward_inference(params: Params, cfg: WanConfig, x: jax.Array,
         # (Lq tokens) and ONE fused dynamic_update_slice outside the scan
         # writes all layers at once.  Avoids hauling the multi-GB cache
         # through scan carries/ys (~2x forward latency at 1.3B geometry).
+        # the cache is NOT scanned over: the kernel indexes the layer via
+        # a prefetched scalar, so the scan carries only a layer counter
+        # (scanning cache.k/v as xs costs a 100 MB dynamic-slice
+        # materialization per layer per forward — measured; PERF.md)
+        num_layers = cache.k.shape[0]
+        layer_ids = jnp.arange(num_layers, dtype=jnp.int32)
+
         def scan_body(tok, xs):
             if has_img:
-                bp, k_l, v_l, kt, vt, ki, vi = xs
+                bp, li, kt, vt, ki, vi = xs
                 layer_ctx = {"k_txt": kt, "v_txt": vt, "k_img": ki,
                              "v_img": vi}
             else:
-                bp, k_l, v_l, kt, vt = xs
+                bp, li, kt, vt = xs
                 layer_ctx = {"k_txt": kt, "v_txt": vt}
             tok, k_new, v_new = _block_decode_fresh(
-                bp, cfg, tok, e0, cos, sin, k_l, v_l, attn_lo, write_at,
-                layer_ctx, frame_seqlen, static_kv_hi)
+                bp, cfg, tok, e0, cos, sin, cache.k, cache.v, attn_lo,
+                write_at, layer_ctx, frame_seqlen, static_kv_hi,
+                layer_idx=li)
             return tok, (k_new, v_new)
 
         if has_img:
-            xs = (params["blocks"], cache.k, cache.v, ctx_kv["k_txt"],
+            xs = (params["blocks"], layer_ids, ctx_kv["k_txt"],
                   ctx_kv["v_txt"], ctx_kv["k_img"], ctx_kv["v_img"])
         else:
-            xs = (params["blocks"], cache.k, cache.v, ctx_kv["k_txt"],
+            xs = (params["blocks"], layer_ids, ctx_kv["k_txt"],
                   ctx_kv["v_txt"])
         tokens, (ks_new, vs_new) = jax.lax.scan(scan_body, tokens, xs)
         if write_cache:

@@ -201,7 +201,9 @@ def decode_attention_fresh(q: jax.Array, k_cache: jax.Array,
                            v_new: jax.Array, kv_start: jax.Array,
                            kv_end: jax.Array,
                            scale: float | None = None,
-                           static_hi: int | None = None) -> jax.Array:
+                           static_hi: int | None = None,
+                           quant: str | None = None,
+                           layer_idx: jax.Array | None = None) -> jax.Array:
     """KV-cache attention where the *current block's* K/V have not been
     written into the cache yet: queries see cache[kv_start:kv_end) plus all
     of k_new/v_new.
@@ -210,6 +212,15 @@ def decode_attention_fresh(q: jax.Array, k_cache: jax.Array,
     read-only inside the per-layer scan and is updated once outside
     (models/wan/dit.py fast path), instead of hauling the multi-GB cache
     through scan carries.
+
+    ``quant='int8'`` routes to the int8-MXU Pallas kernel (demo speed
+    toggle); off-TPU the XLA fallback ignores it (full precision).
+
+    With a STACKED cache [L, BN, S, D] plus ``layer_idx``, the Pallas
+    kernel indexes the layer via a prefetched scalar — callers inside a
+    per-layer lax.scan should close over the whole cache instead of
+    scanning it (the per-layer slice costs a 100 MB materialization per
+    layer per forward; PERF.md).
     """
     if _use_pallas():
         from self_forcing_tpu.ops.pallas_attention import (
@@ -217,8 +228,15 @@ def decode_attention_fresh(q: jax.Array, k_cache: jax.Array,
         return decode_attention_fresh_pallas(q, k_cache, v_cache, k_new,
                                              v_new, kv_start, kv_end,
                                              scale=scale,
-                                             static_hi=static_hi)
+                                             static_hi=static_hi,
+                                             quant=quant,
+                                             layer_idx=layer_idx)
     N = q.shape[2]
+    if k_cache.ndim == 4 and layer_idx is not None:
+        k_cache = jax.lax.dynamic_index_in_dim(k_cache, layer_idx, 0,
+                                               keepdims=False)
+        v_cache = jax.lax.dynamic_index_in_dim(v_cache, layer_idx, 0,
+                                               keepdims=False)
     return decode_attention_fresh_xla(
         q, unfold_kv(k_cache, N), unfold_kv(v_cache, N),
         unfold_kv(k_new, N), unfold_kv(v_new, N),

@@ -231,14 +231,20 @@ def decode_attention_pallas(q: jax.Array, k_cache: jax.Array,
 # decode attention with fresh (not-yet-cached) block KV
 # =====================================================================
 
-def _decode_fresh_kernel(lo_ref, hi_ref, q_ref, k_ref, v_ref, kn_ref,
-                         vn_ref, o_ref, m_scr, l_scr, acc_scr, *,
-                         scale: float, tq: int, tk: int, kv_len: int,
-                         kt_cache: int, fresh_len: int):
+def _decode_fresh_kernel(li_ref, lo_ref, hi_ref, q_ref, k_ref, v_ref,
+                         kn_ref, vn_ref, o_ref, m_scr, l_scr, acc_scr, *,
+                         scale: float, tq: int, tk: int, tf: int,
+                         kv_len: int, kt_cache: int, fresh_len: int):
     """Flash-decode layout: grid (BN, KT_cache + KT_fresh, QT) with q
     INNERMOST so every KV tile is streamed from HBM exactly once; the
     online-softmax state for all q tiles stays resident in VMEM scratch
-    ([QT*tq, ...] slices indexed by qi)."""
+    ([QT*tq, ...] slices indexed by qi).
+
+    The cache operands are the FULL stacked [L, BN, S, D] buffers with the
+    layer selected by the prefetched ``li`` scalar in the BlockSpec index
+    map: feeding lax.scan's per-layer slice instead costs a 100 MB
+    dynamic-slice materialization per layer per forward (~18.6 ms/forward
+    at 1.3B geometry — measured, see PERF.md)."""
     ki = pl.program_id(1)
     nk = pl.num_programs(1)
     qi = pl.program_id(2)
@@ -279,18 +285,18 @@ def _decode_fresh_kernel(lo_ref, hi_ref, q_ref, k_ref, v_ref, kn_ref,
     # iota/compare/select chain costs ~1 ms/layer at the full window —
     # 7.5% of the whole denoise; measured on v5e)
     cache_full = (kv_base >= lo) & (kv_base + tk <= jnp.minimum(hi, kv_len))
-    fresh_base = (ki - kt_cache) * tk
-    fresh_full = fresh_base + tk <= fresh_len
+    fresh_base = (ki - kt_cache) * tf
+    fresh_full = fresh_base + tf <= fresh_len
 
     @pl.when(live & is_cache & cache_full)
     def _cache_tile_full():
-        _accumulate(k_ref[0].astype(jnp.float32),
-                    v_ref[0].astype(jnp.float32), None)
+        _accumulate(k_ref[0, 0].astype(jnp.float32),
+                    v_ref[0, 0].astype(jnp.float32), None)
 
     @pl.when(live & is_cache & ~cache_full)
     def _cache_tile():
-        k = k_ref[0].astype(jnp.float32)
-        v = v_ref[0].astype(jnp.float32)
+        k = k_ref[0, 0].astype(jnp.float32)
+        v = v_ref[0, 0].astype(jnp.float32)
         col = kv_base + jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 1)
         vis = (col >= lo) & (col < hi) & (col < kv_len)
         _accumulate(k, v, vis)
@@ -304,7 +310,7 @@ def _decode_fresh_kernel(lo_ref, hi_ref, q_ref, k_ref, v_ref, kn_ref,
     def _fresh_tile():
         k = kn_ref[0].astype(jnp.float32)
         v = vn_ref[0].astype(jnp.float32)
-        col = fresh_base + jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 1)
+        col = fresh_base + jax.lax.broadcasted_iota(jnp.int32, (tq, tf), 1)
         vis = col < fresh_len
         _accumulate(k, v, vis)
 
@@ -315,13 +321,136 @@ def _decode_fresh_kernel(lo_ref, hi_ref, q_ref, k_ref, v_ref, kn_ref,
                     / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
+def _decode_fresh_int8_kernel(li_ref, lo_ref, hi_ref, q_ref, k_ref, v_ref,
+                              kn_ref, vn_ref, o_ref, m_scr, l_scr, acc_scr,
+                              kq_scr, vq_scr, sc_scr, *, scale: float,
+                              tq: int, tk: int, tf: int, kv_len: int,
+                              kt_cache: int, fresh_len: int):
+    """int8 variant of :func:`_decode_fresh_kernel` — the demo-config
+    speed toggle (reference FP8 linears analog, extended to attention).
+
+    Both contractions run on the MXU's native int8 path (v5e: 394 TOP/s
+    peak vs 197 bf16): QK^T as (q int8, per-row scale) x (k int8, one
+    symmetric per-tile scale), P·V as (round(p*127) — p is in [0,1] after
+    the online-softmax exp) x (v int8 per-tile scale).  K/V tiles are
+    quantized ONCE per tile visit (qi == 0, q innermost) into VMEM
+    scratch, so the quantization VPU cost is amortized over all q tiles.
+    Softmax state stays fp32 — only the two matmuls are quantized
+    (SageAttention-style; arXiv:2410.02367 uses the same decomposition).
+    """
+    ki = pl.program_id(1)
+    nk = pl.num_programs(1)
+    qi = pl.program_id(2)
+    row = pl.multiple_of(qi * tq, tq)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scr[pl.ds(row, tq), :] = jnp.full((tq, 128), NEG_INF, jnp.float32)
+        l_scr[pl.ds(row, tq), :] = jnp.zeros((tq, 128), jnp.float32)
+        acc_scr[pl.ds(row, tq), :] = jnp.zeros_like(acc_scr[pl.ds(row, tq), :])
+
+    lo = lo_ref[0]
+    hi = hi_ref[0]
+    is_cache = ki < kt_cache
+    kv_base = ki * tk
+    live = jnp.where(is_cache, (kv_base < hi) & (kv_base + tk > lo), True)
+
+    @pl.when(live & is_cache & (qi == 0))
+    def _quantize_cache_tile():
+        k = k_ref[0, 0].astype(jnp.float32)
+        v = v_ref[0, 0].astype(jnp.float32)
+        ks = jnp.maximum(jnp.max(jnp.abs(k)) / 127.0, 1e-8)
+        vs = jnp.maximum(jnp.max(jnp.abs(v)) / 127.0, 1e-8)
+        kq_scr[pl.ds(0, tk), :] = jnp.round(k / ks).astype(jnp.int8)
+        vq_scr[pl.ds(0, tk), :] = jnp.round(v / vs).astype(jnp.int8)
+        sc_scr[0] = ks
+        sc_scr[1] = vs
+
+    @pl.when(~is_cache & (qi == 0))
+    def _quantize_fresh_tile():
+        k = kn_ref[0].astype(jnp.float32)
+        v = vn_ref[0].astype(jnp.float32)
+        ks = jnp.maximum(jnp.max(jnp.abs(k)) / 127.0, 1e-8)
+        vs = jnp.maximum(jnp.max(jnp.abs(v)) / 127.0, 1e-8)
+        kq_scr[pl.ds(0, tf), :] = jnp.round(k / ks).astype(jnp.int8)
+        vq_scr[pl.ds(0, tf), :] = jnp.round(v / vs).astype(jnp.int8)
+        sc_scr[0] = ks
+        sc_scr[1] = vs
+
+    def _accumulate(vis, width):
+        q = q_ref[0].astype(jnp.float32)
+        qs = jnp.maximum(jnp.max(jnp.abs(q), axis=-1, keepdims=True),
+                         1e-8) / 127.0
+        qq = jnp.round(q / qs).astype(jnp.int8)
+        s_i32 = jax.lax.dot_general(
+            qq, kq_scr[pl.ds(0, width), :], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        s = s_i32.astype(jnp.float32) * (qs * (sc_scr[0] * scale))
+        if vis is not None:
+            s = jnp.where(vis, s, NEG_INF)
+        m_prev = m_scr[pl.ds(row, tq), 0:1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        corr = jnp.exp(m_prev - m_new)
+        l_new = (l_scr[pl.ds(row, tq), 0:1] * corr
+                 + jnp.sum(p, axis=-1, keepdims=True))
+        pq = jnp.round(p * 127.0).astype(jnp.int8)
+        pv_i32 = jax.lax.dot_general(
+            pq, vq_scr[pl.ds(0, width), :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        pv = pv_i32.astype(jnp.float32) * (sc_scr[1] / 127.0)
+        acc_scr[pl.ds(row, tq), :] = acc_scr[pl.ds(row, tq), :] * corr + pv
+        m_scr[pl.ds(row, tq), :] = jnp.broadcast_to(m_new, (tq, 128))
+        l_scr[pl.ds(row, tq), :] = jnp.broadcast_to(l_new, (tq, 128))
+
+    cache_full = (kv_base >= lo) & (kv_base + tk <= jnp.minimum(hi, kv_len))
+    fresh_base = (ki - kt_cache) * tf
+    fresh_full = fresh_base + tf <= fresh_len
+
+    @pl.when(live & is_cache & cache_full)
+    def _cache_tile_full():
+        _accumulate(None, tk)
+
+    @pl.when(live & is_cache & ~cache_full)
+    def _cache_tile():
+        col = kv_base + jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 1)
+        _accumulate((col >= lo) & (col < hi) & (col < kv_len), tk)
+
+    @pl.when(~is_cache & fresh_full)
+    def _fresh_tile_full():
+        _accumulate(None, tf)
+
+    @pl.when(~is_cache & ~fresh_full)
+    def _fresh_tile():
+        col = fresh_base + jax.lax.broadcasted_iota(jnp.int32, (tq, tf), 1)
+        _accumulate(col < fresh_len, tf)
+
+    @pl.when(ki == nk - 1)
+    def _finalize():
+        l = l_scr[pl.ds(row, tq), 0:1]
+        o_ref[0] = (acc_scr[pl.ds(row, tq), :]
+                    / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
 def _decode_fresh_fwd(q, k_cache, v_cache, k_new, v_new, kv_start, kv_end,
-                      scale, tq, tk, interpret, static_hi=None):
+                      scale, tq, tk, tf, interpret, static_hi=None,
+                      quant=None, layer_idx=None):
     B, Lq, N, D = q.shape
-    S = k_cache.shape[1]   # token axis in both layouts
     Lf = k_new.shape[1]
     BN = B * N
     qt = _cdiv(Lq, tq)
+
+    # Normalize the cache to the STACKED folded layout [L, BN, S, D] with
+    # the layer picked by a prefetched scalar: feeding a per-layer slice
+    # (lax.scan xs) forces XLA to materialize a 100 MB dynamic-slice copy
+    # per layer per forward (~18.6 ms/forward at 1.3B; measured).
+    if k_cache.ndim == 4 and layer_idx is not None:
+        kf4, vf4 = k_cache, v_cache          # [L, BN, S, D], pre-folded
+    else:
+        kf4 = _fold_kv(k_cache)[None]
+        vf4 = _fold_kv(v_cache)[None]
+        layer_idx = 0
+    S = kf4.shape[2]
     kt_full = _cdiv(S, tk)
     ktc = kt_full
     if static_hi is not None:
@@ -331,98 +460,128 @@ def _decode_fresh_fwd(q, k_cache, v_cache, k_new, v_new, kv_start, kv_end,
         # the full cache buffer — only the index space shrinks.
         ktc = min(ktc, _cdiv(max(int(static_hi), 1), tk)) \
             if static_hi > 0 else 0
-    ktf = _cdiv(Lf, tk)
+    ktf = _cdiv(Lf, tf)
 
     qf = _pad_to(q.transpose(0, 2, 1, 3).reshape(BN, Lq, D), 1, qt * tq)
     # operands stay full-size; static_hi only shrinks the index space
-    kf = _pad_to(_fold_kv(k_cache), 1, kt_full * tk)
-    vf = _pad_to(_fold_kv(v_cache), 1, kt_full * tk)
-    knf = _pad_to(_fold_kv(k_new).astype(k_cache.dtype), 1, ktf * tk)
-    vnf = _pad_to(_fold_kv(v_new).astype(v_cache.dtype), 1, ktf * tk)
+    kf4 = _pad_to(kf4, 2, kt_full * tk)
+    vf4 = _pad_to(vf4, 2, kt_full * tk)
+    knf = _pad_to(_fold_kv(k_new).astype(kf4.dtype), 1, ktf * tf)
+    vnf = _pad_to(_fold_kv(v_new).astype(vf4.dtype), 1, ktf * tf)
 
+    li = jnp.asarray(layer_idx, jnp.int32).reshape(1)
     lo = jnp.asarray(kv_start, jnp.int32).reshape(1)
     hi = jnp.asarray(kv_end, jnp.int32).reshape(1)
 
-    def cache_idx(b, ki, qi, lo, hi):
+    def cache_idx(b, ki, qi, li, lo, hi):
         # Clamp dead cache tiles into [lo, hi)'s tile range: dead grid
         # steps then re-reference the resident block and their DMAs are
         # elided (big win on early blocks where most of the window is
         # empty).
         first = lo[0] // tk
         last = jnp.maximum((hi[0] - 1) // tk, first)
-        return (b, jnp.clip(jnp.minimum(ki, ktc - 1), first, last), 0)
+        return (li[0], b, jnp.clip(jnp.minimum(ki, ktc - 1), first, last), 0)
 
-    def fresh_idx(b, ki, qi, lo, hi):
+    def fresh_idx(b, ki, qi, li, lo, hi):
         return (b, jnp.clip(ki - ktc, 0, ktf - 1), 0)
 
+    scratch = [
+        pltpu.VMEM((qt * tq, 128), jnp.float32),
+        pltpu.VMEM((qt * tq, 128), jnp.float32),
+        pltpu.VMEM((qt * tq, D), jnp.float32),
+    ]
+    if quant == "int8":
+        kernel = functools.partial(
+            _decode_fresh_int8_kernel, scale=scale, tq=tq, tk=tk, tf=tf,
+            kv_len=S, kt_cache=ktc, fresh_len=Lf)
+        scratch += [
+            pltpu.VMEM((max(tk, tf), D), jnp.int8),   # quantized K tile
+            pltpu.VMEM((max(tk, tf), D), jnp.int8),   # quantized V tile
+            pltpu.SMEM((2,), jnp.float32),            # per-tile K/V scales
+        ]
+    else:
+        kernel = functools.partial(
+            _decode_fresh_kernel, scale=scale, tq=tq, tk=tk, tf=tf,
+            kv_len=S, kt_cache=ktc, fresh_len=Lf)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(BN, ktc + ktf, qt),   # q innermost: KV streamed once
         in_specs=[
-            pl.BlockSpec((1, tq, D), lambda b, ki, qi, lo, hi: (b, qi, 0)),
-            pl.BlockSpec((1, tk, D), cache_idx),
-            pl.BlockSpec((1, tk, D), cache_idx),
-            pl.BlockSpec((1, tk, D), fresh_idx),
-            pl.BlockSpec((1, tk, D), fresh_idx),
+            pl.BlockSpec((1, tq, D),
+                         lambda b, ki, qi, li, lo, hi: (b, qi, 0)),
+            pl.BlockSpec((1, 1, tk, D), cache_idx),
+            pl.BlockSpec((1, 1, tk, D), cache_idx),
+            pl.BlockSpec((1, tf, D), fresh_idx),
+            pl.BlockSpec((1, tf, D), fresh_idx),
         ],
         out_specs=pl.BlockSpec((1, tq, D),
-                               lambda b, ki, qi, lo, hi: (b, qi, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((qt * tq, 128), jnp.float32),
-            pltpu.VMEM((qt * tq, 128), jnp.float32),
-            pltpu.VMEM((qt * tq, D), jnp.float32),
-        ],
+                               lambda b, ki, qi, li, lo, hi: (b, qi, 0)),
+        scratch_shapes=scratch,
     )
     out = pl.pallas_call(
-        functools.partial(_decode_fresh_kernel, scale=scale, tq=tq, tk=tk,
-                          kv_len=S, kt_cache=ktc, fresh_len=Lf),
+        kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((BN, qt * tq, D), q.dtype),
         interpret=interpret,
-    )(lo, hi, qf, kf, vf, knf, vnf)
+    )(li, lo, hi, qf, kf4, vf4, knf, vnf)
     return out[:, :Lq].reshape(B, N, Lq, D).transpose(0, 2, 1, 3)
 
 
 def _decode_fresh_dispatch(q, k_cache, v_cache, k_new, v_new, kv_start,
-                           kv_end, scale, tq, tk, interpret, static_hi):
+                           kv_end, layer_idx, scale, tq, tk, tf, interpret,
+                           static_hi, quant=None):
     import os
     # Opt-in experiment (measured SLOWER at full window than the static-
     # grid kernel — Mosaic's managed pipelining wins; see PERF.md):
-    if os.environ.get("SF_TPU_DYN_DECODE", "0") == "1":
+    if os.environ.get("SF_TPU_DYN_DECODE", "0") == "1" and quant is None \
+            and k_cache.ndim == 3:
         return _decode_fresh_dyn_fwd(q, k_cache, v_cache, k_new, v_new,
                                      kv_start, kv_end, scale, tq, tk,
                                      interpret)
     return _decode_fresh_fwd(q, k_cache, v_cache, k_new, v_new, kv_start,
-                             kv_end, scale, tq, tk, interpret, static_hi)
+                             kv_end, scale, tq, tk, tf, interpret,
+                             static_hi, quant, layer_idx)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13,
+                                                    14))
 def _decode_fresh_op(q, k_cache, v_cache, k_new, v_new, kv_start, kv_end,
-                     scale, tq, tk, interpret, static_hi):
+                     layer_idx, scale, tq, tk, tf, interpret, static_hi,
+                     quant):
     return _decode_fresh_dispatch(q, k_cache, v_cache, k_new, v_new,
-                                  kv_start, kv_end, scale, tq, tk,
-                                  interpret, static_hi)
+                                  kv_start, kv_end, layer_idx, scale, tq,
+                                  tk, tf, interpret, static_hi, quant)
 
 
 def _decode_fresh_op_fwd(q, k_cache, v_cache, k_new, v_new, kv_start,
-                         kv_end, scale, tq, tk, interpret, static_hi):
+                         kv_end, layer_idx, scale, tq, tk, tf, interpret,
+                         static_hi, quant):
     out = _decode_fresh_dispatch(q, k_cache, v_cache, k_new, v_new,
-                                 kv_start, kv_end, scale, tq, tk, interpret,
-                                 static_hi)
-    return out, (q, k_cache, v_cache, k_new, v_new, kv_start, kv_end)
+                                 kv_start, kv_end, layer_idx, scale, tq,
+                                 tk, tf, interpret, static_hi, quant)
+    return out, (q, k_cache, v_cache, k_new, v_new, kv_start, kv_end,
+                 layer_idx)
 
 
-def _decode_fresh_op_bwd(scale, tq, tk, interpret, static_hi, res, g):
+def _decode_fresh_op_bwd(scale, tq, tk, tf, interpret, static_hi, quant,
+                         res, g):
     from self_forcing_tpu.ops import attention as xla_attn
-    q, k_cache, v_cache, k_new, v_new, kv_start, kv_end = res
+    q, k_cache, v_cache, k_new, v_new, kv_start, kv_end, layer_idx = res
+    stacked = k_cache.ndim == 4 and layer_idx is not None
 
     def ref(q_, kc_, vc_, kn_, vn_):
+        if stacked:
+            kc_ = jax.lax.dynamic_index_in_dim(kc_, layer_idx, 0,
+                                               keepdims=False)
+            vc_ = jax.lax.dynamic_index_in_dim(vc_, layer_idx, 0,
+                                               keepdims=False)
         return xla_attn.decode_attention_fresh_xla(
             q_, kc_, vc_, kn_, vn_, kv_start, kv_end, scale=scale)
 
     _, vjp = jax.vjp(ref, q, k_cache, v_cache, k_new, v_new)
     dq, dkc, dvc, dkn, dvn = vjp(g)
-    return dq, dkc, dvc, dkn, dvn, None, None
+    return dq, dkc, dvc, dkn, dvn, None, None, None
 
 
 _decode_fresh_op.defvjp(_decode_fresh_op_fwd, _decode_fresh_op_bwd)
@@ -597,7 +756,9 @@ def decode_attention_fresh_pallas(q: jax.Array, k_cache: jax.Array,
                                   scale: Optional[float] = None,
                                   tq: int = 512, tk: int = 2048,
                                   interpret: bool = False,
-                                  static_hi: Optional[int] = None
+                                  static_hi: Optional[int] = None,
+                                  quant: Optional[str] = None,
+                                  layer_idx: Optional[jax.Array] = None
                                   ) -> jax.Array:
     """Decode attention over cache[kv_start:kv_end) plus a fresh block of
     K/V that has not been written to the cache (read-only-cache fast path,
@@ -606,18 +767,34 @@ def decode_attention_fresh_pallas(q: jax.Array, k_cache: jax.Array,
 
     ``static_hi``: static upper bound on ``kv_end`` when the caller knows
     the block index at trace time (the AR pipeline's python loop) — the
-    kernel grid is then sized to exactly the live cache tiles."""
+    kernel grid is then sized to exactly the live cache tiles.
+
+    ``quant='int8'``: run both attention matmuls on the MXU int8 path
+    (demo-config speed toggle; see _decode_fresh_int8_kernel)."""
     import os
     tq = int(os.environ.get("SF_TPU_DECODE_TQ", tq))
     tk = int(os.environ.get("SF_TPU_DECODE_TK", tk))
     D = q.shape[-1]
     scale = (D ** -0.5) if scale is None else scale
-    tq = min(tq, max(128, 1 << (q.shape[1] - 1).bit_length()))
-    tkf = min(tk, max(128, 1 << (k_new.shape[1] - 1).bit_length()))
+    # exact-fit tiles: pick the tile count from the requested size, then
+    # shrink the tile to cover the length with minimal padding (e.g.
+    # Lq=4680 with tq=512 -> 10 tiles of 472 rows: 0.9% pad instead of
+    # 9.4%; Lf=4680 with tk=2048 -> 3 fresh tiles of 1560: zero pad
+    # instead of 31%).  Multiples of 8 sublanes keep Mosaic happy.
+    Lq = q.shape[1]
+    qt = _cdiv(Lq, min(tq, max(128, 1 << (Lq - 1).bit_length())))
+    tq = max(8, -(-_cdiv(Lq, qt) // 8) * 8)
+    Lf = k_new.shape[1]
+    ntf = _cdiv(Lf, min(tk, max(128, 1 << (Lf - 1).bit_length())))
+    # int8 scratch tiles are (32, 128)-tiled: keep tf 32-aligned there
+    gran = 32 if quant == "int8" else 8
+    tf = max(gran, -(-_cdiv(Lf, ntf) // gran) * gran)
+    li = None if layer_idx is None else jnp.asarray(layer_idx, jnp.int32)
     return _decode_fresh_op(q, k_cache, v_cache, k_new, v_new,
                             jnp.asarray(kv_start, jnp.int32),
-                            jnp.asarray(kv_end, jnp.int32),
-                            scale, tq, min(tk, tkf), interpret, static_hi)
+                            jnp.asarray(kv_end, jnp.int32), li,
+                            scale, tq, tk, tf, interpret, static_hi,
+                            quant)
 
 
 # =====================================================================

@@ -217,3 +217,61 @@ def test_decode_fresh_static_hi_matches_xla():
             tq=32, tk=64, interpret=True, static_hi=static_hi)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=2e-5, atol=2e-5)
+
+
+def test_decode_fresh_int8_close_to_xla():
+    """quant='int8' (demo speed toggle): int8-MXU QK/PV with per-tile K/V
+    scales stays within quantization tolerance of the exact reference."""
+    key = jax.random.PRNGKey(11)
+    q, kc, vc = _qkv(key, 96, 256)
+    kn = jax.random.normal(jax.random.fold_in(key, 1), (B, 96, N, D))
+    vn = jax.random.normal(jax.random.fold_in(key, 2), (B, 96, N, D))
+    lo, hi = jnp.int32(32), jnp.int32(200)
+    ref = decode_attention_fresh_xla(q, kc, vc, kn, vn, lo, hi)
+    out = decode_attention_fresh_pallas(q, kc, vc, kn, vn, lo, hi,
+                                        tq=32, tk=64, interpret=True,
+                                        quant="int8")
+    d = np.abs(np.asarray(out) - np.asarray(ref))
+    scale = np.abs(np.asarray(ref)).max()
+    assert d.max() < 0.05 * max(scale, 1.0), (d.max(), scale)
+    assert d.mean() < 0.01, d.mean()
+
+
+def test_decode_fresh_int8_window_respected():
+    """int8 path applies the same [lo, hi) cache-window masking."""
+    key = jax.random.PRNGKey(12)
+    q, kc, vc = _qkv(key, 64, 256)
+    kn = jax.random.normal(jax.random.fold_in(key, 1), (B, 64, N, D))
+    vn = jax.random.normal(jax.random.fold_in(key, 2), (B, 64, N, D))
+    lo, hi = jnp.int32(64), jnp.int32(128)
+    # poison cache outside the window: must not affect the output
+    kc2 = kc.at[:, :64].set(100.0).at[:, 128:].set(-100.0)
+    vc2 = vc.at[:, :64].set(100.0).at[:, 128:].set(-100.0)
+    a = decode_attention_fresh_pallas(q, kc, vc, kn, vn, lo, hi,
+                                      tq=32, tk=64, interpret=True,
+                                      quant="int8")
+    b = decode_attention_fresh_pallas(q, kc2, vc2, kn, vn, lo, hi,
+                                      tq=32, tk=64, interpret=True,
+                                      quant="int8")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_decode_fresh_stacked_cache_layer_idx():
+    """Stacked-cache path: the kernel picks the layer via the prefetched
+    scalar; output matches slicing the layer by hand."""
+    key = jax.random.PRNGKey(13)
+    L, BN, S, Dh = 3, B * N, 256, D
+    q, _, _ = _qkv(key, 96, 8)
+    kc = jax.random.normal(jax.random.fold_in(key, 1), (L, BN, S, Dh))
+    vc = jax.random.normal(jax.random.fold_in(key, 2), (L, BN, S, Dh))
+    kn = jax.random.normal(jax.random.fold_in(key, 3), (B, 96, N, Dh))
+    vn = jax.random.normal(jax.random.fold_in(key, 4), (B, 96, N, Dh))
+    lo, hi = jnp.int32(0), jnp.int32(192)
+    for li in range(L):
+        ref = decode_attention_fresh_pallas(
+            q, kc[li], vc[li], kn, vn, lo, hi, tq=32, tk=64, interpret=True)
+        out = decode_attention_fresh_pallas(
+            q, kc, vc, kn, vn, lo, hi, tq=32, tk=64, interpret=True,
+            layer_idx=jnp.int32(li))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-6, atol=1e-6)
