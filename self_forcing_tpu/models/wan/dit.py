@@ -317,9 +317,10 @@ def _cross_attention(bp: Params, cfg: WanConfig, x: jax.Array,
     if cfg.qk_norm:
         q = rms_norm(q, p["norm_q"]["w"], cfg.eps)
     q = _heads(cfg, q)
-    out = dense_attention(q, ctx_kv_layer["k_txt"], ctx_kv_layer["v_txt"])
+    from self_forcing_tpu.ops.attention import cross_attention
+    out = cross_attention(q, ctx_kv_layer["k_txt"], ctx_kv_layer["v_txt"])
     if "k_img" in ctx_kv_layer:
-        out = out + dense_attention(q, ctx_kv_layer["k_img"],
+        out = out + cross_attention(q, ctx_kv_layer["k_img"],
                                     ctx_kv_layer["v_img"])
     B, Lq = out.shape[:2]
     return linear(p["o"], out.reshape(B, Lq, cfg.dim))

@@ -52,6 +52,19 @@ def dense_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     return out.astype(q.dtype)
 
 
+def cross_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                    scale: float | None = None) -> jax.Array:
+    """Cross-attention with a small static KV (512 text / 257 image
+    tokens): Pallas single-pass kernel on TPU (the XLA einsum path
+    materializes [N, Lq, Lk] f32 scores+probs in HBM — trace-measured
+    ~2.7x the kernel's cost at 1.3B geometry), dense_attention elsewhere."""
+    if k.shape[1] <= 1024 and _use_pallas():
+        from self_forcing_tpu.ops.pallas_attention import (
+            cross_attention_pallas)
+        return cross_attention_pallas(q, k, v, scale=scale)
+    return dense_attention(q, k, v, scale=scale)
+
+
 def _chunked_online_attention(q, k, v, scale, visible_fn, kv_chunk):
     """Online-softmax attention scanning KV in chunks.
 

@@ -798,6 +798,96 @@ def decode_attention_fresh_pallas(q: jax.Array, k_cache: jax.Array,
 
 
 # =====================================================================
+# cross attention: small static KV (512 text / 257 CLIP-image tokens)
+# =====================================================================
+
+def _cross_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
+                  kv_len: int, kv_pad: int):
+    """Single-pass softmax(q k^T) v per (bn, q-tile): the whole KV fits
+    one tile, so there is no online-softmax state.  Replaces the XLA
+    einsum+softmax path, which materializes the [N, Lq, Lk] f32 score and
+    probability tensors in HBM (~115 MB/layer at 1.3B geometry —
+    trace-measured 0.35 ms/layer where the FLOPs cost ~0.13 ms)."""
+    q = q_ref[0].astype(jnp.float32) * scale
+    k = k_ref[0].astype(jnp.float32)
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    if kv_len < kv_pad:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < kv_len, s, NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    pv = jax.lax.dot_general(p, v_ref[0].astype(jnp.float32),
+                             (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    o_ref[0] = (pv / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+def _cross_fwd(q, k, v, scale, tq, interpret):
+    B, Lq, N, D = q.shape
+    Lk = k.shape[1]
+    BN = B * N
+    qt = _cdiv(Lq, tq)
+    kv_pad = max(128, _cdiv(Lk, 128) * 128)
+
+    qf = _pad_to(q.transpose(0, 2, 1, 3).reshape(BN, Lq, D), 1, qt * tq)
+    kf = _pad_to(k.transpose(0, 2, 1, 3).reshape(BN, Lk, D), 1, kv_pad)
+    vf = _pad_to(v.transpose(0, 2, 1, 3).reshape(BN, Lk, D), 1, kv_pad)
+
+    out = pl.pallas_call(
+        functools.partial(_cross_kernel, scale=scale, kv_len=Lk,
+                          kv_pad=kv_pad),
+        grid=(BN, qt),
+        in_specs=[
+            pl.BlockSpec((1, tq, D), lambda b, qi: (b, qi, 0)),
+            pl.BlockSpec((1, kv_pad, D), lambda b, qi: (b, 0, 0)),
+            pl.BlockSpec((1, kv_pad, D), lambda b, qi: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, tq, D), lambda b, qi: (b, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((BN, qt * tq, D), q.dtype),
+        interpret=interpret,
+    )(qf, kf, vf)
+    return out[:, :Lq].reshape(B, N, Lq, D).transpose(0, 2, 1, 3)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _cross_op(q, k, v, scale, tq, interpret):
+    return _cross_fwd(q, k, v, scale, tq, interpret)
+
+
+def _cross_op_fwd(q, k, v, scale, tq, interpret):
+    return _cross_fwd(q, k, v, scale, tq, interpret), (q, k, v)
+
+
+def _cross_op_bwd(scale, tq, interpret, res, g):
+    from self_forcing_tpu.ops import attention as xla_attn
+    q, k, v = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: xla_attn.dense_attention(q_, k_, v_, scale=scale),
+        q, k, v)
+    return vjp(g)
+
+
+_cross_op.defvjp(_cross_op_fwd, _cross_op_bwd)
+
+
+def cross_attention_pallas(q: jax.Array, k: jax.Array, v: jax.Array,
+                           scale: Optional[float] = None, tq: int = 512,
+                           interpret: bool = False) -> jax.Array:
+    """softmax(q k^T) v with a small static KV (cross-attention).
+
+    q: [B, Lq, N, D]; k/v: [B, Lk, N, D] with Lk <= ~1024 (whole KV in
+    one VMEM tile)."""
+    D = q.shape[-1]
+    scale = (D ** -0.5) if scale is None else scale
+    Lq = q.shape[1]
+    qt = _cdiv(Lq, min(tq, max(128, 1 << (Lq - 1).bit_length())))
+    tq = max(8, -(-_cdiv(Lq, qt) // 8) * 8)
+    return _cross_op(q, k, v, scale, tq, interpret)
+
+
+# =====================================================================
 # masked flash attention (training): IntervalMask block-sparse
 # =====================================================================
 

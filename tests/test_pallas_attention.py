@@ -275,3 +275,36 @@ def test_decode_fresh_stacked_cache_layer_idx():
             layer_idx=jnp.int32(li))
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=1e-6, atol=1e-6)
+
+
+def test_cross_attention_matches_dense():
+    """Single-pass cross-attention kernel vs the XLA dense reference,
+    including non-128-multiple KV lengths (257 CLIP image tokens)."""
+    from self_forcing_tpu.ops.attention import dense_attention
+    from self_forcing_tpu.ops.pallas_attention import cross_attention_pallas
+    key = jax.random.PRNGKey(21)
+    for Lk in (257, 512):
+        q, _, _ = _qkv(key, 96, 8)
+        k = jax.random.normal(jax.random.fold_in(key, Lk), (B, Lk, N, D))
+        v = jax.random.normal(jax.random.fold_in(key, Lk + 1), (B, Lk, N, D))
+        ref = dense_attention(q, k, v)
+        out = cross_attention_pallas(q, k, v, tq=32, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_cross_attention_grad_matches_dense():
+    from self_forcing_tpu.ops.attention import dense_attention
+    from self_forcing_tpu.ops.pallas_attention import cross_attention_pallas
+    key = jax.random.PRNGKey(22)
+    q, _, _ = _qkv(key, 64, 8)
+    k = jax.random.normal(jax.random.fold_in(key, 1), (B, 96, N, D))
+    v = jax.random.normal(jax.random.fold_in(key, 2), (B, 96, N, D))
+    g1 = jax.grad(lambda q_, k_, v_: jnp.sum(
+        cross_attention_pallas(q_, k_, v_, tq=32, interpret=True) ** 2),
+        argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(lambda q_, k_, v_: jnp.sum(
+        dense_attention(q_, k_, v_) ** 2), argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
