@@ -142,8 +142,52 @@ def _conv2d(p: Params, x: jax.Array, stride=(1, 1), padding="SAME") -> jax.Array
 
 # ============================================================ blocks
 
+def _use_fused_resblock() -> bool:
+    """Opt-in (SF_TPU_FUSED_VAE=1): route residual blocks through the
+    fused norm+silu+conv Pallas kernel (ops/pallas_conv.py v3)."""
+    import os
+    if os.environ.get("SF_TPU_FUSED_VAE") != "1":
+        return False
+    from self_forcing_tpu.ops.attention import _use_pallas
+    return _use_pallas()
+
+
+def _residual_block_fused(p: Params, x: jax.Array, cache: list):
+    """Whole ResidualBlock in two fused Pallas calls.
+
+    NOTE cache semantics differ from the XLA path: the fused kernel
+    normalizes+activates its DMA'd strips in the prologue, so the cache
+    slots hold RAW conv inputs (x / conv1-output frames) instead of the
+    activated values.  Exact same math — norm+silu are pointwise and
+    frame-local, and silu(norm(0)) == 0 matches zero-init caches.  The
+    path choice is static per block (shapes), so a decode session is
+    internally consistent.  Returns None if the geometry doesn't fit.
+    """
+    from self_forcing_tpu.ops.pallas_conv import norm_silu_conv3d_pallas
+    B = x.shape[0]
+    if B != 1:
+        return None
+    xt = jnp.concatenate([cache[0].astype(x.dtype), x], axis=1)
+    v = norm_silu_conv3d_pallas(xt[0], p["norm1"], p["conv1"]["w"],
+                                p["conv1"]["b"])
+    if v is None:
+        return None
+    h, _ = causal_conv3d(p["shortcut"], x, None, kernel=(1, 1, 1)) \
+        if p.get("shortcut") else (x, None)
+    vt = jnp.concatenate([cache[1].astype(v.dtype), v[None]], axis=1)
+    y = norm_silu_conv3d_pallas(vt[0], p["norm2"], p["conv2"]["w"],
+                                p["conv2"]["b"], residual=h[0])
+    if y is None:
+        return None
+    return y[None], [xt[:, -CACHE_T:], vt[:, -CACHE_T:]]
+
+
 def residual_block(p: Params, x: jax.Array, cache: list):
     """ResidualBlock (vae.py:186-220). Consumes 2 cache slots."""
+    if _use_fused_resblock():
+        out = _residual_block_fused(p, x, cache)
+        if out is not None:
+            return out
     h, _ = causal_conv3d(p["shortcut"], x, None, kernel=(1, 1, 1)) \
         if p.get("shortcut") else (x, None)
     y = rms_norm_channel(p["norm1"], x)

@@ -19,6 +19,7 @@ XLA (3 kernel calls + adds), keeping per-kernel VMEM small enough for the
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -379,3 +380,160 @@ def causal_conv3d_pallas_v2(x: jax.Array, cache: jax.Array, w: jax.Array,
     outs = [call(jnp.full((1,), t, jnp.int32), xin, wk, b.reshape(1, -1))
             for t in range(T)]
     return jnp.stack(outs, axis=1)
+
+
+# ---------------------------------------------------------------------
+# v3: fused norm+silu+conv3d (+residual) — one pallas call per conv for
+# ALL frames.  Replaces the XLA chain rms_norm -> silu -> conv3d (+ add)
+# that dominates the VAE decoder (convs at ~40 TF/s + an equal share of
+# elementwise/formatting fusions; trace-measured).  The normalization is
+# applied IN-KERNEL to the DMA'd strips, so the conv caches hold RAW
+# inputs (exact: norm+silu are pointwise, and silu(norm(0)) == 0 matches
+# the reference's zero padding).  Requires C, Cout % 128 == 0 (the
+# padded-channel decoder provides this for the 96-wide stage at zero
+# extra HBM traffic — sub-128-lane arrays are physically lane-padded in
+# the TPU tiled layout anyway).
+# ---------------------------------------------------------------------
+
+def _nsc3d_kernel(x_hbm, g_ref, w_ref, b_ref, r_hbm, o_ref, xs, rs, acc,
+                  sem, rsem, *, th: int, H: int, W: int, C: int,
+                  eps: float, with_residual: bool, gamma_scale: float):
+    t = pl.program_id(0)
+    hi = pl.program_id(1)
+
+    out_row0 = hi * th
+    row_lo = jnp.clip(out_row0 - 1, 0, H - (th + 2))
+    shift = out_row0 - 1 - row_lo          # -1 top tile, +1 bottom, else 0
+
+    def fetch(slot):
+        # x_hbm is the [cache | x] timeline of RAW conv inputs
+        return pltpu.make_async_copy(
+            x_hbm.at[t + slot, pl.ds(row_lo, th + 2), :, :],
+            xs.at[slot], sem.at[slot])
+
+    for fr in range(3):
+        fetch(fr).start()
+    if with_residual:
+        rdma = pltpu.make_async_copy(
+            r_hbm.at[t, pl.ds(out_row0, th), :, :], rs, rsem)
+        rdma.start()
+    for fr in range(3):
+        fetch(fr).wait()
+
+    # fused prologue: u = silu(rms_norm_channel(x)) on each strip
+    for fr in range(3):
+        xf = xs[fr].astype(jnp.float32)
+        inv = jax.lax.rsqrt(jnp.sum(xf * xf, axis=-1, keepdims=True) + eps)
+        u = xf * inv * gamma_scale * g_ref[0].astype(jnp.float32)
+        xs[fr] = (u * jax.nn.sigmoid(u)).astype(xs.dtype)
+
+    Cop = o_ref.shape[-1]
+    col = jax.lax.broadcasted_iota(jnp.int32, (th, W), 1)
+    row = out_row0 + jax.lax.broadcasted_iota(jnp.int32, (th, W), 0)
+
+    def tap(idx, _):
+        tau = idx // 9
+        di = (idx // 3) % 3
+        dj = idx % 3
+        start_raw = shift + di
+        start = jnp.clip(start_raw, 0, 2)
+        delta = start_raw - start              # -1, 0, or +1
+        base = xs[tau, pl.ds(start, th), :, :].reshape(th * W, C)
+        y = jax.lax.dot_general(
+            base, w_ref[idx], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).reshape(th, W, Cop)
+        row_shift = jnp.where(delta == -1, 1,
+                              jnp.where(delta == 1, th - 1, 0))
+        y = pltpu.roll(y, row_shift, 0)
+        y = jax.lax.switch(dj, [
+            lambda v: pltpu.roll(v, 1, 1),
+            lambda v: v,
+            lambda v: pltpu.roll(v, W - 1, 1)], y)
+        lo_col = jnp.where(dj == 0, 1, 0)
+        hi_col = W - jnp.where(dj == 2, 1, 0)
+        valid_col = (col >= lo_col) & (col < hi_col)
+        in_row = row + (di - 1)
+        valid_row = (in_row >= 0) & (in_row < H)
+        mask = (valid_col & valid_row).astype(jnp.float32)[:, :, None]
+        acc[...] += y * mask
+        return _
+
+    acc[...] = jnp.zeros_like(acc)
+    jax.lax.fori_loop(0, 27, tap, 0)
+
+    out = acc[...] + b_ref[0].astype(jnp.float32)
+    if with_residual:
+        rdma.wait()
+        out = out + rs[...].astype(jnp.float32)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def norm_silu_conv3d_pallas(x_timeline: jax.Array, gamma: jax.Array,
+                            w: jax.Array, b: jax.Array,
+                            residual: jax.Array | None = None,
+                            eps: float = 1e-24, th: int = 8,
+                            interpret: bool = False):
+    """Fused silu(rms_norm(x)) -> 3x3x3 causal conv (+ residual add).
+
+    x_timeline: [T+2, H, W, C] raw conv inputs ([cache | x], cache = RAW
+    previous frames, not activated); w: [3,3,3,C,Cout]; residual
+    [T, H, W, Cout] or None.  Returns [T, H, W, Cout].  None if the
+    geometry does not fit (caller falls back to XLA).
+    """
+    Tin, H, W, C = x_timeline.shape
+    T = Tin - 2
+    Cout = w.shape[-1]
+    if W % 8 != 0 or C % 128 != 0 or Cout % 128 != 0:
+        return None
+    bpe = x_timeline.dtype.itemsize
+    w_bytes = 27 * C * Cout * bpe
+
+    def fits(t):
+        scratch = 3 * (t + 2) * W * C * bpe * 2   # strips + norm temps
+        accv = 2 * t * W * Cout * 4
+        out = 2 * t * W * Cout * bpe
+        res = (t * W * Cout * bpe) if residual is not None else 0
+        return w_bytes + scratch + accv + out + res + 2_000_000 \
+            <= 16_000_000
+
+    cand = [t for t in range(min(th, 8), 3, -1) if H % t == 0 and fits(t)
+            and H >= t + 2]
+    if not cand:
+        return None
+    th = cand[0]
+
+    wk = w.reshape(27, C, Cout)
+    kern = functools.partial(
+        _nsc3d_kernel, th=th, H=H, W=W, C=C, eps=eps,
+        with_residual=residual is not None,
+        gamma_scale=math.sqrt(C))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(T, H // th),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),    # timeline
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # gamma [1, C]
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # w [27, C, Cout]
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # b [1, Cout]
+            pl.BlockSpec(memory_space=pltpu.ANY),    # residual (or dummy)
+        ],
+        out_specs=pl.BlockSpec((1, th, W, Cout),
+                               lambda t, hi: (t, hi, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((3, th + 2, W, C), x_timeline.dtype),
+            pltpu.VMEM((th, W, Cout),
+                       x_timeline.dtype),            # residual strip
+            pltpu.VMEM((th, W, Cout), jnp.float32),  # accumulator
+            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    rin = residual if residual is not None \
+        else jnp.zeros((1, 1, 8, 128), x_timeline.dtype)
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((T, H, W, Cout), x_timeline.dtype),
+        interpret=interpret,
+    )(x_timeline, gamma.reshape(1, -1), wk, b.reshape(1, -1), rin)

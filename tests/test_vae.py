@@ -155,3 +155,41 @@ def test_sequence_decode_matches_per_frame_scan(monkeypatch):
     seq_full, seq_blocks = run()
     np.testing.assert_allclose(seq_full, ref_full, rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(seq_blocks, ref_blocks, rtol=2e-5, atol=2e-5)
+
+
+def test_fused_resblock_matches_xla_streaming(monkeypatch):
+    """The fused norm+silu+conv residual block (raw-input cache semantics)
+    matches the XLA path across consecutive streaming calls."""
+    from self_forcing_tpu.ops import pallas_conv
+    from self_forcing_tpu.ops import attention as att
+
+    key = jax.random.PRNGKey(31)
+    T, H, W, C = 2, 8, 16, 128
+    p = {
+        "norm1": 1.0 + 0.1 * jax.random.normal(key, (C,)),
+        "norm2": 1.0 - 0.1 * jax.random.normal(jax.random.fold_in(key, 1), (C,)),
+        "conv1": {"w": 0.05 * jax.random.normal(jax.random.fold_in(key, 2), (3, 3, 3, C, C)),
+                  "b": 0.1 * jax.random.normal(jax.random.fold_in(key, 3), (C,))},
+        "conv2": {"w": 0.05 * jax.random.normal(jax.random.fold_in(key, 4), (3, 3, 3, C, C)),
+                  "b": 0.1 * jax.random.normal(jax.random.fold_in(key, 5), (C,))},
+    }
+    x1 = jax.random.normal(jax.random.fold_in(key, 6), (1, T, H, W, C))
+    x2 = jax.random.normal(jax.random.fold_in(key, 7), (1, T, H, W, C))
+    zc = [jnp.zeros((1, 2, H, W, C)), jnp.zeros((1, 2, H, W, C))]
+
+    ya1, ca = jvae.residual_block(p, x1, zc)
+    ya2, _ = jvae.residual_block(p, x2, ca)
+
+    orig = pallas_conv.norm_silu_conv3d_pallas
+    monkeypatch.setattr(
+        pallas_conv, "norm_silu_conv3d_pallas",
+        lambda *a, **k: orig(*a, **{**k, "interpret": True}))
+    monkeypatch.setenv("SF_TPU_FUSED_VAE", "1")
+    monkeypatch.setattr(att, "_ATTENTION_BACKEND", "pallas")
+    yb1, cb = jvae.residual_block(p, x1, zc)
+    yb2, _ = jvae.residual_block(p, x2, cb)
+
+    np.testing.assert_allclose(np.asarray(yb1), np.asarray(ya1),
+                               atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(yb2), np.asarray(ya2),
+                               atol=2e-5, rtol=2e-5)
