@@ -141,6 +141,12 @@ def load_lora_weights(params: Params, state_dict: Mapping[str, Any],
         for layer, ab in per_layer.items():
             A[layer] = ab["A"].T    # torch [r, in] -> [in, r]
             B[layer] = ab["B"].T    # torch [out, r] -> [r, out]
+        if module == "self_attn" and proj in ("q", "k"):
+            # base q/k columns live in the RoPE half layout
+            # (rope.qk_half_perm, utils/checkpoints.py) — match it.
+            from self_forcing_tpu.models.wan.rope import qk_half_perm
+            head_dim = 128  # all Wan variants (wan/configs/*.py)
+            B = B[:, :, qk_half_perm(head_dim, d_out // head_dim)]
         leaf["lora_A"] = jnp.asarray(A, dtype)
         leaf["lora_B"] = jnp.asarray(B, dtype)
         scale = (alpha / r) if alpha is not None else 1.0

@@ -270,6 +270,87 @@ def _qkv(p: Params, cfg: WanConfig, x: jax.Array):
     return _heads(cfg, q), _heads(cfg, k), _heads(cfg, v)
 
 
+def _fold_heads(cfg: WanConfig, t: jax.Array) -> jax.Array:
+    """[B, L, N*D] -> the attention kernels' folded [B*N, L, D] layout."""
+    B, L, _ = t.shape
+    return t.reshape(B, L, cfg.num_heads, cfg.head_dim).transpose(
+        0, 2, 1, 3).reshape(B * cfg.num_heads, L, cfg.head_dim)
+
+
+def _unfold_heads(cfg: WanConfig, t: jax.Array) -> jax.Array:
+    """Folded [B*N, L, D] back to [B, L, N*D] (o-projection input)."""
+    BN, L, D = t.shape
+    B = BN // cfg.num_heads
+    return t.reshape(B, cfg.num_heads, L, D).transpose(
+        0, 2, 1, 3).reshape(B, L, cfg.num_heads * D)
+
+
+def _rope_half_folded(x: jax.Array, cos: jax.Array,
+                      sin: jax.Array) -> jax.Array:
+    """_rope_half on the folded [B*N, L, D] layout; cos/sin [L, D/2].
+
+    Applying the rotation after the head fold keeps every f32
+    intermediate in the kernels' operand layout — the [B, L, N, D]
+    staging costs ~8 ms/forward in XLA f32 layout copies at 1.3B.
+    The barrier pins the bf16 fold: without it XLA hoists the f32
+    upcast above the fold transpose and pays double-width copies."""
+    half = x.shape[-1] // 2
+    x = jax.lax.optimization_barrier(x)
+    xf = x.astype(jnp.float32)
+    x1, x2 = xf[..., :half], xf[..., half:]
+    c = cos[None, :, :]
+    s = sin[None, :, :]
+    y1 = x1 * c - x2 * s
+    y2 = x2 * c + x1 * s
+    return jnp.concatenate([y1, y2], axis=-1).astype(x.dtype)
+
+
+def _packed_ok(cfg: WanConfig) -> bool:
+    """Column-packed kernel operands need a head to fill whole 128-lane
+    blocks (Mosaic block granularity); production Wan head_dim is 128."""
+    return cfg.head_dim % 128 == 0
+
+
+def _qkv_rope_packed(p: Params, cfg: WanConfig, x: jax.Array,
+                     cos: jax.Array, sin: jax.Array):
+    """q/k/v in the natural [B, L, N*D] layout with RoPE applied through a
+    bitcast head view — zero transposes (pairs with the attention
+    kernels' ``heads_packed`` column slicing; the [BN, L, D] fold costs
+    two f32 layout copies per tensor at 1.3B geometry)."""
+    q = linear(p["q"], x)
+    k = linear(p["k"], x)
+    v = linear(p["v"], x)
+    if cfg.qk_norm:
+        q = rms_norm(q, p["norm_q"]["w"], cfg.eps)
+        k = rms_norm(k, p["norm_k"]["w"], cfg.eps)
+    B, L, _ = q.shape
+    N, D = cfg.num_heads, cfg.head_dim
+
+    def rope(t):
+        t4 = t.reshape(B, L, N, D)
+        return _rope_half(t4, cos, sin).reshape(B, L, N * D)
+
+    return rope(q), rope(k), v
+
+
+def _qkv_rope_folded(p: Params, cfg: WanConfig, x: jax.Array,
+                     cos: jax.Array, sin: jax.Array):
+    """q/k/v in the folded [B*N, L, D] layout with RoPE applied (q, k).
+
+    Same math as _qkv + _rope_half (causal_model.py:111-117,195-200);
+    the fold happens on the bf16 norm output and all rotation arithmetic
+    stays in the kernel layout."""
+    q = linear(p["q"], x)
+    k = linear(p["k"], x)
+    v = linear(p["v"], x)
+    if cfg.qk_norm:
+        q = rms_norm(q, p["norm_q"]["w"], cfg.eps)
+        k = rms_norm(k, p["norm_k"]["w"], cfg.eps)
+    qf = _rope_half_folded(_fold_heads(cfg, q), cos, sin)
+    kf = _rope_half_folded(_fold_heads(cfg, k), cos, sin)
+    return qf, kf, _fold_heads(cfg, v)
+
+
 def precompute_context(params: Params, cfg: WanConfig, context: jax.Array,
                        clip_fea: jax.Array | None = None) -> dict:
     """Per-prompt preprocessing shared by every DiT forward.
@@ -311,16 +392,29 @@ def precompute_context(params: Params, cfg: WanConfig, context: jax.Array,
 
 def _cross_attention(bp: Params, cfg: WanConfig, x: jax.Array,
                      ctx_kv_layer: dict) -> jax.Array:
-    """T2V/I2V cross attention with precomputed K/V (model.py:159-266)."""
+    """T2V/I2V cross attention with precomputed K/V (model.py:159-266).
+
+    q and the attention output stay in the natural [B, Lq, N*D] layout
+    (heads_packed): the kernel column-slices heads, so no transpose (and
+    no f32 fold copy) appears around the call."""
     p = bp["cross_attn"]
     q = linear(p["q"], x)
     if cfg.qk_norm:
         q = rms_norm(q, p["norm_q"]["w"], cfg.eps)
-    q = _heads(cfg, q)
     from self_forcing_tpu.ops.attention import cross_attention
-    out = cross_attention(q, ctx_kv_layer["k_txt"], ctx_kv_layer["v_txt"])
+    if _packed_ok(cfg):
+        out = cross_attention(q, ctx_kv_layer["k_txt"],
+                              ctx_kv_layer["v_txt"],
+                              heads_packed=cfg.num_heads)
+        if "k_img" in ctx_kv_layer:
+            out = out + cross_attention(q, ctx_kv_layer["k_img"],
+                                        ctx_kv_layer["v_img"],
+                                        heads_packed=cfg.num_heads)
+        return linear(p["o"], out)
+    q4 = _heads(cfg, q)
+    out = cross_attention(q4, ctx_kv_layer["k_txt"], ctx_kv_layer["v_txt"])
     if "k_img" in ctx_kv_layer:
-        out = out + cross_attention(q, ctx_kv_layer["k_img"],
+        out = out + cross_attention(q4, ctx_kv_layer["k_img"],
                                     ctx_kv_layer["v_img"])
     B, Lq = out.shape[:2]
     return linear(p["o"], out.reshape(B, Lq, cfg.dim))
@@ -427,6 +521,17 @@ def _rolled_cache(k_layer: jax.Array, sink_tokens: int,
 # transformer block (shared by all paths)
 # =====================================================================
 
+def _ffn(bp: Params, cfg: WanConfig, xn: jax.Array) -> jax.Array:
+    """FFN fc2(gelu(fc1(x))); fused W8A8 path when both linears are
+    quantized (ops/quant.quantized_ffn — keeps the gelu/quant chain in
+    VMEM instead of three XLA passes over the [L, ffn] hidden)."""
+    fc1, fc2 = bp["ffn"]["fc1"], bp["ffn"]["fc2"]
+    if "w_qa" in fc1 and "w_qa" in fc2:
+        from self_forcing_tpu.ops.quant import quantized_ffn
+        return quantized_ffn(fc1, fc2, xn)
+    return linear(fc2, gelu_tanh(linear(fc1, xn)))
+
+
 def _block_train(bp: Params, cfg: WanConfig, x: jax.Array, e0: jax.Array,
                  rope_cos: jax.Array, rope_sin: jax.Array,
                  mask: IntervalMask, ctx_kv_layer: dict,
@@ -441,8 +546,8 @@ def _block_train(bp: Params, cfg: WanConfig, x: jax.Array, e0: jax.Array,
     # self attention
     xn = _modulate(layer_norm(x, cfg.eps), e_shift, e_scale, frame_seqlen)
     q, k, v = _qkv(bp["self_attn"], cfg, xn)
-    q = _rope_pairs(q, rope_cos, rope_sin)
-    k = _rope_pairs(k, rope_cos, rope_sin)
+    q = _rope_half(q, rope_cos, rope_sin)
+    k = _rope_half(k, rope_cos, rope_sin)
     attn = flash_attention(q, k, v, mask)
     B, L = attn.shape[:2]
     y = linear(bp["self_attn"]["o"], attn.reshape(B, L, cfg.dim))
@@ -457,7 +562,7 @@ def _block_train(bp: Params, cfg: WanConfig, x: jax.Array, e0: jax.Array,
 
     # ffn
     xn = _modulate(layer_norm(x, cfg.eps), f_shift, f_scale, frame_seqlen)
-    y = linear(bp["ffn"]["fc2"], gelu_tanh(linear(bp["ffn"]["fc1"], xn)))
+    y = _ffn(bp, cfg, xn)
     return x + _gate(y, f_gate, frame_seqlen)
 
 
@@ -468,11 +573,15 @@ def _block_decode_fresh(bp: Params, cfg: WanConfig, x: jax.Array,
                         cache_hi: jax.Array, ctx_kv_layer: dict,
                         frame_seqlen: int,
                         static_kv_hi: int | None = None,
-                        layer_idx: jax.Array | None = None):
+                        layer_idx: jax.Array | None = None,
+                        emit_kv: bool = True):
     """One block with READ-ONLY cache attention: the current chunk's K/V
     are returned for a single out-of-scan cache write instead of being
     written per-layer (the cache-bandwidth fast path; semantics identical
-    to causal_model.py:194-241).
+    to causal_model.py:194-241).  ``emit_kv=False`` (denoise steps, where
+    the refresh pass rewrites the block's slots anyway) skips the folded
+    K/V outputs entirely — XLA does not reliably DCE the fold transposes
+    through scan ys.
 
     ``k_layer``/``v_layer`` are either this layer's [BN, S, D] slices, or
     the FULL stacked [L, BN, S, D] cache with ``layer_idx`` set — the
@@ -489,16 +598,32 @@ def _block_decode_fresh(bp: Params, cfg: WanConfig, x: jax.Array,
     f_shift, f_scale, f_gate = e[:, :, 3:4], e[:, :, 4:5], e[:, :, 5:6]
 
     xn = _modulate(layer_norm(x, cfg.eps), e_shift, e_scale, frame_seqlen)
-    q, k, v = _qkv(bp["self_attn"], cfg, xn)
-    q = _rope_pairs(q, rope_cos, rope_sin)
-    k = _rope_pairs(k, rope_cos, rope_sin)
-
-    attn = decode_attention_fresh(q, k_layer, v_layer, k, v, attn_lo,
-                                  cache_hi, static_hi=static_kv_hi,
-                                  quant=cfg.attn_quant,
-                                  layer_idx=layer_idx)
-    B, L = attn.shape[:2]
-    y = linear(bp["self_attn"]["o"], attn.reshape(B, L, cfg.dim))
+    if _packed_ok(cfg):
+        # q/k/v stay in the natural [B, L, N*D] layout end to end: the
+        # kernel slices head blocks out of the lane dimension
+        # (heads_packed), so no transpose exists on the denoise hot path
+        qp, kp, vp = _qkv_rope_packed(bp["self_attn"], cfg, xn,
+                                      rope_cos, rope_sin)
+        attn = decode_attention_fresh(qp, k_layer, v_layer, kp, vp,
+                                      attn_lo, cache_hi,
+                                      static_hi=static_kv_hi,
+                                      quant=cfg.attn_quant,
+                                      layer_idx=layer_idx,
+                                      heads_packed=cfg.num_heads)
+        y = linear(bp["self_attn"]["o"], attn)
+        kf = vf = None  # folded on demand below
+    else:
+        # head_dim < 128 (tiny test geometries): lane blocks can't cover
+        # a head, use the folded layout
+        qp, kp, vp = None, None, None
+        qf, kf, vf = _qkv_rope_folded(bp["self_attn"], cfg, xn,
+                                      rope_cos, rope_sin)
+        attn = decode_attention_fresh(qf, k_layer, v_layer, kf, vf,
+                                      attn_lo, cache_hi,
+                                      static_hi=static_kv_hi,
+                                      quant=cfg.attn_quant,
+                                      layer_idx=layer_idx)
+        y = linear(bp["self_attn"]["o"], _unfold_heads(cfg, attn))
     x = x + _gate(y, e_gate, frame_seqlen)
 
     if "norm3" in bp:
@@ -508,11 +633,13 @@ def _block_decode_fresh(bp: Params, cfg: WanConfig, x: jax.Array,
     x = x + _cross_attention(bp, cfg, xc, ctx_kv_layer)
 
     xn = _modulate(layer_norm(x, cfg.eps), f_shift, f_scale, frame_seqlen)
-    y = linear(bp["ffn"]["fc2"], gelu_tanh(linear(bp["ffn"]["fc1"], xn)))
+    y = _ffn(bp, cfg, xn)
     x = x + _gate(y, f_gate, frame_seqlen)
-    # emit fresh K/V in the cache's folded [B*N, Lq, D] layout
-    kf = k.transpose(0, 2, 1, 3).reshape(B * cfg.num_heads, L, cfg.head_dim)
-    vf = v.transpose(0, 2, 1, 3).reshape(B * cfg.num_heads, L, cfg.head_dim)
+    if not emit_kv:
+        return x, None, None
+    # the cache write wants the folded layout
+    if kf is None:
+        kf, vf = _fold_heads(cfg, kp), _fold_heads(cfg, vp)
     return x, kf, vf
 
 
@@ -531,23 +658,18 @@ def _block_decode(bp: Params, cfg: WanConfig, x: jax.Array, e0: jax.Array,
     f_shift, f_scale, f_gate = e[:, :, 3:4], e[:, :, 4:5], e[:, :, 5:6]
 
     xn = _modulate(layer_norm(x, cfg.eps), e_shift, e_scale, frame_seqlen)
-    q, k, v = _qkv(bp["self_attn"], cfg, xn)
-    q = _rope_pairs(q, rope_cos, rope_sin)
-    k = _rope_pairs(k, rope_cos, rope_sin)
+    qf, kf, vf = _qkv_rope_folded(bp["self_attn"], cfg, xn,
+                                  rope_cos, rope_sin)
 
     # write new K/V into the folded [B*N, S, D] cache at
     # [write_at, write_at + Lq)
-    B_, Lq_ = k.shape[:2]
-    kf = k.transpose(0, 2, 1, 3).reshape(-1, Lq_, cfg.head_dim)
-    vf = v.transpose(0, 2, 1, 3).reshape(-1, Lq_, cfg.head_dim)
     k_layer = jax.lax.dynamic_update_slice(
         k_layer, kf.astype(k_layer.dtype), (0, write_at, 0))
     v_layer = jax.lax.dynamic_update_slice(
         v_layer, vf.astype(v_layer.dtype), (0, write_at, 0))
 
-    attn = decode_attention(q, k_layer, v_layer, attn_lo, attn_hi)
-    B, L = attn.shape[:2]
-    y = linear(bp["self_attn"]["o"], attn.reshape(B, L, cfg.dim))
+    attn = decode_attention(qf, k_layer, v_layer, attn_lo, attn_hi)
+    y = linear(bp["self_attn"]["o"], _unfold_heads(cfg, attn))
     x = x + _gate(y, e_gate, frame_seqlen)
 
     if "norm3" in bp:
@@ -557,20 +679,29 @@ def _block_decode(bp: Params, cfg: WanConfig, x: jax.Array, e0: jax.Array,
     x = x + _cross_attention(bp, cfg, xc, ctx_kv_layer)
 
     xn = _modulate(layer_norm(x, cfg.eps), f_shift, f_scale, frame_seqlen)
-    y = linear(bp["ffn"]["fc2"], gelu_tanh(linear(bp["ffn"]["fc1"], xn)))
+    y = _ffn(bp, cfg, xn)
     x = x + _gate(y, f_gate, frame_seqlen)
     return x, k_layer, v_layer
 
 
-def _rope_pairs(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
-    """Rotate adjacent feature pairs; cos/sin [L, Dh/2]."""
-    B, L, N, D = x.shape
-    xf = x.astype(jnp.float32).reshape(B, L, N, D // 2, 2)
+def _rope_half(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """Rotate-half RoPE; cos/sin [L, Dh/2].
+
+    Equivalent to the reference's adjacent-pair complex rotation
+    (model.py:52-63) because q/k projection columns are stored permuted
+    to the half layout (rope.qk_half_perm): pair element 0 lives at i,
+    element 1 at i + Dh/2.  The permutation is shared by q and k, so
+    QK^T — and therefore every model output — is unchanged, while the
+    rotation compiles to lane-aligned FMAs instead of the minor-dim-2
+    relayout chain the interleaved form costs (~15 ms/forward at 1.3B)."""
+    half = x.shape[-1] // 2
+    xf = x.astype(jnp.float32)
+    x1, x2 = xf[..., :half], xf[..., half:]
     c = cos[None, :, None, :]
     s = sin[None, :, None, :]
-    y0 = xf[..., 0] * c - xf[..., 1] * s
-    y1 = xf[..., 0] * s + xf[..., 1] * c
-    return jnp.stack([y0, y1], axis=-1).reshape(B, L, N, D).astype(x.dtype)
+    y1 = x1 * c - x2 * s
+    y2 = x2 * c + x1 * s
+    return jnp.concatenate([y1, y2], axis=-1).astype(x.dtype)
 
 
 # =====================================================================
@@ -902,8 +1033,8 @@ def forward_inference(params: Params, cfg: WanConfig, x: jax.Array,
             tok, k_new, v_new = _block_decode_fresh(
                 bp, cfg, tok, e0, cos, sin, cache.k, cache.v, attn_lo,
                 write_at, layer_ctx, frame_seqlen, static_kv_hi,
-                layer_idx=li)
-            return tok, (k_new, v_new)
+                layer_idx=li, emit_kv=write_cache)
+            return tok, ((k_new, v_new) if write_cache else None)
 
         if has_img:
             xs = (params["blocks"], layer_ids, ctx_kv["k_txt"],
@@ -911,8 +1042,9 @@ def forward_inference(params: Params, cfg: WanConfig, x: jax.Array,
         else:
             xs = (params["blocks"], layer_ids, ctx_kv["k_txt"],
                   ctx_kv["v_txt"])
-        tokens, (ks_new, vs_new) = jax.lax.scan(scan_body, tokens, xs)
+        tokens, ys = jax.lax.scan(scan_body, tokens, xs)
         if write_cache:
+            ks_new, vs_new = ys
             # ks_new/vs_new: [L, B*N, Lq, D] — already in the cache layout
             new_k = jax.lax.dynamic_update_slice(
                 cache.k, ks_new.astype(cache.k.dtype), (0, 0, write_at, 0))

@@ -108,6 +108,26 @@ def apply_rope(x: jax.Array, tables: RopeTables, grid: tuple[int, int, int],
     return out.astype(x.dtype)
 
 
+def qk_half_perm(head_dim: int, num_heads: int) -> np.ndarray:
+    """Column permutation taking interleaved RoPE pairs to a half layout.
+
+    The reference rotates adjacent feature pairs (2i, 2i+1) per head
+    (model.py:52-63).  On TPU the minor-dim-2 pair layout costs ~15 ms of
+    relayout copies per DiT forward, so q/k projection columns (and their
+    RMS-norm weights) are stored permuted per head — pair element 0 at
+    position i, element 1 at i + head_dim/2 — and RoPE becomes the
+    lane-friendly ``x*cos + rotate_half(x)*sin`` (dit._rope_half).  QK^T
+    is invariant under any shared q/k feature permutation, so model
+    outputs are unchanged.  Applied in checkpoints.convert_dit_state_dict
+    and lora.load_lora_weights; random init needs no permutation.
+    """
+    half = np.empty(head_dim, np.int64)
+    half[:head_dim // 2] = np.arange(0, head_dim, 2)
+    half[head_dim // 2:] = np.arange(1, head_dim, 2)
+    return (np.arange(num_heads)[:, None] * head_dim
+            + half[None, :]).reshape(-1)
+
+
 def sinusoidal_embedding_1d(dim: int, position: jax.Array) -> jax.Array:
     """[cos | sin] sinusoidal time embedding (model.py:15-25).
 

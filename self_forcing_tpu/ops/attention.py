@@ -53,15 +53,25 @@ def dense_attention(q: jax.Array, k: jax.Array, v: jax.Array,
 
 
 def cross_attention(q: jax.Array, k: jax.Array, v: jax.Array,
-                    scale: float | None = None) -> jax.Array:
+                    scale: float | None = None,
+                    heads_packed: int | None = None) -> jax.Array:
     """Cross-attention with a small static KV (512 text / 257 image
     tokens): Pallas single-pass kernel on TPU (the XLA einsum path
     materializes [N, Lq, Lk] f32 scores+probs in HBM — trace-measured
-    ~2.7x the kernel's cost at 1.3B geometry), dense_attention elsewhere."""
+    ~2.7x the kernel's cost at 1.3B geometry), dense_attention elsewhere.
+
+    ``heads_packed=N``: q (and the output) use the natural [B, Lq, N*D]
+    column-packed layout; k/v stay [B, Lk, N, D] (tiny)."""
     if k.shape[1] <= 1024 and _use_pallas():
         from self_forcing_tpu.ops.pallas_attention import (
             cross_attention_pallas)
-        return cross_attention_pallas(q, k, v, scale=scale)
+        return cross_attention_pallas(q, k, v, scale=scale,
+                                      heads_packed=heads_packed)
+    if heads_packed is not None:
+        NH = heads_packed
+        q4 = q.reshape(*q.shape[:2], NH, q.shape[-1] // NH)
+        out = dense_attention(q4, k, v, scale=scale)
+        return out.reshape(*out.shape[:2], -1)
     return dense_attention(q, k, v, scale=scale)
 
 
@@ -171,6 +181,12 @@ def decode_attention(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
             decode_attention_pallas)
         return decode_attention_pallas(q, k_cache, v_cache, kv_start,
                                        kv_end, scale=scale)
+    if q.ndim == 3:
+        # folded [BN, ., D] operands == singleton-head 4-D attention
+        out = decode_attention_xla(q[:, :, None], k_cache[:, :, None],
+                                   v_cache[:, :, None], kv_start, kv_end,
+                                   scale=scale, kv_chunk=kv_chunk)
+        return out[:, :, 0]
     N = q.shape[2]
     return decode_attention_xla(q, unfold_kv(k_cache, N),
                                 unfold_kv(v_cache, N), kv_start, kv_end,
@@ -216,7 +232,8 @@ def decode_attention_fresh(q: jax.Array, k_cache: jax.Array,
                            scale: float | None = None,
                            static_hi: int | None = None,
                            quant: str | None = None,
-                           layer_idx: jax.Array | None = None) -> jax.Array:
+                           layer_idx: jax.Array | None = None,
+                           heads_packed: int | None = None) -> jax.Array:
     """KV-cache attention where the *current block's* K/V have not been
     written into the cache yet: queries see cache[kv_start:kv_end) plus all
     of k_new/v_new.
@@ -234,6 +251,12 @@ def decode_attention_fresh(q: jax.Array, k_cache: jax.Array,
     per-layer lax.scan should close over the whole cache instead of
     scanning it (the per-layer slice costs a 100 MB materialization per
     layer per forward; PERF.md).
+
+    With ``heads_packed=N``, q/k_new/v_new (and the output) use the
+    natural [B, L, N*D] column-packed layout — the Pallas kernel slices
+    head blocks out of the lane dimension, so no transpose exists around
+    the call (the [BN, L, D] fold costs ~8 ms/forward in f32 layout
+    copies at 1.3B geometry).
     """
     if _use_pallas():
         from self_forcing_tpu.ops.pallas_attention import (
@@ -243,13 +266,29 @@ def decode_attention_fresh(q: jax.Array, k_cache: jax.Array,
                                              scale=scale,
                                              static_hi=static_hi,
                                              quant=quant,
-                                             layer_idx=layer_idx)
-    N = q.shape[2]
+                                             layer_idx=layer_idx,
+                                             heads_packed=heads_packed)
     if k_cache.ndim == 4 and layer_idx is not None:
         k_cache = jax.lax.dynamic_index_in_dim(k_cache, layer_idx, 0,
                                                keepdims=False)
         v_cache = jax.lax.dynamic_index_in_dim(v_cache, layer_idx, 0,
                                                keepdims=False)
+    if heads_packed is not None:
+        NH = heads_packed
+        q, k_new, v_new = (a.reshape(*a.shape[:2], NH, a.shape[-1] // NH)
+                           for a in (q, k_new, v_new))
+        out = decode_attention_fresh_xla(
+            q, unfold_kv(k_cache, NH), unfold_kv(v_cache, NH),
+            k_new, v_new, kv_start, kv_end, scale=scale)
+        return out.reshape(*out.shape[:2], -1)
+    if q.ndim == 3:
+        # folded [BN, ., D] operands == singleton-head 4-D attention
+        out = decode_attention_fresh_xla(
+            q[:, :, None], k_cache[:, :, None], v_cache[:, :, None],
+            k_new[:, :, None], v_new[:, :, None], kv_start, kv_end,
+            scale=scale)
+        return out[:, :, 0]
+    N = q.shape[2]
     return decode_attention_fresh_xla(
         q, unfold_kv(k_cache, N), unfold_kv(v_cache, N),
         unfold_kv(k_new, N), unfold_kv(v_new, N),

@@ -128,16 +128,39 @@ def _fold_kv(a: jax.Array) -> jax.Array:
     return a
 
 
+def _fold_q(q: jax.Array) -> jax.Array:
+    """[B, Lq, N, D] -> [BN, Lq, D]; pre-folded 3-D passes through.
+
+    The DiT decode path emits q/k/v directly in the folded layout
+    (models/wan/dit.py _qkv_rope_folded) — norm/RoPE fusions then share
+    the kernel operand layout, which removes ~8 ms/forward of f32 layout
+    copies at 1.3B geometry.  When q arrives folded the kernel output is
+    returned folded too."""
+    if q.ndim == 4:
+        B, Lq, N, D = q.shape
+        return q.transpose(0, 2, 1, 3).reshape(B * N, Lq, D)
+    return q
+
+
+def _unfold_like_q(out: jax.Array, q: jax.Array) -> jax.Array:
+    """Kernel output [BN, Lq, D] back to q's layout (4-D or folded)."""
+    if q.ndim == 3:
+        return out
+    B, Lq, N, D = q.shape
+    return out.reshape(B, N, Lq, D).transpose(0, 2, 1, 3)
+
+
 def _decode_fwd(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
                 kv_start: jax.Array, kv_end: jax.Array, scale: float,
                 tq: int, tk: int, interpret: bool) -> jax.Array:
-    B, Lq, N, D = q.shape
+    Lq = q.shape[1]
+    D = q.shape[-1]
+    BN = q.shape[0] * (q.shape[2] if q.ndim == 4 else 1)
     S = k_cache.shape[1]   # token axis in both layouts
-    BN = B * N
     qt = _cdiv(Lq, tq)
     kt = _cdiv(S, tk)
 
-    qf = _pad_to(q.transpose(0, 2, 1, 3).reshape(BN, Lq, D), 1, qt * tq)
+    qf = _pad_to(_fold_q(q), 1, qt * tq)
     kf = _pad_to(_fold_kv(k_cache), 1, kt * tk)
     vf = _pad_to(_fold_kv(v_cache), 1, kt * tk)
 
@@ -174,7 +197,7 @@ def _decode_fwd(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
         out_shape=jax.ShapeDtypeStruct((BN, qt * tq, D), q.dtype),
         interpret=interpret,
     )(lo, hi, qf, kf, vf)
-    return out[:, :Lq].reshape(B, N, Lq, D).transpose(0, 2, 1, 3)
+    return _unfold_like_q(out[:, :Lq], q)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
@@ -192,15 +215,31 @@ def _decode_op_fwd(q, k_cache, v_cache, kv_start, kv_end, scale, tq, tk,
 
 
 def _decode_op_bwd(scale, tq, tk, interpret, res, g):
+    """Backward through the XLA reference (decode_attention_xla directly —
+    re-entering the dispatcher would recurse through this custom_vjp).
+    Folded operands ([BN, S, D]) are viewed as singleton-head 4-D: the
+    math is head-batched, so [BN, S, 1, D] attention is identical."""
     from self_forcing_tpu.ops import attention as xla_attn
     q, k_cache, v_cache, kv_start, kv_end = res
+    folded = q.ndim == 3
+    if folded:
+        q4, k4, v4, g4 = (a[:, :, None] for a in (q, k_cache, v_cache, g))
+    else:
+        N = q.shape[2]
+        q4, g4 = q, g
+        k4 = xla_attn.unfold_kv(k_cache, N)
+        v4 = xla_attn.unfold_kv(v_cache, N)
 
     def ref(q_, k_, v_):
-        return xla_attn.decode_attention(q_, k_, v_, kv_start, kv_end,
-                                         scale=scale)
+        return xla_attn.decode_attention_xla(q_, k_, v_, kv_start, kv_end,
+                                             scale=scale)
 
-    _, vjp = jax.vjp(ref, q, k_cache, v_cache)
-    dq, dk, dv = vjp(g)
+    _, vjp = jax.vjp(ref, q4, k4, v4)
+    dq, dk, dv = vjp(g4)
+    if folded:
+        dq, dk, dv = (a[:, :, 0] for a in (dq, dk, dv))
+    elif k_cache.ndim == 3:
+        dk, dv = _fold_kv(dk), _fold_kv(dv)
     return dq, dk, dv, None, None
 
 
@@ -434,10 +473,25 @@ def _decode_fresh_int8_kernel(li_ref, lo_ref, hi_ref, q_ref, k_ref, v_ref,
 
 def _decode_fresh_fwd(q, k_cache, v_cache, k_new, v_new, kv_start, kv_end,
                       scale, tq, tk, tf, interpret, static_hi=None,
-                      quant=None, layer_idx=None):
-    B, Lq, N, D = q.shape
-    Lf = k_new.shape[1]
-    BN = B * N
+                      quant=None, layer_idx=None, heads_packed=None):
+    Lq = q.shape[1]
+    if heads_packed is not None:
+        # Column-sliced operands: q/k_new/v_new (and the output) keep the
+        # natural [B, L, N*D] matmul-output layout; the BlockSpec picks
+        # head n as a 128-wide column block.  No transpose then exists in
+        # the XLA graph around the kernel (the [BN, L, D] fold costs two
+        # f32 layout copies per tensor, ~8 ms/forward at 1.3B; the
+        # strided DMA this trades for costs <5% of kernel time even with
+        # the whole KV strided — measured).  The cache stays folded
+        # [L, BN, S, D] (contiguous reads on the big stream).
+        NH = heads_packed
+        D = q.shape[-1] // NH
+        BN = q.shape[0] * NH
+    else:
+        NH = None
+        D = q.shape[-1]
+        BN = q.shape[0] * (q.shape[2] if q.ndim == 4 else 1)
+    Lf = k_new.shape[1]  # token axis in both layouts
     qt = _cdiv(Lq, tq)
 
     # Normalize the cache to the STACKED folded layout [L, BN, S, D] with
@@ -462,12 +516,17 @@ def _decode_fresh_fwd(q, k_cache, v_cache, k_new, v_new, kv_start, kv_end,
             if static_hi > 0 else 0
     ktf = _cdiv(Lf, tf)
 
-    qf = _pad_to(q.transpose(0, 2, 1, 3).reshape(BN, Lq, D), 1, qt * tq)
+    if NH is not None:
+        qf = _pad_to(q, 1, qt * tq)
+        knf = _pad_to(k_new.astype(kf4.dtype), 1, ktf * tf)
+        vnf = _pad_to(v_new.astype(vf4.dtype), 1, ktf * tf)
+    else:
+        qf = _pad_to(_fold_q(q), 1, qt * tq)
+        knf = _pad_to(_fold_kv(k_new).astype(kf4.dtype), 1, ktf * tf)
+        vnf = _pad_to(_fold_kv(v_new).astype(vf4.dtype), 1, ktf * tf)
     # operands stay full-size; static_hi only shrinks the index space
     kf4 = _pad_to(kf4, 2, kt_full * tk)
     vf4 = _pad_to(vf4, 2, kt_full * tk)
-    knf = _pad_to(_fold_kv(k_new).astype(kf4.dtype), 1, ktf * tf)
-    vnf = _pad_to(_fold_kv(v_new).astype(vf4.dtype), 1, ktf * tf)
 
     li = jnp.asarray(layer_idx, jnp.int32).reshape(1)
     lo = jnp.asarray(kv_start, jnp.int32).reshape(1)
@@ -482,8 +541,18 @@ def _decode_fresh_fwd(q, k_cache, v_cache, k_new, v_new, kv_start, kv_end,
         last = jnp.maximum((hi[0] - 1) // tk, first)
         return (li[0], b, jnp.clip(jnp.minimum(ki, ktc - 1), first, last), 0)
 
-    def fresh_idx(b, ki, qi, li, lo, hi):
-        return (b, jnp.clip(ki - ktc, 0, ktf - 1), 0)
+    if NH is not None:
+        def q_idx(b, ki, qi, li, lo, hi):
+            return (b // NH, qi, b % NH)
+
+        def fresh_idx(b, ki, qi, li, lo, hi):
+            return (b // NH, jnp.clip(ki - ktc, 0, ktf - 1), b % NH)
+    else:
+        def q_idx(b, ki, qi, li, lo, hi):
+            return (b, qi, 0)
+
+        def fresh_idx(b, ki, qi, li, lo, hi):
+            return (b, jnp.clip(ki - ktc, 0, ktf - 1), 0)
 
     scratch = [
         pltpu.VMEM((qt * tq, 128), jnp.float32),
@@ -508,67 +577,76 @@ def _decode_fresh_fwd(q, k_cache, v_cache, k_new, v_new, kv_start, kv_end,
         num_scalar_prefetch=3,
         grid=(BN, ktc + ktf, qt),   # q innermost: KV streamed once
         in_specs=[
-            pl.BlockSpec((1, tq, D),
-                         lambda b, ki, qi, li, lo, hi: (b, qi, 0)),
+            pl.BlockSpec((1, tq, D), q_idx),
             pl.BlockSpec((1, 1, tk, D), cache_idx),
             pl.BlockSpec((1, 1, tk, D), cache_idx),
             pl.BlockSpec((1, tf, D), fresh_idx),
             pl.BlockSpec((1, tf, D), fresh_idx),
         ],
-        out_specs=pl.BlockSpec((1, tq, D),
-                               lambda b, ki, qi, li, lo, hi: (b, qi, 0)),
+        out_specs=pl.BlockSpec((1, tq, D), q_idx),
         scratch_shapes=scratch,
     )
+    out_shape = ((qf.shape[0], qt * tq, qf.shape[-1]) if NH is not None
+                 else (BN, qt * tq, D))
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((BN, qt * tq, D), q.dtype),
+        out_shape=jax.ShapeDtypeStruct(out_shape, q.dtype),
         interpret=interpret,
     )(li, lo, hi, qf, kf4, vf4, knf, vnf)
-    return out[:, :Lq].reshape(B, N, Lq, D).transpose(0, 2, 1, 3)
+    if NH is not None:
+        return out[:, :Lq]
+    return _unfold_like_q(out[:, :Lq], q)
 
 
 def _decode_fresh_dispatch(q, k_cache, v_cache, k_new, v_new, kv_start,
                            kv_end, layer_idx, scale, tq, tk, tf, interpret,
-                           static_hi, quant=None):
+                           static_hi, quant=None, heads_packed=None):
     import os
     # Opt-in experiment (measured SLOWER at full window than the static-
     # grid kernel — Mosaic's managed pipelining wins; see PERF.md):
     if os.environ.get("SF_TPU_DYN_DECODE", "0") == "1" and quant is None \
-            and k_cache.ndim == 3:
+            and k_cache.ndim == 3 and heads_packed is None:
         return _decode_fresh_dyn_fwd(q, k_cache, v_cache, k_new, v_new,
                                      kv_start, kv_end, scale, tq, tk,
                                      interpret)
     return _decode_fresh_fwd(q, k_cache, v_cache, k_new, v_new, kv_start,
                              kv_end, scale, tq, tk, tf, interpret,
-                             static_hi, quant, layer_idx)
+                             static_hi, quant, layer_idx, heads_packed)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13,
-                                                    14))
+                                                    14, 15))
 def _decode_fresh_op(q, k_cache, v_cache, k_new, v_new, kv_start, kv_end,
                      layer_idx, scale, tq, tk, tf, interpret, static_hi,
-                     quant):
+                     quant, heads_packed):
     return _decode_fresh_dispatch(q, k_cache, v_cache, k_new, v_new,
                                   kv_start, kv_end, layer_idx, scale, tq,
-                                  tk, tf, interpret, static_hi, quant)
+                                  tk, tf, interpret, static_hi, quant,
+                                  heads_packed)
 
 
 def _decode_fresh_op_fwd(q, k_cache, v_cache, k_new, v_new, kv_start,
                          kv_end, layer_idx, scale, tq, tk, tf, interpret,
-                         static_hi, quant):
+                         static_hi, quant, heads_packed):
     out = _decode_fresh_dispatch(q, k_cache, v_cache, k_new, v_new,
                                  kv_start, kv_end, layer_idx, scale, tq,
-                                 tk, tf, interpret, static_hi, quant)
+                                 tk, tf, interpret, static_hi, quant,
+                                 heads_packed)
     return out, (q, k_cache, v_cache, k_new, v_new, kv_start, kv_end,
                  layer_idx)
 
 
 def _decode_fresh_op_bwd(scale, tq, tk, tf, interpret, static_hi, quant,
-                         res, g):
+                         heads_packed, res, g):
+    """Backward through the XLA reference.  Folded 3-D operands are
+    viewed as singleton-head 4-D (attention is head-batched, so
+    [BN, S, 1, D] is numerically identical); grads come back in each
+    operand's own layout."""
     from self_forcing_tpu.ops import attention as xla_attn
     q, k_cache, v_cache, k_new, v_new, kv_start, kv_end, layer_idx = res
     stacked = k_cache.ndim == 4 and layer_idx is not None
+    folded_q = q.ndim == 3 and heads_packed is None
 
     def ref(q_, kc_, vc_, kn_, vn_):
         if stacked:
@@ -576,8 +654,32 @@ def _decode_fresh_op_bwd(scale, tq, tk, tf, interpret, static_hi, quant,
                                                keepdims=False)
             vc_ = jax.lax.dynamic_index_in_dim(vc_, layer_idx, 0,
                                                keepdims=False)
-        return xla_attn.decode_attention_fresh_xla(
+        if heads_packed is not None:
+            # [B, L, N*D] column-packed view == [B, L, N, D] bitcast
+            NH = heads_packed
+            q_, kn_, vn_ = (a.reshape(*a.shape[:2], NH, a.shape[-1] // NH)
+                            for a in (q_, kn_, vn_))
+        if folded_q:
+            q_, kn_, vn_ = q_[:, :, None], kn_[:, :, None], vn_[:, :, None]
+        elif kn_.ndim == 3:
+            N = q_.shape[2]
+            kn_, vn_ = (xla_attn.unfold_kv(kn_, N),
+                        xla_attn.unfold_kv(vn_, N))
+        if kc_.ndim == 3:
+            if folded_q:
+                kc_, vc_ = kc_[:, :, None], vc_[:, :, None]
+            else:
+                N = q_.shape[2]
+                kc_, vc_ = (xla_attn.unfold_kv(kc_, N),
+                            xla_attn.unfold_kv(vc_, N))
+        if heads_packed is not None and kc_.ndim == 3:
+            kc_, vc_ = (xla_attn.unfold_kv(kc_, heads_packed),
+                        xla_attn.unfold_kv(vc_, heads_packed))
+        out = xla_attn.decode_attention_fresh_xla(
             q_, kc_, vc_, kn_, vn_, kv_start, kv_end, scale=scale)
+        if heads_packed is not None:
+            return out.reshape(*out.shape[:2], -1)
+        return out[:, :, 0] if folded_q else out
 
     _, vjp = jax.vjp(ref, q, k_cache, v_cache, k_new, v_new)
     dq, dkc, dvc, dkn, dvn = vjp(g)
@@ -702,14 +804,15 @@ def _decode_fresh_dyn_fwd(q, k_cache, v_cache, k_new, v_new, kv_start,
     # scoped VMEM is a hard 16MB: all-q softmax state (~7.6MB at Lq=4680)
     # + [tq, tk] f32 score temporaries + kv double buffers must fit
     tq, tk = min(tq, 256), min(tk, 1024)
-    B, Lq, N, D = q.shape
+    Lq = q.shape[1]
+    D = q.shape[-1]
+    BN = q.shape[0] * (q.shape[2] if q.ndim == 4 else 1)
     S = k_cache.shape[1]
-    Lf = k_new.shape[1]
-    BN = B * N
+    Lf = k_new.shape[1]  # token axis in both layouts
     qt = _cdiv(Lq, tq)
     nf = _cdiv(Lf, tk)
 
-    qf = _pad_to(q.transpose(0, 2, 1, 3).reshape(BN, Lq, D), 1, qt * tq)
+    qf = _pad_to(_fold_q(q), 1, qt * tq)
     kf = _fold_kv(k_cache)
     vf = _fold_kv(v_cache)
     knf = _pad_to(_fold_kv(k_new).astype(kf.dtype), 1, nf * tk)
@@ -746,7 +849,7 @@ def _decode_fresh_dyn_fwd(q, k_cache, v_cache, k_new, v_new, kv_start,
         out_shape=jax.ShapeDtypeStruct((BN, qt * tq, D), q.dtype),
         interpret=interpret,
     )(lo, hi, qf, kf, vf, knf, vnf)
-    return out[:, :Lq].reshape(B, N, Lq, D).transpose(0, 2, 1, 3)
+    return _unfold_like_q(out[:, :Lq], q)
 
 
 def decode_attention_fresh_pallas(q: jax.Array, k_cache: jax.Array,
@@ -758,7 +861,8 @@ def decode_attention_fresh_pallas(q: jax.Array, k_cache: jax.Array,
                                   interpret: bool = False,
                                   static_hi: Optional[int] = None,
                                   quant: Optional[str] = None,
-                                  layer_idx: Optional[jax.Array] = None
+                                  layer_idx: Optional[jax.Array] = None,
+                                  heads_packed: Optional[int] = None
                                   ) -> jax.Array:
     """Decode attention over cache[kv_start:kv_end) plus a fresh block of
     K/V that has not been written to the cache (read-only-cache fast path,
@@ -774,7 +878,7 @@ def decode_attention_fresh_pallas(q: jax.Array, k_cache: jax.Array,
     import os
     tq = int(os.environ.get("SF_TPU_DECODE_TQ", tq))
     tk = int(os.environ.get("SF_TPU_DECODE_TK", tk))
-    D = q.shape[-1]
+    D = q.shape[-1] if heads_packed is None else q.shape[-1] // heads_packed
     scale = (D ** -0.5) if scale is None else scale
     # exact-fit tiles: pick the tile count from the requested size, then
     # shrink the tile to cover the length with minimal padding (e.g.
@@ -794,7 +898,7 @@ def decode_attention_fresh_pallas(q: jax.Array, k_cache: jax.Array,
                             jnp.asarray(kv_start, jnp.int32),
                             jnp.asarray(kv_end, jnp.int32), li,
                             scale, tq, tk, tf, interpret, static_hi,
-                            quant)
+                            quant, heads_packed)
 
 
 # =====================================================================
@@ -824,48 +928,72 @@ def _cross_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
     o_ref[0] = (pv / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
-def _cross_fwd(q, k, v, scale, tq, interpret):
-    B, Lq, N, D = q.shape
+def _cross_fwd(q, k, v, scale, tq, interpret, heads_packed=None):
     Lk = k.shape[1]
-    BN = B * N
+    Lq = q.shape[1]
+    if heads_packed is not None:
+        # q/out keep the natural [B, Lq, N*D] layout; the BlockSpec picks
+        # head n as a 128-wide column block (no transpose in the graph)
+        NH = heads_packed
+        B = q.shape[0]
+        D = q.shape[-1] // NH
+        BN = B * NH
+        qf = _pad_to(q, 1, _cdiv(Lq, tq) * tq)
+        q_spec = pl.BlockSpec((1, tq, D), lambda b, qi: (b // NH, qi, b % NH))
+    else:
+        B, Lq, N, D = q.shape
+        BN = B * N
+        qf = _pad_to(q.transpose(0, 2, 1, 3).reshape(BN, Lq, D), 1,
+                     _cdiv(Lq, tq) * tq)
+        q_spec = pl.BlockSpec((1, tq, D), lambda b, qi: (b, qi, 0))
     qt = _cdiv(Lq, tq)
     kv_pad = max(128, _cdiv(Lk, 128) * 128)
 
-    qf = _pad_to(q.transpose(0, 2, 1, 3).reshape(BN, Lq, D), 1, qt * tq)
     kf = _pad_to(k.transpose(0, 2, 1, 3).reshape(BN, Lk, D), 1, kv_pad)
     vf = _pad_to(v.transpose(0, 2, 1, 3).reshape(BN, Lk, D), 1, kv_pad)
 
+    out_shape = ((B, qt * tq, q.shape[-1]) if heads_packed is not None
+                 else (BN, qt * tq, D))
     out = pl.pallas_call(
         functools.partial(_cross_kernel, scale=scale, kv_len=Lk,
                           kv_pad=kv_pad),
         grid=(BN, qt),
         in_specs=[
-            pl.BlockSpec((1, tq, D), lambda b, qi: (b, qi, 0)),
+            q_spec,
             pl.BlockSpec((1, kv_pad, D), lambda b, qi: (b, 0, 0)),
             pl.BlockSpec((1, kv_pad, D), lambda b, qi: (b, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, tq, D), lambda b, qi: (b, qi, 0)),
-        out_shape=jax.ShapeDtypeStruct((BN, qt * tq, D), q.dtype),
+        out_specs=q_spec,
+        out_shape=jax.ShapeDtypeStruct(out_shape, q.dtype),
         interpret=interpret,
     )(qf, kf, vf)
+    if heads_packed is not None:
+        return out[:, :Lq]
     return out[:, :Lq].reshape(B, N, Lq, D).transpose(0, 2, 1, 3)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _cross_op(q, k, v, scale, tq, interpret):
-    return _cross_fwd(q, k, v, scale, tq, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _cross_op(q, k, v, scale, tq, interpret, heads_packed):
+    return _cross_fwd(q, k, v, scale, tq, interpret, heads_packed)
 
 
-def _cross_op_fwd(q, k, v, scale, tq, interpret):
-    return _cross_fwd(q, k, v, scale, tq, interpret), (q, k, v)
+def _cross_op_fwd(q, k, v, scale, tq, interpret, heads_packed):
+    return _cross_fwd(q, k, v, scale, tq, interpret, heads_packed), (q, k, v)
 
 
-def _cross_op_bwd(scale, tq, interpret, res, g):
+def _cross_op_bwd(scale, tq, interpret, heads_packed, res, g):
     from self_forcing_tpu.ops import attention as xla_attn
     q, k, v = res
-    _, vjp = jax.vjp(
-        lambda q_, k_, v_: xla_attn.dense_attention(q_, k_, v_, scale=scale),
-        q, k, v)
+
+    def ref(q_, k_, v_):
+        if heads_packed is not None:
+            q4 = q_.reshape(*q_.shape[:2], heads_packed,
+                            q_.shape[-1] // heads_packed)
+            out = xla_attn.dense_attention(q4, k_, v_, scale=scale)
+            return out.reshape(*out.shape[:2], -1)
+        return xla_attn.dense_attention(q_, k_, v_, scale=scale)
+
+    _, vjp = jax.vjp(ref, q, k, v)
     return vjp(g)
 
 
@@ -874,17 +1002,20 @@ _cross_op.defvjp(_cross_op_fwd, _cross_op_bwd)
 
 def cross_attention_pallas(q: jax.Array, k: jax.Array, v: jax.Array,
                            scale: Optional[float] = None, tq: int = 512,
-                           interpret: bool = False) -> jax.Array:
+                           interpret: bool = False,
+                           heads_packed: Optional[int] = None) -> jax.Array:
     """softmax(q k^T) v with a small static KV (cross-attention).
 
     q: [B, Lq, N, D]; k/v: [B, Lk, N, D] with Lk <= ~1024 (whole KV in
-    one VMEM tile)."""
-    D = q.shape[-1]
+    one VMEM tile).  ``heads_packed=N``: q/out are [B, Lq, N*D]
+    column-packed (no transpose around the call)."""
+    D = (q.shape[-1] if heads_packed is None
+         else q.shape[-1] // heads_packed)
     scale = (D ** -0.5) if scale is None else scale
     Lq = q.shape[1]
     qt = _cdiv(Lq, min(tq, max(128, 1 << (Lq - 1).bit_length())))
     tq = max(8, -(-_cdiv(Lq, qt) // 8) * 8)
-    return _cross_op(q, k, v, scale, tq, interpret)
+    return _cross_op(q, k, v, scale, tq, interpret, heads_packed)
 
 
 # =====================================================================

@@ -94,6 +94,29 @@ def quantized_linear(p: Params, x: jax.Array) -> jax.Array:
     return y.astype(x.dtype)
 
 
+def quantized_ffn(p1: Params, p2: Params, x: jax.Array) -> jax.Array:
+    """fc2(gelu(fc1(x))) with both linears W8A8 and the whole
+    between-matmul chain (dequant, bias, gelu, re-quantization) fused
+    into the Pallas kernels' epilogues (ops/pallas_matmul.w8a8_ffn).
+
+    The hidden activation is group-quantized (group = fc2 k-tile, 896 at
+    Wan geometry) — finer than the per-token scale of the unfused path,
+    so at least as accurate.  Off-TPU falls back to the two-call
+    per-token path (reference semantics, demo.py:277-283)."""
+    from self_forcing_tpu.models.wan.dit import gelu_tanh
+    if "w_qa" in p1 and "w_qa" in p2 and _use_pallas():
+        from self_forcing_tpu.ops.pallas_matmul import w8a8_ffn
+        x_q, s_x = quantize_activations(x)
+        lead = x.shape[:-1]
+        y = w8a8_ffn(x_q.reshape(-1, x.shape[-1]), s_x.reshape(-1, 1),
+                     p1["w_qa"], p1["w_scale"], p1.get("b"),
+                     p2["w_qa"], p2["w_scale"], p2.get("b"),
+                     out_dtype=x.dtype)
+        if y is not None:
+            return y.reshape(*lead, y.shape[-1])
+    return quantized_linear(p2, gelu_tanh(quantized_linear(p1, x)))
+
+
 def quantize_dit_params(params: Params, min_dim: int = 512,
                         mode: str = "w8a8") -> Params:
     """Quantize every big linear in the DiT block stack (q/k/v/o, ffn).

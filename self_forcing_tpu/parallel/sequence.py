@@ -78,7 +78,7 @@ def _block_sp(bp, cfg: WanConfig, x, e0, cos, sin, ctx_kv_layer,
     tokens); mirrors dit._block_train."""
     from self_forcing_tpu.models.wan.dit import (_cross_attention, _gate,
                                                  _modulate, _qkv,
-                                                 _rope_pairs, gelu_tanh,
+                                                 _rope_half, gelu_tanh,
                                                  layer_norm, linear)
     mod = bp["modulation"].astype(jnp.float32)[:, None]
     e = (mod + e0.astype(jnp.float32)).astype(x.dtype)
@@ -87,8 +87,8 @@ def _block_sp(bp, cfg: WanConfig, x, e0, cos, sin, ctx_kv_layer,
 
     xn = _modulate(layer_norm(x, cfg.eps), e_shift, e_scale, frame_seqlen)
     q, k, v = _qkv(bp["self_attn"], cfg, xn)
-    q = _rope_pairs(q, cos, sin)
-    k = _rope_pairs(k, cos, sin)
+    q = _rope_half(q, cos, sin)
+    k = _rope_half(k, cos, sin)
     attn = ring_attention(q, k, v, axis_name)
     B, L = attn.shape[:2]
     y = linear(bp["self_attn"]["o"], attn.reshape(B, L, cfg.dim))

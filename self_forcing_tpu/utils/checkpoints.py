@@ -104,12 +104,26 @@ def convert_dit_state_dict(sd: Mapping[str, Any], cfg,
         },
     }
 
+    # Self-attention q/k columns are stored in the RoPE half layout
+    # (rope.qk_half_perm): QK^T is invariant, and the rotation becomes
+    # lane-aligned FMAs instead of a minor-dim-2 relayout chain.
+    from self_forcing_tpu.models.wan.rope import qk_half_perm
+    rope_perm = qk_half_perm(cfg.head_dim, cfg.num_heads)
+
     def attn(prefix, cross):
         p = {"q": lin(prefix + ".q"), "k": lin(prefix + ".k"),
              "v": lin(prefix + ".v"), "o": lin(prefix + ".o")}
+        if not cross:
+            for proj in ("q", "k"):
+                p[proj]["w"] = p[proj]["w"][:, rope_perm]
+                if "b" in p[proj]:
+                    p[proj]["b"] = p[proj]["b"][rope_perm]
         if cfg.qk_norm:
             p["norm_q"] = {"w": jnp.asarray(_np(sd[prefix + ".norm_q.weight"]), dtype)}
             p["norm_k"] = {"w": jnp.asarray(_np(sd[prefix + ".norm_k.weight"]), dtype)}
+            if not cross:
+                p["norm_q"]["w"] = p["norm_q"]["w"][rope_perm]
+                p["norm_k"]["w"] = p["norm_k"]["w"][rope_perm]
         if cross and prefix + ".k_img.weight" in sd:
             p["k_img"] = lin(prefix + ".k_img")
             p["v_img"] = lin(prefix + ".v_img")

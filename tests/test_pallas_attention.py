@@ -204,6 +204,54 @@ def test_w8a8_matmul_matches_xla():
                                rtol=1e-5, atol=1e-4)
 
 
+def test_w8a8_ffn_fused_matches_float():
+    """Fused fc1+gelu+group-quant+fc2 kernel pair stays within int8
+    quantization noise of the float FFN, and matches an exact XLA
+    emulation of its own group-wise semantics."""
+    from self_forcing_tpu.ops.pallas_matmul import w8a8_ffn
+    from self_forcing_tpu.ops.quant import (quantize_activations,
+                                            quantize_linear_params)
+    key = jax.random.PRNGKey(11)
+    M, K, H = 64, 256, 896
+    x = jax.random.normal(key, (M, K), jnp.float32) * 0.5
+    w1 = jax.random.normal(jax.random.fold_in(key, 1), (K, H)) * 0.05
+    w2 = jax.random.normal(jax.random.fold_in(key, 2), (H, K)) * 0.05
+    b1 = jax.random.normal(jax.random.fold_in(key, 3), (H,)) * 0.1
+    b2 = jax.random.normal(jax.random.fold_in(key, 4), (K,)) * 0.1
+    p1 = quantize_linear_params({"w": w1, "b": b1})
+    p2 = quantize_linear_params({"w": w2, "b": b2})
+    x_q, s_x = quantize_activations(x)
+    out = w8a8_ffn(x_q, s_x, p1["w_qa"], p1["w_scale"], p1["b"],
+                   p2["w_qa"], p2["w_scale"], p2["b"],
+                   out_dtype=jnp.float32, interpret=True)
+    assert out is not None
+
+    ref_f = jax.nn.gelu(x @ w1 + b1, approximate=True) @ w2 + b2
+    scale = float(jnp.max(jnp.abs(ref_f)))
+    assert float(jnp.max(jnp.abs(out - ref_f))) / scale < 0.05
+
+    # exact group-wise emulation (group width = 896 at this geometry)
+    h = (jax.lax.dot_general(x_q, p1["w_qa"], (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.int32
+                             ).astype(jnp.float32) * (s_x * p1["w_scale"])
+         + b1)
+    g = jax.nn.gelu(h, approximate=True)
+    tg = 896
+    gg = g.reshape(M, H // tg, tg)
+    s_g = jnp.maximum(jnp.max(jnp.abs(gg), axis=-1, keepdims=True),
+                      1e-6) / 127.0
+    g_q = jnp.clip(jnp.round(gg / s_g), -127, 127).astype(jnp.int8)
+    acc = jnp.zeros((M, K), jnp.float32)
+    for j in range(H // tg):
+        pj = jax.lax.dot_general(
+            g_q[:, j], p2["w_qa"][j * tg:(j + 1) * tg],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+        acc = acc + pj.astype(jnp.float32) * s_g[:, j]
+    ref_g = acc * p2["w_scale"] + b2
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_g),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_decode_fresh_static_hi_matches_xla():
     """Static grid bound (pipeline block hints) must not change results."""
     q, k, v = _qkv(jax.random.PRNGKey(3), 96, 320)
