@@ -38,8 +38,46 @@ def _kernel(x_ref, sx_ref, w_ref, ws_ref, b_ref, o_ref, acc_ref, *, nk):
     @pl.when(k == nk - 1)
     def _():
         y = acc_ref[...].astype(jnp.float32)
-        y = y * sx_ref[...] * ws_ref[...] + b_ref[...]
+        y = y * sx_ref[:, 0:1] * ws_ref[...] + b_ref[...]
         o_ref[...] = y.astype(o_ref.dtype)
+
+
+def _kernel_bf16x(x_ref, w_ref, ws_ref, b_ref, o_ref):
+    """W8A8 matmul taking RAW bf16 activations: per-token scale and int8
+    cast happen in VMEM on the resident x tile (requires K = one tile).
+    Kills the whole XLA-side quantization chain — the absmax row-reduce
+    over [4680, 1536] alone costs 1.35 ms (60x its bandwidth cost; XLA
+    minor-dim reductions to a [M] vector run at ~10 GB/s), plus the
+    round/clamp/int8-pack pass.  The re-quantization per n-step is VPU
+    work on a resident tile (~30 us) and Mosaic elides the x re-fetch
+    (same block index across the inner n grid dim)."""
+    xt = x_ref[...].astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(xt), axis=1, keepdims=True),
+                    1e-8) / 127.0
+    x_q = jnp.clip(jnp.round(xt / s), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        x_q, w_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * s * ws_ref[...] + b_ref[...]
+    o_ref[...] = y.astype(o_ref.dtype)
+
+
+def _ffn1_kernel_bf16x(x_ref, w_ref, ws_ref, b_ref, o_ref, so_ref):
+    """_ffn1_kernel with in-kernel activation quantization (K = one
+    tile): bf16 x in, gelu + group-quantized int8 hidden out."""
+    xt = x_ref[...].astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(xt), axis=1, keepdims=True),
+                    1e-8) / 127.0
+    x_q = jnp.clip(jnp.round(xt / s), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        x_q, w_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * s * ws_ref[...] + b_ref[...]
+    g = jax.nn.gelu(y, approximate=True)
+    sg = jnp.maximum(jnp.max(jnp.abs(g), axis=1, keepdims=True),
+                     1e-6) / 127.0
+    o_ref[...] = jnp.clip(jnp.round(g / sg), -127, 127).astype(jnp.int8)
+    so_ref[...] = jnp.broadcast_to(sg, so_ref.shape)
 
 
 def _ffn1_kernel(x_ref, sx_ref, w_ref, ws_ref, b_ref, o_ref, so_ref,
@@ -114,7 +152,8 @@ def w8a8_matmul(x_q: jax.Array, s_x: jax.Array, w_q: jax.Array,
     (caller falls back to the XLA path)."""
     M, K = x_q.shape
     Kw, N = w_q.shape
-    assert K == Kw and s_x.shape == (M, 1) and w_scale.shape == (N,)
+    # s_x: per-token scales, [M, 1] or lane-broadcast [M, 128]
+    assert K == Kw and s_x.shape[0] == M and w_scale.shape == (N,)
     # On-chip sweep (v5e): tm~936/tn<=896/tk<=1536 is best at the DiT
     # shapes — 205 T/s on the 8960-wide/deep FFN matmuls, ~125 on the
     # K=N=1536 square ones.
@@ -137,7 +176,7 @@ def w8a8_matmul(x_q: jax.Array, s_x: jax.Array, w_q: jax.Array,
         grid=(M // tm, N // tn, nk),
         in_specs=[
             pl.BlockSpec((tm, tk), lambda i, j, k: (i, k)),
-            pl.BlockSpec((tm, 1), lambda i, j, k: (i, 0)),
+            pl.BlockSpec((tm, s_x.shape[1]), lambda i, j, k: (i, 0)),
             pl.BlockSpec((tk, tn), lambda i, j, k: (k, j)),
             pl.BlockSpec((1, tn), lambda i, j, k: (0, j)),
             pl.BlockSpec((1, tn), lambda i, j, k: (0, j)),
@@ -151,6 +190,76 @@ def w8a8_matmul(x_q: jax.Array, s_x: jax.Array, w_q: jax.Array,
     )(x_q, s_x.astype(jnp.float32), w_q, ws, b)
 
 
+def _quantize_rows_kernel(x_ref, o_ref, s_ref):
+    xt = x_ref[...].astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(xt), axis=1, keepdims=True),
+                    1e-8) / 127.0
+    o_ref[...] = jnp.clip(jnp.round(xt / s), -127, 127).astype(jnp.int8)
+    s_ref[...] = jnp.broadcast_to(s, s_ref.shape)
+
+
+def quantize_rows_pallas(x: jax.Array, interpret: bool = False):
+    """Per-token symmetric int8 quantization as ONE Pallas pass:
+    (x bf16 [M, K]) -> (x_q int8 [M, K], scale f32 [M, 128]-broadcast).
+
+    Same semantics as ops.quant.quantize_activations, but the XLA chain
+    costs ~2.3 ms at [4680, 1536] (the absmax row-reduce to a [M] vector
+    alone is 1.35 ms, ~60x its bandwidth cost) where this kernel is a
+    single streaming pass.  Returns None when no legal tiling exists."""
+    M, K = x.shape
+    tm = _pick_tile(M, 8, 2048)
+    if tm is None or K % 128 or K > 4096:
+        return None
+    return pl.pallas_call(
+        _quantize_rows_kernel,
+        grid=(M // tm,),
+        in_specs=[pl.BlockSpec((tm, K), lambda i: (i, 0))],
+        out_specs=[
+            pl.BlockSpec((tm, K), lambda i: (i, 0)),
+            pl.BlockSpec((tm, 128), lambda i: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((M, K), jnp.int8),
+            jax.ShapeDtypeStruct((M, 128), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x)
+
+
+def w8a8_matmul_bf16x(x: jax.Array, w_q: jax.Array, w_scale: jax.Array,
+                      bias: jax.Array | None = None,
+                      out_dtype=jnp.bfloat16, interpret: bool = False):
+    """W8A8 matmul from RAW bf16/f32 activations (in-kernel per-token
+    quantization; see _kernel_bf16x).  Requires K to fit one tile
+    (<= 1536) — covers every square DiT projection.  Returns None when
+    no legal tiling exists (caller falls back)."""
+    M, K = x.shape
+    Kw, N = w_q.shape
+    assert K == Kw and w_scale.shape == (N,)
+    tm = _pick_tile(M, 8, 1024)
+    tn = _pick_tile(N, 128, 896)
+    if tm is None or tn is None or K % 128 or K > 1536:
+        return None
+    b = (bias if bias is not None
+         else jnp.zeros((N,), jnp.float32)).astype(jnp.float32).reshape(1, N)
+    ws = w_scale.astype(jnp.float32).reshape(1, N)
+    return pl.pallas_call(
+        _kernel_bf16x,
+        grid=(M // tm, N // tn),
+        in_specs=[
+            pl.BlockSpec((tm, K), lambda i, j: (i, 0)),
+            pl.BlockSpec((K, tn), lambda i, j: (0, j)),
+            pl.BlockSpec((1, tn), lambda i, j: (0, j)),
+            pl.BlockSpec((1, tn), lambda i, j: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((tm, tn), lambda i, j: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(x, w_q, ws, b)
+
+
 def w8a8_ffn(x_q: jax.Array, s_x: jax.Array,
              w1_q: jax.Array, w1_scale: jax.Array, b1: jax.Array | None,
              w2_q: jax.Array, w2_scale: jax.Array, b2: jax.Array | None,
@@ -162,6 +271,10 @@ def w8a8_ffn(x_q: jax.Array, s_x: jax.Array,
     reduce, and re-reads it again to quantize (~7.4 ms/forward at 1.3B).
     Group width = fc1's output tile = fc2's k tile.
 
+    With ``s_x=None`` and bf16/f32 ``x_q``, fc1 quantizes its input
+    in-kernel (per-token scale on the resident tile; requires K <= one
+    tile) — no XLA-side quantization pass at all.
+
     Returns None if no legal tiling exists (caller falls back)."""
     M, K = x_q.shape
     _, H = w1_q.shape          # hidden (ffn) width
@@ -170,7 +283,9 @@ def w8a8_ffn(x_q: jax.Array, s_x: jax.Array,
     tg = _pick_tile(H, 128, 896)           # group width (fc1 tn = fc2 tk)
     tn2 = _pick_tile(N, 128, 896)
     tk1 = _pick_tile(K, 128, 1536)
-    if tm is None or tg is None or tn2 is None or tk1 is None:
+    raw_x = s_x is None
+    if tm is None or tg is None or tn2 is None or tk1 is None \
+            or (raw_x and tk1 != K):
         return None
     nk1 = K // tk1
     ng = H // tg
@@ -178,30 +293,53 @@ def w8a8_ffn(x_q: jax.Array, s_x: jax.Array,
     f32row = lambda a, n: (a if a is not None
                            else jnp.zeros((n,), jnp.float32)
                            ).astype(jnp.float32).reshape(1, n)
-    h_q, h_s = pl.pallas_call(
-        functools.partial(_ffn1_kernel, nk=nk1),
-        grid=(M // tm, ng, nk1),
-        in_specs=[
-            pl.BlockSpec((tm, tk1), lambda i, j, k: (i, k)),
-            pl.BlockSpec((tm, 1), lambda i, j, k: (i, 0)),
-            pl.BlockSpec((tk1, tg), lambda i, j, k: (k, j)),
-            pl.BlockSpec((1, tg), lambda i, j, k: (0, j)),
-            pl.BlockSpec((1, tg), lambda i, j, k: (0, j)),
-        ],
-        out_specs=[
-            pl.BlockSpec((tm, tg), lambda i, j, k: (i, j)),
-            pl.BlockSpec((tm, 128), lambda i, j, k: (i, j)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((M, H), jnp.int8),
-            jax.ShapeDtypeStruct((M, ng * 128), jnp.float32),
-        ],
-        scratch_shapes=[pltpu.VMEM((tm, tg), jnp.int32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")),
-        interpret=interpret,
-    )(x_q, s_x.astype(jnp.float32),
-      w1_q, f32row(w1_scale, H), f32row(b1, H))
+    if raw_x:
+        h_q, h_s = pl.pallas_call(
+            _ffn1_kernel_bf16x,
+            grid=(M // tm, ng),
+            in_specs=[
+                pl.BlockSpec((tm, K), lambda i, j: (i, 0)),
+                pl.BlockSpec((K, tg), lambda i, j: (0, j)),
+                pl.BlockSpec((1, tg), lambda i, j: (0, j)),
+                pl.BlockSpec((1, tg), lambda i, j: (0, j)),
+            ],
+            out_specs=[
+                pl.BlockSpec((tm, tg), lambda i, j: (i, j)),
+                pl.BlockSpec((tm, 128), lambda i, j: (i, j)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((M, H), jnp.int8),
+                jax.ShapeDtypeStruct((M, ng * 128), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary")),
+            interpret=interpret,
+        )(x_q, w1_q, f32row(w1_scale, H), f32row(b1, H))
+    else:
+        h_q, h_s = pl.pallas_call(
+            functools.partial(_ffn1_kernel, nk=nk1),
+            grid=(M // tm, ng, nk1),
+            in_specs=[
+                pl.BlockSpec((tm, tk1), lambda i, j, k: (i, k)),
+                pl.BlockSpec((tm, 1), lambda i, j, k: (i, 0)),
+                pl.BlockSpec((tk1, tg), lambda i, j, k: (k, j)),
+                pl.BlockSpec((1, tg), lambda i, j, k: (0, j)),
+                pl.BlockSpec((1, tg), lambda i, j, k: (0, j)),
+            ],
+            out_specs=[
+                pl.BlockSpec((tm, tg), lambda i, j, k: (i, j)),
+                pl.BlockSpec((tm, 128), lambda i, j, k: (i, j)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((M, H), jnp.int8),
+                jax.ShapeDtypeStruct((M, ng * 128), jnp.float32),
+            ],
+            scratch_shapes=[pltpu.VMEM((tm, tg), jnp.int32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary")),
+            interpret=interpret,
+        )(x_q, s_x.astype(jnp.float32),
+          w1_q, f32row(w1_scale, H), f32row(b1, H))
 
     return pl.pallas_call(
         functools.partial(_ffn2_kernel, nk=ng),

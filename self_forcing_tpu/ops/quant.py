@@ -67,17 +67,31 @@ def quantized_linear(p: Params, x: jax.Array) -> jax.Array:
           on TPU via the Pallas fused-epilogue kernel (ops/pallas_matmul).
     """
     if "w_qa" in p:
-        x_q, s_x = quantize_activations(x)
+        lead = x.shape[:-1]
+        K = x.shape[-1]
         if _use_pallas():
-            from self_forcing_tpu.ops.pallas_matmul import w8a8_matmul
-            lead = x.shape[:-1]
+            from self_forcing_tpu.ops.pallas_matmul import (
+                quantize_rows_pallas, w8a8_matmul)
+            # one-pass Pallas quantization (the XLA chain costs ~2.3 ms
+            # at [4680, 1536]; XLA CSEs this call across q/k/v which
+            # share an input)
+            q2 = quantize_rows_pallas(x.reshape(-1, K))
+            if q2 is not None:
+                x_q2, s128 = q2
+                y = w8a8_matmul(x_q2, s128, p["w_qa"], p["w_scale"],
+                                p.get("b"), out_dtype=x.dtype)
+                if y is not None:
+                    return y.reshape(*lead, y.shape[-1])
+            x_q, s_x = quantize_activations(x)
             y = w8a8_matmul(
-                x_q.reshape(-1, x.shape[-1]),
+                x_q.reshape(-1, K),
                 s_x.reshape(-1, 1),
                 p["w_qa"], p["w_scale"],
                 p.get("b"), out_dtype=x.dtype)
             if y is not None:
                 return y.reshape(*lead, y.shape[-1])
+        else:
+            x_q, s_x = quantize_activations(x)
         y = jax.lax.dot_general(
             x_q, p["w_qa"],
             (((x.ndim - 1,), (0,)), ((), ())),
@@ -106,12 +120,20 @@ def quantized_ffn(p1: Params, p2: Params, x: jax.Array) -> jax.Array:
     from self_forcing_tpu.models.wan.dit import gelu_tanh
     if "w_qa" in p1 and "w_qa" in p2 and _use_pallas():
         from self_forcing_tpu.ops.pallas_matmul import w8a8_ffn
-        x_q, s_x = quantize_activations(x)
         lead = x.shape[:-1]
-        y = w8a8_ffn(x_q.reshape(-1, x.shape[-1]), s_x.reshape(-1, 1),
+        K = x.shape[-1]
+        # s_x=None: fc1 quantizes its input in-kernel when K fits one
+        # tile; otherwise pre-quantize in XLA
+        y = w8a8_ffn(x.reshape(-1, K), None,
                      p1["w_qa"], p1["w_scale"], p1.get("b"),
                      p2["w_qa"], p2["w_scale"], p2.get("b"),
                      out_dtype=x.dtype)
+        if y is None:
+            x_q, s_x = quantize_activations(x)
+            y = w8a8_ffn(x_q.reshape(-1, K), s_x.reshape(-1, 1),
+                         p1["w_qa"], p1["w_scale"], p1.get("b"),
+                         p2["w_qa"], p2["w_scale"], p2.get("b"),
+                         out_dtype=x.dtype)
         if y is not None:
             return y.reshape(*lead, y.shape[-1])
     return quantized_linear(p2, gelu_tanh(quantized_linear(p1, x)))
