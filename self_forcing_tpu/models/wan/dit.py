@@ -305,6 +305,17 @@ def _rope_half_folded(x: jax.Array, cos: jax.Array,
     return jnp.concatenate([y1, y2], axis=-1).astype(x.dtype)
 
 
+def _max_row_norm(t: jax.Array, heads_packed: Optional[int]) -> jax.Array:
+    """Max 2-norm over per-head token rows.  t: [B, L, N*D] column-packed
+    (``heads_packed=N``) or already-folded [BN, L, D].  Feeds the bounded-
+    softmax score bound (Cauchy-Schwarz): one cheap fused reduce."""
+    tf = t.astype(jnp.float32)
+    if heads_packed is not None:
+        B, L, ND = t.shape
+        tf = tf.reshape(B, L, heads_packed, ND // heads_packed)
+    return jnp.sqrt(jnp.max(jnp.sum(tf * tf, axis=-1)))
+
+
 def _packed_ok(cfg: WanConfig) -> bool:
     """Column-packed kernel operands need a head to fill whole 128-lane
     blocks (Mosaic block granularity); production Wan head_dim is 128."""
@@ -474,9 +485,17 @@ class KVCache:
     v: jax.Array
     global_end: jax.Array  # i32 scalar
     local_end: jax.Array   # i32 scalar
+    # per-layer max 2-norm over cached K rows ([L] f32): the bounded-
+    # softmax decode kernel needs an upper bound on attention scores
+    # (Cauchy-Schwarz: s <= scale * |q_row| * max|k_row|); tracked
+    # incrementally at cache-write time so no pass over the cache is ever
+    # needed.  Zero when the cache is empty (scores over an empty window
+    # are masked anyway).
+    kmax: jax.Array
 
     def tree_flatten(self):
-        return ((self.k, self.v, self.global_end, self.local_end), None)
+        return ((self.k, self.v, self.global_end, self.local_end,
+                 self.kmax), None)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -497,14 +516,16 @@ def init_kv_cache(cfg: WanConfig, batch_size: int, frame_seqlen: int,
     return KVCache(
         k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
         global_end=jnp.zeros((), jnp.int32),
-        local_end=jnp.zeros((), jnp.int32))
+        local_end=jnp.zeros((), jnp.int32),
+        kmax=jnp.zeros((cfg.num_layers,), jnp.float32))
 
 
 def reset_kv_cache(cache: KVCache) -> KVCache:
     return dataclasses.replace(
         cache,
         global_end=jnp.zeros((), jnp.int32),
-        local_end=jnp.zeros((), jnp.int32))
+        local_end=jnp.zeros((), jnp.int32),
+        kmax=jnp.zeros_like(cache.kmax))
 
 
 def _rolled_cache(k_layer: jax.Array, sink_tokens: int,
@@ -574,7 +595,8 @@ def _block_decode_fresh(bp: Params, cfg: WanConfig, x: jax.Array,
                         frame_seqlen: int,
                         static_kv_hi: int | None = None,
                         layer_idx: jax.Array | None = None,
-                        emit_kv: bool = True):
+                        emit_kv: bool = True,
+                        kmax_layer: jax.Array | None = None):
     """One block with READ-ONLY cache attention: the current chunk's K/V
     are returned for a single out-of-scan cache write instead of being
     written per-layer (the cache-bandwidth fast path; semantics identical
@@ -588,7 +610,11 @@ def _block_decode_fresh(bp: Params, cfg: WanConfig, x: jax.Array,
     Pallas kernel then picks the layer itself, avoiding the per-layer
     slice materialization (PERF.md).
 
-    Returns (x, k_new, v_new).
+    ``kmax_layer``: this layer's cached-K row-norm bound (KVCache.kmax)
+    — enables the bounded-softmax kernel (cfg.attn_softmax='bounded').
+
+    Returns (x, k_new, v_new, kn_norm) — kn_norm is the fresh K's max row
+    norm (f32 scalar) for the caller's incremental kmax update, or None.
     """
     from self_forcing_tpu.ops.attention import decode_attention_fresh
 
@@ -597,6 +623,9 @@ def _block_decode_fresh(bp: Params, cfg: WanConfig, x: jax.Array,
     e_shift, e_scale, e_gate = e[:, :, 0:1], e[:, :, 1:2], e[:, :, 2:3]
     f_shift, f_scale, f_gate = e[:, :, 3:4], e[:, :, 4:5], e[:, :, 5:6]
 
+    bounded = (cfg.attn_softmax == "bounded" and cfg.attn_quant is None
+               and kmax_layer is not None)
+    kn_norm = None
     xn = _modulate(layer_norm(x, cfg.eps), e_shift, e_scale, frame_seqlen)
     if _packed_ok(cfg):
         # q/k/v stay in the natural [B, L, N*D] layout end to end: the
@@ -604,12 +633,20 @@ def _block_decode_fresh(bp: Params, cfg: WanConfig, x: jax.Array,
         # (heads_packed), so no transpose exists on the denoise hot path
         qp, kp, vp = _qkv_rope_packed(bp["self_attn"], cfg, xn,
                                       rope_cos, rope_sin)
+        m0 = None
+        if bounded:
+            # score bound s <= scale * max|q_row| * max|k_row| over the
+            # window = cached bound + this block's fresh K
+            kn_norm = _max_row_norm(kp, cfg.num_heads)
+            m0 = (cfg.head_dim ** -0.5) * _max_row_norm(qp, cfg.num_heads) \
+                * jnp.maximum(kmax_layer, kn_norm)
         attn = decode_attention_fresh(qp, k_layer, v_layer, kp, vp,
                                       attn_lo, cache_hi,
                                       static_hi=static_kv_hi,
                                       quant=cfg.attn_quant,
                                       layer_idx=layer_idx,
-                                      heads_packed=cfg.num_heads)
+                                      heads_packed=cfg.num_heads,
+                                      fixed_m0=m0)
         y = linear(bp["self_attn"]["o"], attn)
         kf = vf = None  # folded on demand below
     else:
@@ -618,11 +655,17 @@ def _block_decode_fresh(bp: Params, cfg: WanConfig, x: jax.Array,
         qp, kp, vp = None, None, None
         qf, kf, vf = _qkv_rope_folded(bp["self_attn"], cfg, xn,
                                       rope_cos, rope_sin)
+        m0 = None
+        if bounded:
+            kn_norm = _max_row_norm(kf, None)
+            m0 = (cfg.head_dim ** -0.5) * _max_row_norm(qf, None) \
+                * jnp.maximum(kmax_layer, kn_norm)
         attn = decode_attention_fresh(qf, k_layer, v_layer, kf, vf,
                                       attn_lo, cache_hi,
                                       static_hi=static_kv_hi,
                                       quant=cfg.attn_quant,
-                                      layer_idx=layer_idx)
+                                      layer_idx=layer_idx,
+                                      fixed_m0=m0)
         y = linear(bp["self_attn"]["o"], _unfold_heads(cfg, attn))
     x = x + _gate(y, e_gate, frame_seqlen)
 
@@ -636,11 +679,11 @@ def _block_decode_fresh(bp: Params, cfg: WanConfig, x: jax.Array,
     y = _ffn(bp, cfg, xn)
     x = x + _gate(y, f_gate, frame_seqlen)
     if not emit_kv:
-        return x, None, None
+        return x, None, None, kn_norm
     # the cache write wants the folded layout
     if kf is None:
         kf, vf = _fold_heads(cfg, kp), _fold_heads(cfg, vp)
-    return x, kf, vf
+    return x, kf, vf, kn_norm
 
 
 def _block_decode(bp: Params, cfg: WanConfig, x: jax.Array, e0: jax.Array,
@@ -1030,11 +1073,15 @@ def forward_inference(params: Params, cfg: WanConfig, x: jax.Array,
             else:
                 bp, li, kt, vt = xs
                 layer_ctx = {"k_txt": kt, "v_txt": vt}
-            tok, k_new, v_new = _block_decode_fresh(
+            tok, k_new, v_new, kn_norm = _block_decode_fresh(
                 bp, cfg, tok, e0, cos, sin, cache.k, cache.v, attn_lo,
                 write_at, layer_ctx, frame_seqlen, static_kv_hi,
-                layer_idx=li, emit_kv=write_cache)
-            return tok, ((k_new, v_new) if write_cache else None)
+                layer_idx=li, emit_kv=write_cache,
+                kmax_layer=cache.kmax[li])
+            if not write_cache:
+                return tok, None
+            return tok, ((k_new, v_new, kn_norm) if kn_norm is not None
+                         else (k_new, v_new))
 
         if has_img:
             xs = (params["blocks"], layer_ids, ctx_kv["k_txt"],
@@ -1043,8 +1090,15 @@ def forward_inference(params: Params, cfg: WanConfig, x: jax.Array,
             xs = (params["blocks"], layer_ids, ctx_kv["k_txt"],
                   ctx_kv["v_txt"])
         tokens, ys = jax.lax.scan(scan_body, tokens, xs)
+        new_kmax = cache.kmax
         if write_cache:
-            ks_new, vs_new = ys
+            if len(ys) == 3:
+                ks_new, vs_new, kn_norms = ys
+                # incremental per-layer cached-K row-norm bound for the
+                # bounded-softmax kernel (kn_norms: [L] f32)
+                new_kmax = jnp.maximum(cache.kmax, kn_norms)
+            else:
+                ks_new, vs_new = ys
             # ks_new/vs_new: [L, B*N, Lq, D] — already in the cache layout
             new_k = jax.lax.dynamic_update_slice(
                 cache.k, ks_new.astype(cache.k.dtype), (0, 0, write_at, 0))
@@ -1092,11 +1146,15 @@ def forward_inference(params: Params, cfg: WanConfig, x: jax.Array,
             xs = (params["blocks"], cache.k, cache.v, ctx_kv["k_txt"],
                   ctx_kv["v_txt"])
         tokens, (new_k, new_v) = jax.lax.scan(scan_body, tokens, xs)
+        # windowed mode keeps the online-softmax kernel; the bound is
+        # unused (left stale by the rolling eviction)
+        new_kmax = cache.kmax
 
     if write_cache:
         new_cache = KVCache(k=new_k, v=new_v,
                             global_end=jnp.asarray(current_end, jnp.int32),
-                            local_end=jnp.asarray(local_end, jnp.int32))
+                            local_end=jnp.asarray(local_end, jnp.int32),
+                            kmax=new_kmax)
     else:
         new_cache = cache
 

@@ -233,7 +233,8 @@ def decode_attention_fresh(q: jax.Array, k_cache: jax.Array,
                            static_hi: int | None = None,
                            quant: str | None = None,
                            layer_idx: jax.Array | None = None,
-                           heads_packed: int | None = None) -> jax.Array:
+                           heads_packed: int | None = None,
+                           fixed_m0: float | None = None) -> jax.Array:
     """KV-cache attention where the *current block's* K/V have not been
     written into the cache yet: queries see cache[kv_start:kv_end) plus all
     of k_new/v_new.
@@ -267,7 +268,8 @@ def decode_attention_fresh(q: jax.Array, k_cache: jax.Array,
                                              static_hi=static_hi,
                                              quant=quant,
                                              layer_idx=layer_idx,
-                                             heads_packed=heads_packed)
+                                             heads_packed=heads_packed,
+                                             fixed_m0=fixed_m0)
     if k_cache.ndim == 4 and layer_idx is not None:
         k_cache = jax.lax.dynamic_index_in_dim(k_cache, layer_idx, 0,
                                                keepdims=False)
