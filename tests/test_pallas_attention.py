@@ -356,3 +356,61 @@ def test_cross_attention_grad_matches_dense():
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_decode_fresh_bounded_matches_xla():
+    """Bounded-softmax mode (fixed_m0 = score upper bound in place of the
+    online running max) is mathematically exact softmax; a loose bound
+    only shifts the exp offset.  Mirrors models/wan/dit.py's
+    Cauchy-Schwarz bound over q / K row norms."""
+    q, k, v = _qkv(jax.random.PRNGKey(20), 96, 320)
+    kn = jax.random.normal(jax.random.PRNGKey(21), (B, 96, N, D))
+    vn = jax.random.normal(jax.random.PRNGKey(22), (B, 96, N, D))
+    scale = D ** -0.5
+
+    def bound(hi):
+        qn = jnp.max(jnp.linalg.norm(q, axis=-1))
+        kcat = jnp.concatenate([k[:, :hi], kn], axis=1)
+        return scale * qn * jnp.max(jnp.linalg.norm(kcat, axis=-1))
+
+    for lo, hi in [(0, 0), (0, 192), (64, 320)]:
+        ref = decode_attention_fresh_xla(q, k, v, kn, vn, jnp.int32(lo),
+                                         jnp.int32(hi))
+        for slack in (0.0, 5.0):
+            out = decode_attention_fresh_pallas(
+                q, k, v, kn, vn, jnp.int32(lo), jnp.int32(hi), tq=128,
+                tk=128, interpret=True, fixed_m0=bound(hi) + slack)
+            # bounded mode rounds p to bf16 for the MXU (on-chip the
+            # online kernel's MXU ops are demoted the same way; interpret
+            # mode keeps the online path in f32) -> bf16-level tolerance
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       rtol=5e-3, atol=5e-3)
+
+
+def test_decode_fresh_bounded_packed_layout():
+    """Bounded mode with column-packed operands ([B, L, N*D] layout) and a
+    stacked cache, as the DiT denoise hot path drives it."""
+    key = jax.random.PRNGKey(23)
+    L, S = 2, 256
+    q, _, _ = _qkv(key, 96, 8)
+    kc = jax.random.normal(jax.random.fold_in(key, 1), (L, B * N, S, D))
+    vc = jax.random.normal(jax.random.fold_in(key, 2), (L, B * N, S, D))
+    kn = jax.random.normal(jax.random.fold_in(key, 3), (B, 96, N, D))
+    vn = jax.random.normal(jax.random.fold_in(key, 4), (B, 96, N, D))
+    lo, hi = jnp.int32(0), jnp.int32(192)
+    scale = D ** -0.5
+    qp = q.reshape(B, 96, N * D)
+    knp = kn.reshape(B, 96, N * D)
+    vnp = vn.reshape(B, 96, N * D)
+    for li in range(L):
+        m0 = scale * jnp.max(jnp.linalg.norm(q, axis=-1)) * jnp.maximum(
+            jnp.max(jnp.linalg.norm(kc[li, :, :192], axis=-1)),
+            jnp.max(jnp.linalg.norm(kn, axis=-1)))
+        ref = decode_attention_fresh_pallas(
+            q, kc[li], vc[li], kn, vn, lo, hi, tq=32, tk=64, interpret=True)
+        out = decode_attention_fresh_pallas(
+            qp, kc, vc, knp, vnp, lo, hi, tq=32, tk=64, interpret=True,
+            layer_idx=jnp.int32(li), heads_packed=N, fixed_m0=m0)
+        np.testing.assert_allclose(
+            np.asarray(out).reshape(B, 96, N, D), np.asarray(ref),
+            rtol=5e-3, atol=5e-3)
