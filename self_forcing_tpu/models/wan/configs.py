@@ -40,9 +40,22 @@ class WanConfig:
     # kernel on v5e — ops/pallas_attention.py); 'online' = flash-attention
     # running max (bit-matches the historical kernel)
     attn_softmax: str = "bounded"
+    # Megatron-style tensor parallelism over ICI (the 14B single-host
+    # story; the reference has no TP — SURVEY.md §2.8 'absent').  When set,
+    # the forward is being traced inside a shard_map over this mesh axis
+    # with num_heads/ffn_dim already divided down to the per-device shard
+    # (parallel/tensor.py builds such configs); the block code then psums
+    # the row-sharded projections and the qk-norm statistics.
+    tp_axis: str | None = None
+    # set by parallel/tensor.tp_local_config: under TP, num_heads is the
+    # LOCAL head count while dim stays the model width, so head_dim can no
+    # longer be derived as dim // num_heads
+    head_dim_override: int | None = None
 
     @property
     def head_dim(self) -> int:
+        if self.head_dim_override is not None:
+            return self.head_dim_override
         return self.dim // self.num_heads
 
     def max_attention_size(self, frame_seqlen: int) -> int:

@@ -69,6 +69,37 @@ def rms_norm(x: jax.Array, weight: jax.Array, eps: float = 1e-5) -> jax.Array:
     return n.astype(x.dtype) * weight.astype(x.dtype)
 
 
+def _qk_rms_norm(x: jax.Array, weight: jax.Array,
+                 cfg: WanConfig) -> jax.Array:
+    """q/k RMSNorm.  The reference normalizes over the FULL packed dim
+    (model.py:70-86 applied before the head split), so under tensor
+    parallelism — x holding only this device's head columns — the
+    sum-of-squares is psum'd over the tp axis (one [.., 1] f32 psum)."""
+    if cfg.tp_axis is None:
+        return rms_norm(x, weight, cfg.eps)
+    xf = x.astype(jnp.float32)
+    tp = jax.lax.psum(1, cfg.tp_axis)
+    ss = jax.lax.psum(jnp.sum(xf * xf, axis=-1, keepdims=True), cfg.tp_axis)
+    n = xf * jax.lax.rsqrt(ss / (x.shape[-1] * tp) + cfg.eps)
+    return n.astype(x.dtype) * weight.astype(x.dtype)
+
+
+def _out_linear(p: Params, x: jax.Array, cfg: WanConfig) -> jax.Array:
+    """Row-sharded output projection (attention o / ffn fc2): under tensor
+    parallelism each device holds a row shard of w, so partial products
+    are psum'd over the tp axis and the (replicated) bias is added once
+    after the reduce."""
+    if cfg.tp_axis is None:
+        return linear(p, x)
+    out = jax.lax.psum(x @ p["w"], cfg.tp_axis)
+    if "b" in p:
+        out = out + p["b"]
+    if "lora_A" in p:
+        out = out + jax.lax.psum((x @ p["lora_A"]) @ p["lora_B"],
+                                 cfg.tp_axis) * p["lora_scale"]
+    return out
+
+
 def layer_norm(x: jax.Array, eps: float = 1e-6,
                weight: jax.Array | None = None,
                bias: jax.Array | None = None) -> jax.Array:
@@ -265,8 +296,8 @@ def _qkv(p: Params, cfg: WanConfig, x: jax.Array):
     k = linear(p["k"], x)
     v = linear(p["v"], x)
     if cfg.qk_norm:
-        q = rms_norm(q, p["norm_q"]["w"], cfg.eps)
-        k = rms_norm(k, p["norm_k"]["w"], cfg.eps)
+        q = _qk_rms_norm(q, p["norm_q"]["w"], cfg)
+        k = _qk_rms_norm(k, p["norm_k"]["w"], cfg)
     return _heads(cfg, q), _heads(cfg, k), _heads(cfg, v)
 
 
@@ -332,8 +363,8 @@ def _qkv_rope_packed(p: Params, cfg: WanConfig, x: jax.Array,
     k = linear(p["k"], x)
     v = linear(p["v"], x)
     if cfg.qk_norm:
-        q = rms_norm(q, p["norm_q"]["w"], cfg.eps)
-        k = rms_norm(k, p["norm_k"]["w"], cfg.eps)
+        q = _qk_rms_norm(q, p["norm_q"]["w"], cfg)
+        k = _qk_rms_norm(k, p["norm_k"]["w"], cfg)
     B, L, _ = q.shape
     N, D = cfg.num_heads, cfg.head_dim
 
@@ -355,8 +386,8 @@ def _qkv_rope_folded(p: Params, cfg: WanConfig, x: jax.Array,
     k = linear(p["k"], x)
     v = linear(p["v"], x)
     if cfg.qk_norm:
-        q = rms_norm(q, p["norm_q"]["w"], cfg.eps)
-        k = rms_norm(k, p["norm_k"]["w"], cfg.eps)
+        q = _qk_rms_norm(q, p["norm_q"]["w"], cfg)
+        k = _qk_rms_norm(k, p["norm_k"]["w"], cfg)
     qf = _rope_half_folded(_fold_heads(cfg, q), cos, sin)
     kf = _rope_half_folded(_fold_heads(cfg, k), cos, sin)
     return qf, kf, _fold_heads(cfg, v)
@@ -377,7 +408,7 @@ def precompute_context(params: Params, cfg: WanConfig, context: jax.Array,
         p = bp["cross_attn"]
         k = linear(p["k"], ctx)
         if cfg.qk_norm:
-            k = rms_norm(k, p["norm_k"]["w"], cfg.eps)
+            k = _qk_rms_norm(k, p["norm_k"]["w"], cfg)
         v = linear(p["v"], ctx)
         return _heads(cfg, k), _heads(cfg, v)
 
@@ -391,7 +422,7 @@ def precompute_context(params: Params, cfg: WanConfig, context: jax.Array,
             p = bp["cross_attn"]
             k = linear(p["k_img"], img_ctx)
             if cfg.qk_norm:
-                k = rms_norm(k, p["norm_k_img"]["w"], cfg.eps)
+                k = _qk_rms_norm(k, p["norm_k_img"]["w"], cfg)
             v = linear(p["v_img"], img_ctx)
             return _heads(cfg, k), _heads(cfg, v)
 
@@ -411,7 +442,7 @@ def _cross_attention(bp: Params, cfg: WanConfig, x: jax.Array,
     p = bp["cross_attn"]
     q = linear(p["q"], x)
     if cfg.qk_norm:
-        q = rms_norm(q, p["norm_q"]["w"], cfg.eps)
+        q = _qk_rms_norm(q, p["norm_q"]["w"], cfg)
     from self_forcing_tpu.ops.attention import cross_attention
     if _packed_ok(cfg):
         out = cross_attention(q, ctx_kv_layer["k_txt"],
@@ -421,14 +452,15 @@ def _cross_attention(bp: Params, cfg: WanConfig, x: jax.Array,
             out = out + cross_attention(q, ctx_kv_layer["k_img"],
                                         ctx_kv_layer["v_img"],
                                         heads_packed=cfg.num_heads)
-        return linear(p["o"], out)
+        return _out_linear(p["o"], out, cfg)
     q4 = _heads(cfg, q)
     out = cross_attention(q4, ctx_kv_layer["k_txt"], ctx_kv_layer["v_txt"])
     if "k_img" in ctx_kv_layer:
         out = out + cross_attention(q4, ctx_kv_layer["k_img"],
                                     ctx_kv_layer["v_img"])
     B, Lq = out.shape[:2]
-    return linear(p["o"], out.reshape(B, Lq, cfg.dim))
+    return _out_linear(p["o"],
+                       out.reshape(B, Lq, cfg.num_heads * cfg.head_dim), cfg)
 
 
 def _modulate(x: jax.Array, shift: jax.Array, scale_: jax.Array,
@@ -550,7 +582,7 @@ def _ffn(bp: Params, cfg: WanConfig, xn: jax.Array) -> jax.Array:
     if "w_qa" in fc1 and "w_qa" in fc2:
         from self_forcing_tpu.ops.quant import quantized_ffn
         return quantized_ffn(fc1, fc2, xn)
-    return linear(fc2, gelu_tanh(linear(fc1, xn)))
+    return _out_linear(fc2, gelu_tanh(linear(fc1, xn)), cfg)
 
 
 def _block_train(bp: Params, cfg: WanConfig, x: jax.Array, e0: jax.Array,
@@ -571,7 +603,9 @@ def _block_train(bp: Params, cfg: WanConfig, x: jax.Array, e0: jax.Array,
     k = _rope_half(k, rope_cos, rope_sin)
     attn = flash_attention(q, k, v, mask)
     B, L = attn.shape[:2]
-    y = linear(bp["self_attn"]["o"], attn.reshape(B, L, cfg.dim))
+    # num_heads*head_dim, not cfg.dim: under TP only the local heads live here
+    y = _out_linear(bp["self_attn"]["o"],
+                    attn.reshape(B, L, cfg.num_heads * cfg.head_dim), cfg)
     x = x + _gate(y, e_gate, frame_seqlen)
 
     # cross attention
@@ -647,7 +681,7 @@ def _block_decode_fresh(bp: Params, cfg: WanConfig, x: jax.Array,
                                       layer_idx=layer_idx,
                                       heads_packed=cfg.num_heads,
                                       fixed_m0=m0)
-        y = linear(bp["self_attn"]["o"], attn)
+        y = _out_linear(bp["self_attn"]["o"], attn, cfg)
         kf = vf = None  # folded on demand below
     else:
         # head_dim < 128 (tiny test geometries): lane blocks can't cover
@@ -666,7 +700,8 @@ def _block_decode_fresh(bp: Params, cfg: WanConfig, x: jax.Array,
                                       quant=cfg.attn_quant,
                                       layer_idx=layer_idx,
                                       fixed_m0=m0)
-        y = linear(bp["self_attn"]["o"], _unfold_heads(cfg, attn))
+        y = _out_linear(bp["self_attn"]["o"], _unfold_heads(cfg, attn),
+                        cfg)
     x = x + _gate(y, e_gate, frame_seqlen)
 
     if "norm3" in bp:
@@ -712,7 +747,7 @@ def _block_decode(bp: Params, cfg: WanConfig, x: jax.Array, e0: jax.Array,
         v_layer, vf.astype(v_layer.dtype), (0, write_at, 0))
 
     attn = decode_attention(qf, k_layer, v_layer, attn_lo, attn_hi)
-    y = linear(bp["self_attn"]["o"], _unfold_heads(cfg, attn))
+    y = _out_linear(bp["self_attn"]["o"], _unfold_heads(cfg, attn), cfg)
     x = x + _gate(y, e_gate, frame_seqlen)
 
     if "norm3" in bp:
