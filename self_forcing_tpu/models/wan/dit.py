@@ -601,7 +601,13 @@ def _block_train(bp: Params, cfg: WanConfig, x: jax.Array, e0: jax.Array,
     q, k, v = _qkv(bp["self_attn"], cfg, xn)
     q = _rope_half(q, rope_cos, rope_sin)
     k = _rope_half(k, rope_cos, rope_sin)
-    attn = flash_attention(q, k, v, mask)
+    m0 = None
+    if cfg.attn_softmax == "bounded":
+        # Cauchy-Schwarz score bound for the bounded-offset softmax (same
+        # trick as the decode path; exact — see ops/pallas_attention.py)
+        m0 = (cfg.head_dim ** -0.5) * _max_row_norm(q, None) \
+            * _max_row_norm(k, None)
+    attn = flash_attention(q, k, v, mask, fixed_m0=m0)
     B, L = attn.shape[:2]
     # num_heads*head_dim, not cfg.dim: under TP only the local heads live here
     y = _out_linear(bp["self_attn"]["o"],

@@ -145,13 +145,19 @@ def _use_pallas() -> bool:
 def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                     mask: IntervalMask | None = None,
                     scale: float | None = None,
-                    kv_chunk: int = 1024) -> jax.Array:
+                    kv_chunk: int = 1024,
+                    fixed_m0: jax.Array | None = None) -> jax.Array:
     """Masked long-sequence attention; dispatches to the Pallas kernel on
-    TPU, the XLA chunked online-softmax reference elsewhere."""
+    TPU, the XLA chunked online-softmax reference elsewhere.
+
+    ``fixed_m0``: optional f32 score upper bound enabling the Pallas
+    kernel's bounded-offset softmax (exact; skips the running-max chain —
+    see pallas_attention._flash_kernel).  Ignored by the XLA path."""
     if _use_pallas():
         from self_forcing_tpu.ops.pallas_attention import (
             flash_attention_pallas)
-        return flash_attention_pallas(q, k, v, mask, scale=scale)
+        return flash_attention_pallas(q, k, v, mask, scale=scale,
+                                      fixed_m0=fixed_m0)
     return flash_attention_xla(q, k, v, mask, scale=scale,
                                kv_chunk=kv_chunk)
 

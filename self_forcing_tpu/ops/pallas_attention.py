@@ -1089,29 +1089,40 @@ def _tile_states(s1n, e1n, s2n, e2n, Lq, Lk, tq, tk, qt, kt):
     return states
 
 
-def _flash_kernel(tile_live_ref, s1_ref, e1_ref, s2_ref, e2_ref,
+def _flash_kernel(tile_live_ref, m0_ref, s1_ref, e1_ref, s2_ref, e2_ref,
                   q_ref, k_ref, v_ref, o_ref, lse_ref,
                   m_scr, l_scr, acc_scr, *, scale: float, tk: int,
-                  kv_len: int):
+                  kv_len: int, bounded: bool = False):
     qi = pl.program_id(1)
     ki = pl.program_id(2)
     nk = pl.num_programs(2)
 
     @pl.when(ki == 0)
     def _init():
-        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        if not bounded:
+            m_scr[:] = jnp.full_like(m_scr, NEG_INF)
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
     state = tile_live_ref[qi, ki]
 
     def _compute(masked):
-        q = q_ref[0].astype(jnp.float32) * scale
-        k = k_ref[0].astype(jnp.float32)
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)           # [TQ, TK]
-        tq = q.shape[0]
+        if bounded:
+            # BOUNDED-offset softmax (same trick as _decode_fresh_kernel):
+            # m0 >= max score over the whole sequence, so exp(s - m0) is
+            # exact softmax and the running-max correction chain is dead
+            # VPU work; the bwd kernels already recompute p from lse, and
+            # lse = m0 + log(l) below keeps that contract exact.
+            s = jax.lax.dot_general(
+                q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+        else:
+            q = q_ref[0].astype(jnp.float32) * scale
+            k = k_ref[0].astype(jnp.float32)
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)       # [TQ, TK]
+        tq = q_ref.shape[1]
         if masked:
             col = ki * tk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
             row0 = pl.multiple_of(qi * tq, tq)
@@ -1122,6 +1133,16 @@ def _flash_kernel(tile_live_ref, s1_ref, e1_ref, s2_ref, e2_ref,
             vis = (((col >= s1) & (col < e1)) | ((col >= s2) & (col < e2)))
             vis = vis & (col < kv_len)
             s = jnp.where(vis, s, NEG_INF)
+
+        if bounded:
+            p = jnp.exp(s - m0_ref[0])
+            l_scr[:, 0:1] = l_scr[:, 0:1] + jnp.sum(p, axis=-1,
+                                                    keepdims=True)
+            pv = jax.lax.dot_general(
+                p.astype(jnp.bfloat16), v_ref[0], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc_scr[:] = acc_scr[:] + pv
+            return
 
         m_prev = m_scr[:, 0:1]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
@@ -1150,13 +1171,17 @@ def _flash_kernel(tile_live_ref, s1_ref, e1_ref, s2_ref, e2_ref,
         o_ref[0] = (acc_scr[:] / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
         # logsumexp rows (0 where the row saw nothing -> exp(-inf-0)=0
         # downstream); lane-broadcast layout for Mosaic-safe stores
-        lse = jnp.where(l > 0, m_scr[:, 0:1] + jnp.log(jnp.maximum(l, 1e-30)),
+        m_fin = m0_ref[0] if bounded else m_scr[:, 0:1]
+        lse = jnp.where(l > 0, m_fin + jnp.log(jnp.maximum(l, 1e-30)),
                         0.0)
         lse_ref[0] = jnp.broadcast_to(lse, (lse.shape[0], 128))
 
 
-def _flash_fwd(q, k, v, s1, e1, s2, e2, scale, tq, tk, interpret):
-    """s1..e2: [Lq] i32 numpy-backed device arrays (static mask)."""
+def _flash_fwd(q, k, v, s1, e1, s2, e2, scale, tq, tk, interpret,
+               m0=None, bounded=False):
+    """s1..e2: [Lq] i32 numpy-backed device arrays (static mask).
+    ``m0``: f32 score upper bound, used when ``bounded`` (static) — the
+    bounded-offset softmax mode (see _flash_kernel)."""
     B, Lq, N, D = q.shape
     Lk = k.shape[1]
     BN = B * N
@@ -1179,22 +1204,22 @@ def _flash_fwd(q, k, v, s1, e1, s2, e2, scale, tq, tk, interpret):
         xp[:Lq] = x
         return jnp.asarray(xp.reshape(1, qt * tq))
 
-    iv_spec = pl.BlockSpec((1, qt * tq), lambda b, qi, ki, tl: (0, 0))
+    iv_spec = pl.BlockSpec((1, qt * tq), lambda b, qi, ki, tl, m: (0, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(BN, qt, kt),
         in_specs=[
             iv_spec,
             iv_spec,
             iv_spec,
             iv_spec,
-            pl.BlockSpec((1, tq, D), lambda b, qi, ki, tl: (b, qi, 0)),
-            pl.BlockSpec((1, tk, D), lambda b, qi, ki, tl: (b, ki, 0)),
-            pl.BlockSpec((1, tk, D), lambda b, qi, ki, tl: (b, ki, 0)),
+            pl.BlockSpec((1, tq, D), lambda b, qi, ki, tl, m: (b, qi, 0)),
+            pl.BlockSpec((1, tk, D), lambda b, qi, ki, tl, m: (b, ki, 0)),
+            pl.BlockSpec((1, tk, D), lambda b, qi, ki, tl, m: (b, ki, 0)),
         ],
         out_specs=(
-            pl.BlockSpec((1, tq, D), lambda b, qi, ki, tl: (b, qi, 0)),
-            pl.BlockSpec((1, tq, 128), lambda b, qi, ki, tl: (b, qi, 0)),
+            pl.BlockSpec((1, tq, D), lambda b, qi, ki, tl, m: (b, qi, 0)),
+            pl.BlockSpec((1, tq, 128), lambda b, qi, ki, tl, m: (b, qi, 0)),
         ),
         scratch_shapes=[
             pltpu.VMEM((tq, 128), jnp.float32),
@@ -1202,14 +1227,16 @@ def _flash_fwd(q, k, v, s1, e1, s2, e2, scale, tq, tk, interpret):
             pltpu.VMEM((tq, D), jnp.float32),
         ],
     )
+    m0a = jnp.asarray(0.0 if m0 is None else m0, jnp.float32).reshape(1)
     out, lse = pl.pallas_call(
-        functools.partial(_flash_kernel, scale=scale, tk=tk, kv_len=Lk),
+        functools.partial(_flash_kernel, scale=scale, tk=tk, kv_len=Lk,
+                          bounded=bounded),
         grid_spec=grid_spec,
         out_shape=(jax.ShapeDtypeStruct((BN, qt * tq, D), q.dtype),
                    jax.ShapeDtypeStruct((BN, qt * tq, 128), jnp.float32)),
         interpret=interpret,
-    )(jnp.asarray(tile_live), prep(s1n), prep(e1n), prep(s2n), prep(e2n),
-      qf, kf, vf)
+    )(jnp.asarray(tile_live), m0a, prep(s1n), prep(e1n), prep(s2n),
+      prep(e2n), qf, kf, vf)
     return (out[:, :Lq].reshape(B, N, Lq, D).transpose(0, 2, 1, 3),
             lse[:, :, 0])  # [BN, qt*tq]
 
@@ -1218,7 +1245,8 @@ def flash_attention_pallas(q: jax.Array, k: jax.Array, v: jax.Array,
                            mask: IntervalMask | None = None,
                            scale: Optional[float] = None,
                            tq: int = 512, tk: int = 2048,
-                           interpret: bool = False) -> jax.Array:
+                           interpret: bool = False,
+                           fixed_m0=None) -> jax.Array:
     """Same signature/semantics as ops.attention.flash_attention.
 
     The mask's interval arrays must be host-known (they always are: mask
@@ -1248,23 +1276,28 @@ def flash_attention_pallas(q: jax.Array, k: jax.Array, v: jax.Array,
     btq = min(512, tq)
     btk = min(2048, tk)
 
-    @functools.partial(jax.custom_vjp)
-    def op(q_, k_, v_):
-        return _flash_fwd(q_, k_, v_, s1, e1, s2, e2, scale, tq, tk,
-                          interpret)[0]
+    bounded = fixed_m0 is not None
 
-    def op_fwd(q_, k_, v_):
+    @functools.partial(jax.custom_vjp)
+    def op(q_, k_, v_, m0_):
+        return _flash_fwd(q_, k_, v_, s1, e1, s2, e2, scale, tq, tk,
+                          interpret, m0=m0_, bounded=bounded)[0]
+
+    def op_fwd(q_, k_, v_, m0_):
         out, lse = _flash_fwd(q_, k_, v_, s1, e1, s2, e2, scale, tq, tk,
-                              interpret)
+                              interpret, m0=m0_, bounded=bounded)
         return out, (q_, k_, v_, out, lse)
 
     def op_bwd(res, g):
         q_, k_, v_, out, lse = res
-        return _flash_bwd(q_, k_, v_, out, lse, g, s1, e1, s2, e2, scale,
-                          btq, btk, interpret)
+        dq, dk, dv = _flash_bwd(q_, k_, v_, out, lse, g, s1, e1, s2, e2,
+                                scale, btq, btk, interpret)
+        # the output is mathematically invariant to the softmax offset
+        return dq, dk, dv, jnp.zeros((), jnp.float32)
 
     op.defvjp(op_fwd, op_bwd)
-    return op(q, k, v)
+    return op(q, k, v, jnp.asarray(0.0 if fixed_m0 is None else fixed_m0,
+                                   jnp.float32))
 
 
 # =====================================================================

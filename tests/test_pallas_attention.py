@@ -414,3 +414,30 @@ def test_decode_fresh_bounded_packed_layout():
         np.testing.assert_allclose(
             np.asarray(out).reshape(B, 96, N, D), np.asarray(ref),
             rtol=5e-3, atol=5e-3)
+
+
+def test_flash_bounded_matches_xla():
+    """Bounded-offset softmax in the training kernel: exact under bound
+    slack (bf16-p tolerance); gradients ride the same lse-recompute
+    backward so they match too."""
+    F, fs = 4, 64
+    mask = block_causal_mask(F, fs, num_frame_per_block=2)
+    q, k, v = _qkv(jax.random.PRNGKey(30), F * fs, F * fs)
+    scale = D ** -0.5
+    m0 = scale * jnp.max(jnp.linalg.norm(q, axis=-1)) * jnp.max(
+        jnp.linalg.norm(k, axis=-1))
+    ref = flash_attention_xla(q, k, v, mask)
+    for slack in (0.0, 5.0):
+        out = flash_attention_pallas(q, k, v, mask, tq=128, tk=128,
+                                     interpret=True, fixed_m0=m0 + slack)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=5e-3, atol=5e-3)
+
+    gp = jax.grad(lambda q_, k_, v_: jnp.sum(flash_attention_pallas(
+        q_, k_, v_, mask, tq=128, tk=128, interpret=True,
+        fixed_m0=m0) ** 2), argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(lambda q_, k_, v_: jnp.sum(flash_attention_xla(
+        q_, k_, v_, mask) ** 2), argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-2, atol=2e-2)
