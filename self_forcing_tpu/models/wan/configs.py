@@ -35,10 +35,20 @@ class WanConfig:
     # matmuls on the MXU int8 path (the attention analog of the reference
     # demo's FP8 linears, demo.py:277-283); None = full-precision parity
     attn_quant: str | None = None
-    # decode-attention softmax mode: 'bounded' replaces the online running
-    # max with a per-layer score upper bound (exact softmax, ~12% faster
+    # Attention softmax mode: 'bounded' replaces the online running max
+    # with a per-layer score upper bound (exact softmax, ~12% faster
     # kernel on v5e — ops/pallas_attention.py); 'online' = flash-attention
-    # running max (bit-matches the historical kernel)
+    # running max (bit-matches the historical kernel).  CAVEAT: 'bounded'
+    # is exact only while the bound's slack (Cauchy-Schwarz bound minus a
+    # row's true max score) stays below ~87 nats — past that exp(s - m0)
+    # underflows and the row's output collapses to zero WITHOUT an error.
+    # With qk-norm the slack is ~scale*|w_q||w_k|*D minus typical logits
+    # (~8 nats at unit norm weights; measured 1.3e-3 rel diff at 1.3B).
+    # Checkpoints with unusually large qk-norm gains should flip to
+    # 'online' (validate once per checkpoint: run one forward both ways).
+    # The kmax cache bound is tight for the global-window pipeline (only
+    # refresh-written rows that are still live contribute; the cache
+    # reset zeroes it per video); windowed mode never uses it.
     attn_softmax: str = "bounded"
     # Megatron-style tensor parallelism over ICI (the 14B single-host
     # story; the reference has no TP — SURVEY.md §2.8 'absent').  When set,

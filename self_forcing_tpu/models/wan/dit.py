@@ -336,6 +336,15 @@ def _rope_half_folded(x: jax.Array, cos: jax.Array,
     return jnp.concatenate([y1, y2], axis=-1).astype(x.dtype)
 
 
+def _bounded_active() -> bool:
+    """The bounded-offset softmax only exists in the Pallas kernels; on the
+    XLA dispatch path (CPU tests, set_attention_backend('xla')) the bound
+    reductions and the kmax cache tracking would be dead weight — gate on
+    the same seam the kernels dispatch through."""
+    from self_forcing_tpu.ops.attention import _use_pallas
+    return _use_pallas()
+
+
 def _max_row_norm(t: jax.Array, heads_packed: Optional[int]) -> jax.Array:
     """Max 2-norm over per-head token rows.  t: [B, L, N*D] column-packed
     (``heads_packed=N``) or already-folded [BN, L, D].  Feeds the bounded-
@@ -580,6 +589,9 @@ def _ffn(bp: Params, cfg: WanConfig, xn: jax.Array) -> jax.Array:
     VMEM instead of three XLA passes over the [L, ffn] hidden)."""
     fc1, fc2 = bp["ffn"]["fc1"], bp["ffn"]["fc2"]
     if "w_qa" in fc1 and "w_qa" in fc2:
+        # quantized path has no TP psum (parallel/tensor.py rejects
+        # quantized params before it gets here)
+        assert cfg.tp_axis is None, "W8A8 FFN is single-chip only"
         from self_forcing_tpu.ops.quant import quantized_ffn
         return quantized_ffn(fc1, fc2, xn)
     return _out_linear(fc2, gelu_tanh(linear(fc1, xn)), cfg)
@@ -602,7 +614,7 @@ def _block_train(bp: Params, cfg: WanConfig, x: jax.Array, e0: jax.Array,
     q = _rope_half(q, rope_cos, rope_sin)
     k = _rope_half(k, rope_cos, rope_sin)
     m0 = None
-    if cfg.attn_softmax == "bounded":
+    if cfg.attn_softmax == "bounded" and _bounded_active():
         # Cauchy-Schwarz score bound for the bounded-offset softmax (same
         # trick as the decode path; exact — see ops/pallas_attention.py)
         m0 = (cfg.head_dim ** -0.5) * _max_row_norm(q, None) \
@@ -664,7 +676,7 @@ def _block_decode_fresh(bp: Params, cfg: WanConfig, x: jax.Array,
     f_shift, f_scale, f_gate = e[:, :, 3:4], e[:, :, 4:5], e[:, :, 5:6]
 
     bounded = (cfg.attn_softmax == "bounded" and cfg.attn_quant is None
-               and kmax_layer is not None)
+               and kmax_layer is not None and _bounded_active())
     kn_norm = None
     xn = _modulate(layer_norm(x, cfg.eps), e_shift, e_scale, frame_seqlen)
     if _packed_ok(cfg):

@@ -42,6 +42,15 @@ def _kernel(x_ref, sx_ref, w_ref, ws_ref, b_ref, o_ref, acc_ref, *, nk):
         o_ref[...] = y.astype(o_ref.dtype)
 
 
+def _quant_rows(xt: "jax.Array", floor: float = 1e-8):
+    """Per-token absmax int8 quantization (one semantics for every
+    in-kernel use; mirrors ops/quant.quantize_activations).  Returns
+    (x_q int8, s f32 [rows, 1])."""
+    s = jnp.maximum(jnp.max(jnp.abs(xt), axis=1, keepdims=True),
+                    floor) / 127.0
+    return jnp.clip(jnp.round(xt / s), -127, 127).astype(jnp.int8), s
+
+
 def _kernel_bf16x(x_ref, w_ref, ws_ref, b_ref, o_ref):
     """W8A8 matmul taking RAW bf16 activations: per-token scale and int8
     cast happen in VMEM on the resident x tile (requires K = one tile).
@@ -51,10 +60,7 @@ def _kernel_bf16x(x_ref, w_ref, ws_ref, b_ref, o_ref):
     round/clamp/int8-pack pass.  The re-quantization per n-step is VPU
     work on a resident tile (~30 us) and Mosaic elides the x re-fetch
     (same block index across the inner n grid dim)."""
-    xt = x_ref[...].astype(jnp.float32)
-    s = jnp.maximum(jnp.max(jnp.abs(xt), axis=1, keepdims=True),
-                    1e-8) / 127.0
-    x_q = jnp.clip(jnp.round(xt / s), -127, 127).astype(jnp.int8)
+    x_q, s = _quant_rows(x_ref[...].astype(jnp.float32))
     acc = jax.lax.dot_general(
         x_q, w_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)
@@ -65,18 +71,15 @@ def _kernel_bf16x(x_ref, w_ref, ws_ref, b_ref, o_ref):
 def _ffn1_kernel_bf16x(x_ref, w_ref, ws_ref, b_ref, o_ref, so_ref):
     """_ffn1_kernel with in-kernel activation quantization (K = one
     tile): bf16 x in, gelu + group-quantized int8 hidden out."""
-    xt = x_ref[...].astype(jnp.float32)
-    s = jnp.maximum(jnp.max(jnp.abs(xt), axis=1, keepdims=True),
-                    1e-8) / 127.0
-    x_q = jnp.clip(jnp.round(xt / s), -127, 127).astype(jnp.int8)
+    x_q, s = _quant_rows(x_ref[...].astype(jnp.float32))
     acc = jax.lax.dot_general(
         x_q, w_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)
     y = acc.astype(jnp.float32) * s * ws_ref[...] + b_ref[...]
     g = jax.nn.gelu(y, approximate=True)
-    sg = jnp.maximum(jnp.max(jnp.abs(g), axis=1, keepdims=True),
-                     1e-6) / 127.0
-    o_ref[...] = jnp.clip(jnp.round(g / sg), -127, 127).astype(jnp.int8)
+    # gelu output floor 1e-6: whole rows can be ~0 after gating
+    g_q, sg = _quant_rows(g, floor=1e-6)
+    o_ref[...] = g_q
     so_ref[...] = jnp.broadcast_to(sg, so_ref.shape)
 
 
@@ -104,12 +107,11 @@ def _ffn1_kernel(x_ref, sx_ref, w_ref, ws_ref, b_ref, o_ref, so_ref,
         y = acc_ref[...].astype(jnp.float32)
         y = y * sx_ref[...] * ws_ref[...] + b_ref[...]
         g = jax.nn.gelu(y, approximate=True)
-        s = jnp.maximum(jnp.max(jnp.abs(g), axis=1, keepdims=True),
-                        1e-6) / 127.0
-        o_ref[...] = jnp.clip(jnp.round(g / s), -127, 127).astype(jnp.int8)
+        g_q, sg = _quant_rows(g, floor=1e-6)
+        o_ref[...] = g_q
         # scale broadcast across a 128-lane block (Mosaic requires the
         # last block dim be 128-divisible or the full array dim)
-        so_ref[...] = jnp.broadcast_to(s, so_ref.shape)
+        so_ref[...] = jnp.broadcast_to(sg, so_ref.shape)
 
 
 def _ffn2_kernel(x_ref, sg_ref, w_ref, ws_ref, b_ref, o_ref, acc_ref, *,
@@ -191,10 +193,8 @@ def w8a8_matmul(x_q: jax.Array, s_x: jax.Array, w_q: jax.Array,
 
 
 def _quantize_rows_kernel(x_ref, o_ref, s_ref):
-    xt = x_ref[...].astype(jnp.float32)
-    s = jnp.maximum(jnp.max(jnp.abs(xt), axis=1, keepdims=True),
-                    1e-8) / 127.0
-    o_ref[...] = jnp.clip(jnp.round(xt / s), -127, 127).astype(jnp.int8)
+    x_q, s = _quant_rows(x_ref[...].astype(jnp.float32))
+    o_ref[...] = x_q
     s_ref[...] = jnp.broadcast_to(s, s_ref.shape)
 
 

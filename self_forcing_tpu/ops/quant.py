@@ -74,7 +74,9 @@ def quantized_linear(p: Params, x: jax.Array) -> jax.Array:
                 quantize_rows_pallas, w8a8_matmul)
             # one-pass Pallas quantization (the XLA chain costs ~2.3 ms
             # at [4680, 1536]; XLA CSEs this call across q/k/v which
-            # share an input)
+            # share an input).  w8a8_matmul's tiling decision depends
+            # only on (M, K, N), so when it declines there is no point
+            # re-trying it with differently-quantized activations.
             q2 = quantize_rows_pallas(x.reshape(-1, K))
             if q2 is not None:
                 x_q2, s128 = q2
@@ -82,14 +84,16 @@ def quantized_linear(p: Params, x: jax.Array) -> jax.Array:
                                 p.get("b"), out_dtype=x.dtype)
                 if y is not None:
                     return y.reshape(*lead, y.shape[-1])
-            x_q, s_x = quantize_activations(x)
-            y = w8a8_matmul(
-                x_q.reshape(-1, K),
-                s_x.reshape(-1, 1),
-                p["w_qa"], p["w_scale"],
-                p.get("b"), out_dtype=x.dtype)
-            if y is not None:
-                return y.reshape(*lead, y.shape[-1])
+                x_q, s_x = quantize_activations(x)  # XLA-dot fallback
+            else:
+                # quantize kernel declined the shape; the matmul kernel
+                # may still take XLA-quantized activations
+                x_q, s_x = quantize_activations(x)
+                y = w8a8_matmul(
+                    x_q.reshape(-1, K), s_x.reshape(-1, 1),
+                    p["w_qa"], p["w_scale"], p.get("b"), out_dtype=x.dtype)
+                if y is not None:
+                    return y.reshape(*lead, y.shape[-1])
         else:
             x_q, s_x = quantize_activations(x)
         y = jax.lax.dot_general(

@@ -84,10 +84,22 @@ def _block_leaf_spec(path: tuple[str, ...], axis: str) -> P:
 
 
 def tp_param_specs(params: dict, axis: str = AXIS):
-    """PartitionSpec pytree for the DiT params under tensor parallelism."""
+    """PartitionSpec pytree for the DiT params under tensor parallelism.
+
+    Raises on quantized params: the int8 W8A8 leaves ('w_q'/'w_qa') take
+    code paths (quantized_linear / quantized_ffn) that bypass the TP psums
+    in dit._out_linear — sharding them would produce silently wrong
+    activations.  Quantize-after-TP is a future extension; bf16 weights
+    are the deployment path TP exists for (14B does not fit one chip).
+    """
     def spec(path, _x):
         keys = tuple(getattr(p, "key", getattr(p, "name", None))
                      for p in path)
+        if any(k in ("w_q", "w_qa", "w_scale") for k in keys):
+            raise ValueError(
+                f"tensor parallelism does not support quantized params "
+                f"(leaf {'/'.join(map(str, keys))}); quantize is a "
+                f"single-chip speed toggle — see tp_param_specs docstring")
         if "blocks" in keys:
             return _block_leaf_spec(keys, axis)
         return P()

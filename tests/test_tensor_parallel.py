@@ -165,3 +165,13 @@ def test_denoise_refresh_block_tp_match_single():
                                rtol=5e-4, atol=5e-4)
     np.testing.assert_allclose(np.asarray(cache_tp.v), np.asarray(cache.v),
                                rtol=5e-4, atol=5e-4)
+
+
+@needs4
+def test_tp_rejects_quantized_params():
+    """W8A8 params bypass the TP psums — sharding them must be refused."""
+    from self_forcing_tpu.ops.quant import quantize_dit_params
+    params, _, _ = _setup(9)
+    qp = quantize_dit_params(params, min_dim=1, mode="w8a8")
+    with pytest.raises(ValueError, match="quantized"):
+        tp.tp_param_specs(qp)
