@@ -219,6 +219,16 @@ class CausalInferencePipeline:
         return (height // self.cfg.patch_size[1]) * (width // self.cfg.patch_size[2])
 
     def _init_cache(self, batch: int, fs: int, num_frames: int, dtype):
+        """Reuse the previous call's cache buffers when the geometry
+        matches (reference cache reuse/reset between calls,
+        causal_inference.py:112-132): reset only zeroes the index
+        scalars and the kmax bound — re-zeroing the ~9.8 GB k/v arrays
+        costs ~25 ms of time-to-first-chunk for nothing (stale rows are
+        never visible: attention reads [attn_lo, local_end))."""
+        sig = (batch, fs, num_frames, dtype)
+        if getattr(self, "_cache_sig", None) == sig and                 getattr(self, "_cache", None) is not None:
+            return dit.reset_kv_cache(self._cache)
+        self._cache_sig = sig
         return dit.init_kv_cache(self.cfg, batch, fs, num_frames, dtype)
 
     def encode_text(self, text_prompts: List[str]) -> jax.Array:
