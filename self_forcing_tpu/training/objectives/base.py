@@ -123,11 +123,17 @@ class ModelBundle:
     rope_c: RopeTables
     rope_t: RopeTables
     pipeline: SelfForcingTrainingPipeline
+    # long-rollout support (rollouts > 21 frames, model/base.py:211-223):
+    # the boundary frame is VAE-decoded and re-encoded as an image latent
+    vae_params: Optional[dict] = None
+    vae_cfg: Optional[object] = None
+    independent_first_frame: bool = False
 
     @classmethod
     def create(cls, generator_cfg: WanConfig, critic_cfg: WanConfig,
                teacher_cfg: WanConfig, obj: ObjectiveConfig,
-               denoising_step_list, scheduler=None):
+               denoising_step_list, scheduler=None, vae_params=None,
+               vae_cfg=None, independent_first_frame: bool = False):
         scheduler = scheduler or FlowMatchScheduler.create(
             1000, shift=obj.timestep_shift, training=True)
         pipeline = SelfForcingTrainingPipeline(
@@ -141,13 +147,48 @@ class ModelBundle:
                    RopeTables.create(generator_cfg.head_dim),
                    RopeTables.create(critic_cfg.head_dim),
                    RopeTables.create(teacher_cfg.head_dim),
-                   pipeline)
+                   pipeline, vae_params=vae_params, vae_cfg=vae_cfg,
+                   independent_first_frame=independent_first_frame)
 
     def run_generator(self, gen_params, noise, ctx_kv, exit_idx: int,
                       rng: jax.Array):
-        """Rollout -> (trajectory, t_from, t_to); the >21-frame VAE
-        re-encode path (model/base.py:211-223) is handled by the trainer
-        before calling the objective."""
-        return self.pipeline.inference_with_trajectory(
+        """Rollout -> (trajectory[last 21 frames], gradient_mask or None,
+        t_from, t_to) — matches the reference _run_generator contract
+        (model/base.py:159-233) including the long-rollout slice +
+        re-encode and the first-block gradient mask."""
+        pred, t_from, t_to = self.pipeline.inference_with_trajectory(
             gen_params, self.generator_cfg, self.rope_g, noise, ctx_kv,
             exit_idx, rng)
+        pred, gradient_mask = self.trim_rollout(pred)
+        return pred, gradient_mask, t_from, t_to
+
+    def trim_rollout(self, pred: jax.Array):
+        """Long-rollout handling (model/base.py:211-233): rollouts longer
+        than 21 frames are sliced to the last 21, with the boundary frame
+        obtained by a NO-GRAD VAE decode of frames [:-20] and re-encode of
+        the final pixel frame as an image latent; the first block (or
+        first frame under independent_first_frame) is gradient-masked.
+        Shapes are static, so the branch resolves at trace time."""
+        F = pred.shape[1]
+        if F <= 21:
+            return pred, None
+        if self.vae_params is None:
+            raise ValueError(
+                "rollouts longer than 21 frames need the VAE for the "
+                "boundary-frame re-encode (model/base.py:211-223); pass "
+                "vae_params/vae_cfg to the trainer / ModelBundle")
+        from self_forcing_tpu.models.wan import vae as vae_mod
+        head = _sg(pred[:, :-20])
+        # [B, T, C, h, w] latents -> decode wants channel-last [B,T,h,w,z];
+        # pixels come back channel-last [B, T_pix, H, W, 3]
+        pixels = vae_mod.decode(self.vae_params, self.vae_cfg,
+                                head.transpose(0, 1, 3, 4, 2))
+        frame = _sg(pixels[:, -1:])                     # last pixel frame
+        image_latent = vae_mod.encode(
+            self.vae_params, self.vae_cfg, frame).transpose(0, 1, 4, 2, 3)
+        out = jnp.concatenate(
+            [_sg(image_latent.astype(pred.dtype)), pred[:, -20:]], axis=1)
+        mask = jnp.ones(out.shape, bool)
+        lead = 1 if self.independent_first_frame             else self.pipeline.num_frame_per_block
+        mask = mask.at[:, :lead].set(False)
+        return out, mask

@@ -87,8 +87,10 @@ def generator_loss(bundle: ModelBundle, obj: ObjectiveConfig,
     """model/dmd.py:196-235: rollout + DMD loss."""
     rng_roll, rng_dmd = jax.random.split(rng)
     ctx_kv_g = _make_ctx(gen_params, bundle.generator_cfg, context)
-    pred, t_from, t_to = bundle.run_generator(gen_params, noise, ctx_kv_g,
-                                              exit_idx, rng_roll)
+    pred, roll_mask, t_from, t_to = bundle.run_generator(
+        gen_params, noise, ctx_kv_g, exit_idx, rng_roll)
+    if gradient_mask is None:
+        gradient_mask = roll_mask  # long-rollout first-block mask
     loss, log = distribution_matching_loss(
         bundle, obj, fake_params, real_params, pred, context, neg_context,
         rng_dmd, t_from, t_to, gradient_mask)
@@ -101,7 +103,7 @@ def critic_loss(bundle: ModelBundle, obj: ObjectiveConfig,
     """model/dmd.py:237-332: no-grad rollout -> critic denoising loss."""
     rng_roll, rng_t, rng_n = jax.random.split(rng, 3)
     ctx_kv_g = _make_ctx(_sg(gen_params), bundle.generator_cfg, context)
-    pred, t_from, t_to = bundle.run_generator(
+    pred, _, t_from, t_to = bundle.run_generator(
         _sg(gen_params), noise, ctx_kv_g, exit_idx, rng_roll)
     pred = _sg(pred)
 

@@ -55,7 +55,7 @@ def generator_loss(bundle: ModelBundle, obj: ObjectiveConfig,
     del neg_context
     rng_roll, rng_t, rng_n = jax.random.split(rng, 3)
     ctx_kv = _make_ctx(gen_params, bundle.generator_cfg, context)
-    pred, t_from, t_to = bundle.run_generator(gen_params, noise, ctx_kv,
+    pred, _, t_from, t_to = bundle.run_generator(gen_params, noise, ctx_kv,
                                               exit_idx, rng_roll)
     B, F = pred.shape[:2]
     t = _critic_t(obj, rng_t, B, F, t_from, t_to,
@@ -99,7 +99,7 @@ def critic_loss(bundle: ModelBundle, obj: ObjectiveConfig,
     del neg_context
     rng_roll, rng_t, rng_n, rng_r = jax.random.split(rng, 4)
     ctx_kv = _make_ctx(_sg(gen_params), bundle.generator_cfg, context)
-    pred, t_from, t_to = bundle.run_generator(
+    pred, _, t_from, t_to = bundle.run_generator(
         _sg(gen_params), noise, ctx_kv, exit_idx, rng_roll)
     pred = _sg(pred)
 

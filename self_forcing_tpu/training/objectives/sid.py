@@ -68,8 +68,10 @@ def generator_loss(bundle: ModelBundle, obj: ObjectiveConfig,
                    gradient_mask=None):
     rng_roll, rng_sid = jax.random.split(rng)
     ctx_kv_g = _make_ctx(gen_params, bundle.generator_cfg, context)
-    pred, t_from, t_to = bundle.run_generator(gen_params, noise, ctx_kv_g,
-                                              exit_idx, rng_roll)
+    pred, roll_mask, t_from, t_to = bundle.run_generator(
+        gen_params, noise, ctx_kv_g, exit_idx, rng_roll)
+    if gradient_mask is None:
+        gradient_mask = roll_mask  # long-rollout first-block mask
     return distribution_matching_loss(
         bundle, obj, fake_params, real_params, pred, context, neg_context,
         rng_sid, t_from, t_to, gradient_mask)

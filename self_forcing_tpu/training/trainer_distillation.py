@@ -57,7 +57,8 @@ class ScoreDistillationTrainer:
     def __init__(self, config, generator_params, fake_params, real_params,
                  generator_cfg: WanConfig, critic_cfg: WanConfig,
                  teacher_cfg: WanConfig, neg_context, mesh=None,
-                 objective: str | None = None):
+                 objective: str | None = None, vae_params=None,
+                 vae_cfg=None):
         self.config = config
         self.mesh = mesh
         obj = ObjectiveConfig(
@@ -90,7 +91,9 @@ class ScoreDistillationTrainer:
                 getattr(config, "independent_first_frame", False)))
         self.bundle = ModelBundle.create(
             gen_cfg, critic_cfg, teacher_cfg, obj,
-            [int(s) for s in config.denoising_step_list])
+            [int(s) for s in config.denoising_step_list],
+            vae_params=vae_params, vae_cfg=vae_cfg,
+            independent_first_frame=gen_cfg.independent_first_frame)
         if getattr(config, "warp_denoising_step", False):
             warped = warp_denoising_steps(
                 self.bundle.scheduler,

@@ -195,3 +195,58 @@ def test_sid_losses(setup):
         bundle, obj2, gen, fake, real, noise, ctx, jnp.zeros_like(ctx), 0,
         jax.random.PRNGKey(23))
     assert float(g_loss) != float(g2)
+
+
+def test_trim_rollout_long_reencode():
+    """Long-rollout handling (model/base.py:211-233): >21-frame rollouts
+    slice to the last 21 with a VAE re-encoded boundary image latent and a
+    first-block gradient mask; <=21 passes through untouched."""
+    import dataclasses as dc
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from self_forcing_tpu.models.wan import vae as vae_mod
+    from self_forcing_tpu.models.wan.configs import WAN_TINY
+    from self_forcing_tpu.training.objectives.base import (ModelBundle,
+                                                           ObjectiveConfig)
+
+    cfg = dc.replace(WAN_TINY, num_frame_per_block=3)
+    obj = ObjectiveConfig(num_frame_per_block=3, num_training_frames=24)
+    vae_cfg = vae_mod.VAEConfig(dim=8, z_dim=16, dim_mult=(1, 2, 2, 2))
+    vae_params = vae_mod.init_params(jax.random.PRNGKey(0), vae_cfg)
+    bundle = ModelBundle.create(cfg, cfg, cfg, obj, [1000, 500],
+                                vae_params=vae_params, vae_cfg=vae_cfg)
+
+    short = jax.random.normal(jax.random.PRNGKey(1), (1, 21, 16, 8, 8))
+    out, mask = bundle.trim_rollout(short)
+    assert out is short and mask is None
+
+    pred = jax.random.normal(jax.random.PRNGKey(2), (1, 24, 16, 8, 8))
+    out, mask = bundle.trim_rollout(pred)
+    assert out.shape == (1, 21, 16, 8, 8)
+    # tail 20 frames pass through; boundary frame is the re-encoded one
+    np.testing.assert_array_equal(np.asarray(out[:, 1:]),
+                                  np.asarray(pred[:, -20:]))
+    assert not bool(jnp.all(out[:, :1] == pred[:, 3:4]))
+    assert mask.shape == out.shape
+    assert not bool(mask[:, :3].any()) and bool(mask[:, 3:].all())
+    # the re-encoded boundary frame carries no gradient
+    g = jax.grad(lambda p: float(jnp.sum(bundle.trim_rollout(p)[0] ** 2))
+                 if False else jnp.sum(bundle.trim_rollout(p)[0][:, :1] ** 2)
+                 )(pred)
+    assert float(jnp.abs(g).max()) == 0.0
+
+
+def test_bundle_without_vae_rejects_long_rollout():
+    import dataclasses as dc
+    import jax
+    import pytest
+    from self_forcing_tpu.models.wan.configs import WAN_TINY
+    from self_forcing_tpu.training.objectives.base import (ModelBundle,
+                                                           ObjectiveConfig)
+    cfg = dc.replace(WAN_TINY, num_frame_per_block=3)
+    obj = ObjectiveConfig(num_frame_per_block=3, num_training_frames=24)
+    bundle = ModelBundle.create(cfg, cfg, cfg, obj, [1000, 500])
+    pred = jax.numpy.zeros((1, 24, 16, 8, 8))
+    with pytest.raises(ValueError, match="VAE"):
+        bundle.trim_rollout(pred)
