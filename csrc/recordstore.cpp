@@ -133,7 +133,14 @@ void* rs_open(const char* path) {
     uint64_t h = fnv1a(e.key, e.key_len);
     size_t mask = cap - 1;
     size_t j = h & mask;
-    while (s->table[j] != -1) j = (j + 1) & mask;
+    while (s->table[j] != -1) {
+      // duplicate key: last write wins (matches the Python fallback and
+      // the reference's LMDB overwrite semantics) — replace in place
+      const Entry& prev = s->entries[s->table[j]];
+      if (prev.key_len == e.key_len &&
+          memcmp(prev.key, e.key, e.key_len) == 0) break;
+      j = (j + 1) & mask;
+    }
     s->table[j] = static_cast<int64_t>(i);
   }
   return s;

@@ -39,10 +39,13 @@ class DistributedSampler:
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self.epoch)
             rng.shuffle(idx)
-        # pad to make evenly divisible (torch semantics)
+        # pad to make evenly divisible (torch semantics: repeat the
+        # index list as many times as needed — idx[:pad] alone under-pads
+        # when pad > dataset_len, desyncing replica step counts)
         pad = self.num_samples * self.num_replicas - len(idx)
         if pad:
-            idx = np.concatenate([idx, idx[:pad]])
+            reps = np.tile(idx, -(-pad // max(len(idx), 1)))
+            idx = np.concatenate([idx, reps[:pad]])
         return iter(idx[self.rank::self.num_replicas].tolist())
 
     def __len__(self):
@@ -87,23 +90,29 @@ class DataLoader:
         stop = threading.Event()
 
         def worker():
-            epoch = self.sampler.epoch
-            while not stop.is_set():
-                batch = []
-                for i in self.sampler:
-                    if stop.is_set():
-                        return
-                    batch.append(self.dataset[i])
-                    if len(batch) == self.batch_size:
+            # any exception (corrupt shard, collate failure) must reach
+            # the consumer — a dead worker that never enqueues a sentinel
+            # leaves the training loop blocked on q.get() forever
+            try:
+                epoch = self.sampler.epoch
+                while not stop.is_set():
+                    batch = []
+                    for i in self.sampler:
+                        if stop.is_set():
+                            return
+                        batch.append(self.dataset[i])
+                        if len(batch) == self.batch_size:
+                            q.put(self.collate_fn(batch))
+                            batch = []
+                    if batch and not self.drop_last:
                         q.put(self.collate_fn(batch))
-                        batch = []
-                if batch and not self.drop_last:
-                    q.put(self.collate_fn(batch))
-                if not self.infinite:
-                    break
-                epoch += 1
-                self.sampler.set_epoch(epoch)
-            q.put(None)
+                    if not self.infinite:
+                        break
+                    epoch += 1
+                    self.sampler.set_epoch(epoch)
+                q.put(None)
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                q.put(e)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
@@ -112,6 +121,8 @@ class DataLoader:
                 item = q.get()
                 if item is None:
                     break
+                if isinstance(item, BaseException):
+                    raise item
                 yield item
         finally:
             stop.set()

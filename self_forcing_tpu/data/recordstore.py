@@ -161,7 +161,10 @@ class RecordReader:
             self._py = _PyReader(path)
 
     def get(self, key: str | bytes) -> np.ndarray | None:
-        """Returns a uint8 numpy view of the record (no copy), or None."""
+        """Returns a read-only uint8 numpy view of the record (no copy),
+        or None.  The view's base chain holds this reader alive, so the
+        mmap cannot be unmapped under it by GC; an explicit close() while
+        views are outstanding is still the caller's hazard."""
         if isinstance(key, str):
             key = key.encode()
         if self._py is not None:
@@ -171,7 +174,10 @@ class RecordReader:
         if not ptr:
             return None
         buf = (ctypes.c_uint8 * size.value).from_address(ptr)
-        return np.frombuffer(buf, dtype=np.uint8)
+        buf._owner = self  # lifetime: arr.base is buf, buf holds the mmap
+        arr = np.frombuffer(buf, dtype=np.uint8)
+        arr.flags.writeable = False  # PROT_READ mapping: writes segfault
+        return arr
 
     def __len__(self):
         if self._py is not None:

@@ -52,7 +52,11 @@ class WanModels:
 
 def _find(model_dir: str, *patterns: str) -> Optional[str]:
     for pat in patterns:
-        hits = sorted(glob.glob(os.path.join(model_dir, pat)))
+        # recursive=True so '**/' patterns actually recurse (without it
+        # glob treats '**' as a single '*' level and deep checkpoint
+        # layouts silently resolve to None)
+        hits = sorted(glob.glob(os.path.join(model_dir, pat),
+                                recursive=True))
         if hits:
             return hits[0]
     return None
@@ -77,7 +81,6 @@ def load_dit_params(model_dir: str, cfg: WanConfig,
         if pth:
             sd = ckpt.load_torch_state_dict(pth)
     assert sd, f"no DiT weights under {base_dir}"
-    params = ckpt.convert_dit_state_dict(sd, cfg, dtype)
 
     if checkpoint_path:
         st = ckpt.load_torch_state_dict(checkpoint_path)
@@ -86,9 +89,12 @@ def load_dit_params(model_dir: str, cfg: WanConfig,
         elif "generator" in st:
             st = st["generator"]
         st = ckpt.strip_prefix(st, "model.")
-        overlay = ckpt.convert_dit_state_dict(st, cfg, dtype)
-        params = overlay
-    return params
+        # strict=False merge at the state-dict level: checkpoint keys
+        # replace, missing ones keep the base weights — one conversion
+        # (the old code converted the base then threw it away, and a
+        # partial checkpoint KeyError'd inside the converter)
+        sd = {**sd, **st}
+    return ckpt.convert_dit_state_dict(sd, cfg, dtype)
 
 
 def load_wan_models(model_dir: str, causal: bool = True,

@@ -50,12 +50,12 @@ class DemoApp:
         self.fps = fps
         self.stop_event = threading.Event()
         self.busy = False
+        self._busy_lock = threading.Lock()
 
     # --------------------------------------------------------- generation
     def _generate(self, conn: WebSocketConnection, prompt: str, seed: int):
         import jax
         import jax.numpy as jnp
-        self.busy = True
         self.stop_event.clear()
         frame_q: queue.Queue = queue.Queue(maxsize=256)
 
@@ -66,16 +66,36 @@ class DemoApp:
                 if item is None:
                     break
                 t0 = time.time()
-                jpg = _encode_jpeg(item)
-                conn.send_event("frame_ready", {
-                    "frame_id": idx,
-                    "jpeg": base64.b64encode(jpg).decode(),
-                })
+                try:
+                    jpg = _encode_jpeg(item)
+                    conn.send_event("frame_ready", {
+                        "frame_id": idx,
+                        "jpeg": base64.b64encode(jpg).decode(),
+                    })
+                except Exception:  # noqa: BLE001 — a bad frame/encoder
+                    # must not kill the drain loop (the generation thread
+                    # blocks on the bounded queue if nobody drains it)
+                    pass
                 idx += 1
-                delay = max(0.0, 1.0 / self.fps - (time.time() - t0))
+                # fps is client-controlled; clamp so set_fps 0 can't
+                # divide by zero and kill the sender
+                delay = max(0.0, 1.0 / max(self.fps, 0.1)
+                            - (time.time() - t0))
                 if delay:
                     time.sleep(delay)
             conn.send_event("generation_complete", {"frames": idx})
+
+        def put_frame(f) -> bool:
+            """Bounded put that aborts on stop/disconnect instead of
+            blocking forever if the sender died or the client stalled."""
+            while not self.stop_event.is_set():
+                try:
+                    frame_q.put(f, timeout=1.0)
+                    return True
+                except queue.Full:
+                    if not sender_t.is_alive() or not conn.open:
+                        return False
+            return False
 
         sender_t = threading.Thread(target=sender, daemon=True)
         sender_t.start()
@@ -94,11 +114,15 @@ class DemoApp:
                     "block": n_blocks,
                     "elapsed_s": round(time.time() - t_start, 3)})
                 for f in np.asarray(pixels):
-                    frame_q.put(f)
+                    if not put_frame(f):
+                        break
         except Exception as e:  # noqa: BLE001 (reference demo.py:489-506)
             conn.send_event("error", {"message": str(e)})
         finally:
-            frame_q.put(None)
+            try:
+                frame_q.put(None, timeout=1.0)
+            except queue.Full:
+                pass  # sender dead; nothing to signal
             sender_t.join(timeout=30)
             self.busy = False
 
@@ -112,7 +136,16 @@ class DemoApp:
             event, data = msg
             data = data or {}
             if event == "start_generation":
-                if self.busy:
+                # claim busy HERE (handler thread, under the lock) — the
+                # spawned thread setting it raced a double-click past the
+                # guard into two concurrent generations
+                with self._busy_lock:
+                    if self.busy:
+                        claimed = False
+                    else:
+                        self.busy = True
+                        claimed = True
+                if not claimed:
                     conn.send_event("error", {"message": "busy"})
                     continue
                 t = threading.Thread(
@@ -125,7 +158,10 @@ class DemoApp:
                 self.stop_event.set()
                 conn.send_event("generation_stopped", {})
             elif event == "set_fps":
-                self.fps = float(data.get("fps", self.fps))
+                try:
+                    self.fps = max(0.1, float(data.get("fps", self.fps)))
+                except (TypeError, ValueError):
+                    pass
 
     def status(self):
         hbm = get_hbm_stats()

@@ -39,11 +39,13 @@ def encode_frame(payload: bytes, opcode: int = 0x1) -> bytes:
 
 
 def decode_frame(sock: socket.socket):
-    """Read one client frame; returns (opcode, payload) or None on EOF."""
+    """Read one client frame; returns (opcode, payload, fin) or None on
+    EOF."""
     head = _read_exact(sock, 2)
     if head is None:
         return None
     b0, b1 = head
+    fin = bool(b0 & 0x80)
     opcode = b0 & 0x0F
     masked = b1 & 0x80
     n = b1 & 0x7F
@@ -67,7 +69,7 @@ def decode_frame(sock: socket.socket):
         return None
     if masked:
         payload = bytes(c ^ mask[i % 4] for i, c in enumerate(payload))
-    return opcode, payload
+    return opcode, payload, fin
 
 
 def _read_exact(sock, n):
@@ -99,13 +101,20 @@ class WebSocketConnection:
             return False
 
     def recv_event(self):
-        """Blocks; returns (event, data) or None when closed."""
+        """Blocks; returns (event, data) or None when closed.
+
+        Handles RFC 6455 fragmentation (FIN=0 data frames + 0x0
+        continuations) so proxied/fragmented client events are not
+        silently dropped, and treats a send failure on the pong path as a
+        normal close (so callers' stop-on-disconnect logic still runs)."""
+        frag = b""
+        frag_active = False
         while True:
             frame = decode_frame(self.sock)
             if frame is None:
                 self.open = False
                 return None
-            opcode, payload = frame
+            opcode, payload, fin = frame
             if opcode == 0x8:      # close
                 self.open = False
                 try:
@@ -115,15 +124,32 @@ class WebSocketConnection:
                     pass
                 return None
             if opcode == 0x9:      # ping -> pong
-                with self._lock:
-                    self.sock.sendall(encode_frame(payload, 0xA))
+                try:
+                    with self._lock:
+                        self.sock.sendall(encode_frame(payload, 0xA))
+                except OSError:
+                    self.open = False
+                    return None
+                continue
+            if opcode == 0xA:      # unsolicited pong
                 continue
             if opcode in (0x1, 0x2):
-                try:
-                    msg = json.loads(payload.decode())
-                    return msg.get("event"), msg.get("data")
-                except (ValueError, UnicodeDecodeError):
+                if not fin:
+                    frag, frag_active = payload, True
                     continue
+                data = payload
+            elif opcode == 0x0 and frag_active:  # continuation
+                frag += payload
+                if not fin:
+                    continue
+                data, frag, frag_active = frag, b"", False
+            else:
+                continue
+            try:
+                msg = json.loads(data.decode())
+                return msg.get("event"), msg.get("data")
+            except (ValueError, UnicodeDecodeError):
+                continue
 
     def close(self):
         self.open = False

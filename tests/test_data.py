@@ -153,3 +153,69 @@ def test_creation_script_end_to_end(tmp_path):
     ds = ODERegressionDataset(str(out))
     assert len(ds) == 3
     assert ds[0]["ode_latent"].shape == (3, 4, 2, 4, 4)
+
+
+def test_recordreader_duplicate_key_last_wins(tmp_path):
+    """Duplicate keys resolve to the LAST write in both the native and
+    Python readers (the reference's LMDB overwrite idiom)."""
+    from self_forcing_tpu.data.recordstore import (RecordReader,
+                                                   RecordWriter, _PyReader)
+    path = str(tmp_path / "dup.rs")
+    with RecordWriter(path) as w:
+        w.put("k", b"old")
+        w.put("other", b"x")
+        w.put("k", b"new")
+    r = RecordReader(path)
+    got = bytes(r.get("k"))
+    r.close()
+    py = _PyReader(path)
+    got_py = bytes(py.get(b"k"))
+    py.close()
+    assert got == b"new" and got_py == b"new"
+
+
+def test_recordreader_view_outlives_reader(tmp_path):
+    """The zero-copy view keeps the mmap alive after the reader goes out
+    of scope (was a use-after-unmap), and is read-only."""
+    import numpy as np
+    from self_forcing_tpu.data.recordstore import RecordReader, RecordWriter
+    path = str(tmp_path / "life.rs")
+    payload = bytes(range(256)) * 64
+    with RecordWriter(path) as w:
+        w.put("a", payload)
+    arr = RecordReader(path).get("a")   # reader is a dead temporary
+    import gc
+    gc.collect()
+    assert bytes(arr[:16]) == payload[:16]
+    assert not arr.flags.writeable
+
+
+def test_dataloader_propagates_worker_exception():
+    """A dataset error must surface in the consumer, not hang the loop."""
+    import pytest
+    from self_forcing_tpu.data.loader import DataLoader, DistributedSampler
+
+    class Bad:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            raise RuntimeError("corrupt shard")
+
+    dl = DataLoader(Bad(), batch_size=2,
+                    sampler=DistributedSampler(4, num_replicas=1, rank=0,
+                                               shuffle=False))
+    with pytest.raises(RuntimeError, match="corrupt shard"):
+        next(iter(dl))
+
+
+def test_distributed_sampler_pad_exceeds_len():
+    """pad > dataset_len still gives every rank the same sample count."""
+    from self_forcing_tpu.data.loader import DistributedSampler
+    counts = set()
+    for rank in range(8):
+        s = DistributedSampler(3, num_replicas=8, rank=rank, shuffle=False)
+        idx = list(iter(s))
+        counts.add(len(idx))
+        assert all(0 <= i < 3 for i in idx)
+    assert counts == {1}

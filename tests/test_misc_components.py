@@ -179,3 +179,14 @@ def test_quantized_pipeline_inference():
     _, lat = pipe.inference(noise, context=ctx, return_latents=True)
     assert lat.shape == noise.shape
     assert np.isfinite(np.asarray(lat)).all()
+
+
+def test_runtime_find_recursive(tmp_path):
+    """'**/' patterns must recurse (deep checkpoint layouts resolved to
+    None before recursive=True)."""
+    from self_forcing_tpu.runtime import _find
+    deep = tmp_path / "a" / "b"
+    deep.mkdir(parents=True)
+    (deep / "model.pth").write_bytes(b"x")
+    assert _find(str(tmp_path), "**/model.pth") is not None
+    assert _find(str(tmp_path), "nope/*.pth") is None

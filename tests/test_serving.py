@@ -181,3 +181,47 @@ def test_websocket_echo_server():
         s.close()
     finally:
         server.shutdown()
+
+
+def test_websocket_fragmented_and_ping():
+    """RFC 6455 fragmentation: a text frame with FIN=0 plus continuation
+    frames delivers one event; interleaved pings are answered and a final
+    client ping still gets a pong (regression: fragments were dropped)."""
+    from self_forcing_tpu.serving.websocket import make_server
+
+    def handler(conn):
+        while True:
+            msg = conn.recv_event()
+            if msg is None:
+                return
+            event, data = msg
+            conn.send_event("echo_" + event, data)
+
+    server = make_server("127.0.0.1", 0, {}, handler)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        s = _client_handshake(port)
+        payload = json.dumps({"event": "frag", "data": {"v": 7}}).encode()
+        mask = b"\x05\x06\x07\x08"
+
+        def frame(first_byte, chunk):
+            masked = bytes(c ^ mask[i % 4] for i, c in enumerate(chunk))
+            return bytes([first_byte, 0x80 | len(chunk)]) + mask + masked
+
+        mid = len(payload) // 2
+        s.sendall(frame(0x01, payload[:mid]))        # text, FIN=0
+        # control frame between fragments (allowed by the RFC)
+        s.sendall(frame(0x89, b"hb"))                # ping, FIN=1
+        # pong comes back before the echo
+        head = s.recv(2)
+        assert head[0] & 0x0F == 0xA
+        n = head[1] & 0x7F
+        assert s.recv(n) == b"hb"
+        s.sendall(frame(0x80, payload[mid:]))        # continuation, FIN=1
+        msg = _client_recv(s)
+        assert msg["event"] == "echo_frag"
+        assert msg["data"]["v"] == 7
+        s.close()
+    finally:
+        server.shutdown()
