@@ -225,3 +225,57 @@ def test_websocket_fragmented_and_ping():
         s.close()
     finally:
         server.shutdown()
+
+
+def test_demo_app_stream_and_busy():
+    """DemoApp end-to-end over a real socket: frames arrive as base64
+    JPEGs, a second start while busy is refused, completion clears busy."""
+    import numpy as np
+    import time as _time
+    from self_forcing_tpu.serving.demo_server import DemoApp
+    from self_forcing_tpu.serving.websocket import make_server
+
+    started = threading.Event()
+    release = threading.Event()
+
+    class FakePipe:
+        def stream(self, noise, context, rng=None):
+            started.set()
+            release.wait(timeout=10)   # hold busy until the test checks
+            for _ in range(2):
+                yield np.zeros((1, 1, 16, 4, 4), np.float32)
+
+    app = DemoApp(FakePipe(), encode_text_fn=lambda p: np.zeros((1, 4, 8)),
+                  decode_chunk_fn=lambda blk: np.zeros((2, 8, 8, 3),
+                                                       np.uint8),
+                  latent_shape=(1, 2, 16, 4, 4), fps=100.0)
+    server = make_server("127.0.0.1", 0, {}, app.ws_handler)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        s = _client_handshake(port)
+        _client_send(s, "start_generation", {"prompt": "x", "seed": 0})
+        assert started.wait(timeout=10)
+        s2 = _client_handshake(port)
+        _client_send(s2, "start_generation", {"prompt": "y", "seed": 0})
+        msg = _client_recv(s2)
+        assert msg["event"] == "error" and msg["data"]["message"] == "busy"
+        s2.close()
+        release.set()
+        events = []
+        deadline = _time.time() + 20
+        while _time.time() < deadline:
+            msg = _client_recv(s)
+            events.append(msg["event"])
+            if msg["event"] == "generation_complete":
+                break
+        assert "frame_ready" in events and "block_ready" in events
+        assert events[-1] == "generation_complete"
+        for _ in range(100):
+            if not app.busy:
+                break
+            _time.sleep(0.1)
+        assert not app.busy
+        s.close()
+    finally:
+        server.shutdown()
