@@ -127,7 +127,16 @@ def prepare_dwpose_input(dwpose_data: jax.Array) -> jax.Array:
 def pose_tokens_for_block(dwpose_emb: jax.Array, start_frame: int,
                           num_frames: int) -> jax.Array:
     """Slice [B, C, F, h', w'] pose features for a block and flatten to
-    tokens [B, F*h'*w', C] (causal_diffusion_inference.py:383-399)."""
+    tokens [B, F*h'*w', C] (causal_diffusion_inference.py:383-399).
+
+    Validates coverage like the reference (:386-388) — jnp slicing would
+    silently clamp a short pose sequence and either crash opaquely inside
+    the token add or condition on the wrong frames."""
+    if start_frame + num_frames > dwpose_emb.shape[2]:
+        raise ValueError(
+            f"dwpose_data has fewer frames than required: block needs "
+            f"[{start_frame}, {start_frame + num_frames}) but pose "
+            f"features cover {dwpose_emb.shape[2]} frames")
     blk = dwpose_emb[:, :, start_frame:start_frame + num_frames]
     B, C = blk.shape[:2]
     return blk.transpose(0, 2, 3, 4, 1).reshape(B, -1, C)

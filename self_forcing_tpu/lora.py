@@ -79,7 +79,8 @@ _PROJ_ALIASES = {
 
 def load_lora_weights(params: Params, state_dict: Mapping[str, Any],
                       alpha: float | None = None,
-                      dtype=jnp.float32) -> Params:
+                      dtype=jnp.float32,
+                      head_dim: int = 128) -> Params:
     """Load torch LoRA weights into the stacked-blocks pytree.
 
     Handles the reference's key formats (utils/lora.py:144-222):
@@ -143,9 +144,13 @@ def load_lora_weights(params: Params, state_dict: Mapping[str, Any],
             B[layer] = ab["B"].T    # torch [out, r] -> [r, out]
         if module == "self_attn" and proj in ("q", "k"):
             # base q/k columns live in the RoPE half layout
-            # (rope.qk_half_perm, utils/checkpoints.py) — match it.
+            # (rope.qk_half_perm, utils/checkpoints.py) — the LoRA B
+            # columns must be permuted identically.  head_dim must match
+            # the model's (128 for all production Wan variants; pass
+            # cfg.head_dim for toy/TP-local configs or the permutation
+            # silently scrambles q/k deltas).
             from self_forcing_tpu.models.wan.rope import qk_half_perm
-            head_dim = 128  # all Wan variants (wan/configs/*.py)
+            assert d_out % head_dim == 0, (d_out, head_dim)
             B = B[:, :, qk_half_perm(head_dim, d_out // head_dim)]
         leaf["lora_A"] = jnp.asarray(A, dtype)
         leaf["lora_B"] = jnp.asarray(B, dtype)

@@ -146,14 +146,20 @@ class TAEHVStreamer:
         if self._tail is None:
             out = self._decode_fn(self.params, latents, trim=True)
             emitted_new = out
+            joint = latents
         else:
             x = jnp.concatenate([self._tail, latents], axis=1)
             out = self._decode_fn(self.params, x, trim=True)
-            # first (overlap*4 - trim) pixel frames belong to the tail
-            skip = self.overlap * 4 - FRAMES_TO_TRIM
+            # the first (tail_T*4 - trim) pixel frames re-decode the tail
+            # (tail_T, not self.overlap: a short first chunk — e.g. the
+            # 1-frame independent first block — leaves a shorter tail, and
+            # skipping by the full overlap would drop fresh frames)
+            skip = max(0, self._tail.shape[1] * 4 - FRAMES_TO_TRIM)
             emitted_new = out[:, skip:]
-        keep = min(self.overlap, latents.shape[1])
-        self._tail = latents[:, -keep:]
+            joint = x
+        # carry overlap context from [old tail | new], not the new chunk
+        # alone — chunks shorter than the overlap must not shrink it
+        self._tail = joint[:, -self.overlap:]
         return emitted_new
 
 

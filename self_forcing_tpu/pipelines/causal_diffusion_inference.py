@@ -33,7 +33,10 @@ from self_forcing_tpu.models.wan.rope import RopeTables
 from self_forcing_tpu.solvers import init_solver_state, make_solver
 
 
-@partial(jax.jit, static_argnames=("cfg", "guidance_scale"))
+@partial(jax.jit, static_argnames=("cfg", "guidance_scale"),
+         donate_argnums=(7, 8))  # both caches update in place — without
+# donation every per-block call holds input+output copies of the two
+# full KV caches (~2x peak cache memory)
 def denoise_block_cfg(params, cfg: WanConfig, rope: RopeTables, solver,
                       noisy: jax.Array, ctx_pos: dict, ctx_neg: dict,
                       cache_pos: dit.KVCache, cache_neg: dit.KVCache,
@@ -81,7 +84,7 @@ def denoise_block_cfg(params, cfg: WanConfig, rope: RopeTables, solver,
     return x0, cache_pos, cache_neg
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(5, 6))
 def prime_block_cfg(params, cfg: WanConfig, rope: RopeTables,
                     ctx_pos: dict, ctx_neg: dict,
                     cache_pos: dit.KVCache, cache_neg: dit.KVCache,
@@ -153,6 +156,12 @@ class CausalDiffusionInferencePipeline:
 
         if context is None:
             context = self.text_encoder(text_prompts)
+        if neg_context is None:
+            if self.text_encoder is None:
+                raise ValueError(
+                    "CFG needs negative embeddings: pass neg_context "
+                    "alongside context, or construct the pipeline with a "
+                    "text encoder to encode the negative prompt")
             neg_context = self.text_encoder(
                 [getattr(self.args, "negative_prompt", "")] * B)
         ctx_pos = dit.precompute_context(self.params, self.cfg, context)

@@ -142,20 +142,17 @@ def refresh_block(params, cfg: WanConfig, rope: RopeTables, ctx_kv: dict,
                   context_noise: float, start_frame: jax.Array,
                   static_kv_hi: int | None = None) -> dit.KVCache:
     """Re-run the denoised block at ``context_noise`` to write clean
-    context into the cache (causal_inference.py:226-235)."""
-    B, nb, C, H, W = x0.shape
-    xin = x0
+    context into the cache (causal_inference.py:226-235).
+
+    The reference INFERENCE refresh passes the denoised block CLEAN with
+    only the timestep set to context_noise — no re-noising (only the
+    TRAINING rollout adds context noise, self_forcing_training.py:199-206,
+    which pipelines/self_forcing_training.py mirrors).  ``rng`` is kept in
+    the signature for call-site stability but unused."""
+    B, nb = x0.shape[:2]
+    del rng
     t_ctx = jnp.full((B, nb), float(context_noise), jnp.float32)
-    if context_noise > 0:
-        # re-noise the denoised block at the context timestep
-        # (causal_inference.py:226-231)
-        from self_forcing_tpu.scheduler import FlowMatchScheduler
-        sched = FlowMatchScheduler.create(1000, shift=8.0)
-        eps = jax.random.normal(rng, x0.shape, x0.dtype)
-        xin = sched.add_noise(
-            x0.reshape(B * nb, C, H, W), eps.reshape(B * nb, C, H, W),
-            t_ctx.reshape(-1)).reshape(x0.shape)
-    _, cache = dit.forward_inference(params, cfg, xin, t_ctx, ctx_kv, cache,
+    _, cache = dit.forward_inference(params, cfg, x0, t_ctx, ctx_kv, cache,
                                      start_frame, rope,
                                      static_kv_hi=static_kv_hi)
     return cache
@@ -281,6 +278,9 @@ class CausalInferencePipeline:
             else:
                 rest = initial_latent
             nf = rest.shape[1]
+            # reference asserts divisibility (causal_inference.py:154);
+            # silently dropping frames would prime a shifted cache
+            assert nf % nb == 0, (nf, nb)
             for b in range(nf // nb):
                 cache = prime_block(self.params, self.cfg, self.rope, ctx_kv,
                                     cache, rest[:, b * nb:(b + 1) * nb], start)
@@ -342,9 +342,11 @@ class CausalInferencePipeline:
     # --------------------------------------------------------- streaming
     def stream(self, noise: jax.Array, context: jax.Array,
                rng: Optional[jax.Array] = None):
-        """Yield denoised latent chunks [B, nb, C, H, W] one block at a
-        time — the serving path (demo.py:331-440).  The caller decodes each
-        chunk while the next is being generated (async dispatch)."""
+        """Yield denoised latent chunks one block at a time — the serving
+        path (demo.py:331-440).  The caller decodes each chunk while the
+        next is being generated (async dispatch).  The first chunk is
+        [B, 1, ...] for independent-first-frame models, [B, nb, ...]
+        otherwise."""
         B, F, C, H, W = noise.shape
         nb = self.num_frame_per_block
         fs = (H // self.cfg.patch_size[1]) * (W // self.cfg.patch_size[2])
@@ -352,25 +354,40 @@ class CausalInferencePipeline:
 
         ctx_kv = dit.precompute_context(self.params, self.cfg, context)
         cache = self._init_cache(B, fs, max(F, 21), noise.dtype)
+        # the per-block calls donate the cache: the buffers self._cache
+        # aliased are dead from here on, so invalidate the reuse signature
+        # until the final cache is handed back at exhaustion (an abandoned
+        # generator must not leave self._cache pointing at donated arrays)
+        self._cache = None
+        self._cache_sig = None
         start = jnp.int32(0)
-        num_blocks = F // nb
-        for b in range(num_blocks):
+        blocks = [(b * nb, nb) for b in range(F // nb)]
+        if self.cfg.independent_first_frame:
+            assert (F - 1) % nb == 0, (F, nb)
+            blocks = [(0, 1)] + [(1 + b * nb, nb)
+                                 for b in range((F - 1) // nb)]
+        else:
+            assert F % nb == 0, (F, nb)
+        for i, (lo, n) in enumerate(blocks):
             rng, k1 = jax.random.split(rng)
             # python loop => the cached-token count is static: size the
             # attention kernel grid to the live window (global path only)
-            hint = b * nb * fs if self.cfg.local_attn_size == -1 else None
+            hint = lo * fs if self.cfg.local_attn_size == -1 else None
             blk, cache = denoise_block(
-                self.params, self.cfg, self.scheduler, self.rope, ctx_kv,
-                cache, noise[:, b * nb:(b + 1) * nb], k1,
+                self.params, self.cfg, self.scheduler, self.rope,
+                ctx_kv, cache, noise[:, lo:lo + n], k1,
                 self.denoising_step_list, start, static_kv_hi=hint)
-            # hand the chunk to the caller BEFORE the cache refresh: the
-            # decode dispatch precedes the refresh program, cutting
-            # time-to-first-chunk; the refresh is skipped entirely on the
-            # last block (demo.py:396-404).
+            # hand the chunk to the caller BEFORE the cache refresh:
+            # the decode dispatch precedes the refresh program, cutting
+            # time-to-first-chunk; the refresh is skipped entirely on
+            # the last block (demo.py:396-404).
             yield blk
-            if b < num_blocks - 1:
+            if i < len(blocks) - 1:
                 rng, k2 = jax.random.split(rng)
                 cache = refresh_block(
-                    self.params, self.cfg, self.rope, ctx_kv, cache, blk,
-                    k2, self.context_noise, start, static_kv_hi=hint)
-            start = start + nb
+                    self.params, self.cfg, self.rope, ctx_kv, cache,
+                    blk, k2, self.context_noise, start,
+                    static_kv_hi=hint)
+            start = start + n
+        self._cache = cache
+        self._cache_sig = (B, fs, max(F, 21), noise.dtype)

@@ -42,64 +42,96 @@ def _sg(tree):
     return jax.lax.stop_gradient(tree)
 
 
-@partial(jax.jit, static_argnames=("cfg", "steps", "exit_idx", "context_noise",
-                                   "num_blocks", "with_grad"))
+def _denoise_to_exit(params, cfg: WanConfig, scheduler, rope, ctx_kv,
+                     cache, noise_blk, blk_rng, steps, exit_idx: int,
+                     with_grad: bool, start_frame):
+    """Unrolled denoise of one block through steps[0..exit_idx] (static);
+    only the exit-step forward carries gradient (iff ``with_grad``).  The
+    cache is read-only here (write_cache=False), so only x0 is returned."""
+    B, nb, C, H, W = noise_blk.shape
+    noisy = noise_blk
+    x0 = noisy
+    for i in range(exit_idx + 1):
+        t = jnp.full((B, nb), steps[i], jnp.float32)
+        is_exit = (i == exit_idx)
+        # write_cache=False: within-block denoise steps attend over
+        # [0, write_at) + their own fresh K/V, and the refresh forward
+        # afterwards rewrites the block's cache slots — the intermediate
+        # writes are dead stores (same as the inference sampler).
+        if is_exit and with_grad:
+            flow, _ = dit.forward_inference(
+                params, cfg, noisy, t, ctx_kv, cache, start_frame, rope,
+                write_cache=False)
+            x0 = scheduler.convert_flow_pred_to_x0(
+                flow.reshape(B * nb, C, H, W),
+                noisy.reshape(B * nb, C, H, W),
+                t.reshape(-1)).reshape(B, nb, C, H, W)
+        else:
+            flow, _ = dit.forward_inference(
+                _sg(params), cfg, _sg(noisy), t, _sg(ctx_kv), _sg(cache),
+                start_frame, rope, write_cache=False)
+            flow = _sg(flow)
+            x0 = _sg(scheduler.convert_flow_pred_to_x0(
+                flow.reshape(B * nb, C, H, W),
+                noisy.reshape(B * nb, C, H, W),
+                t.reshape(-1)).reshape(B, nb, C, H, W))
+        if not is_exit:
+            blk_rng, k = jax.random.split(blk_rng)
+            eps = jax.random.normal(k, x0.shape, x0.dtype)
+            t_next = jnp.full((B * nb,), steps[i + 1], jnp.float32)
+            noisy = _sg(scheduler.add_noise(
+                x0.reshape(B * nb, C, H, W),
+                eps.reshape(B * nb, C, H, W),
+                t_next).reshape(B, nb, C, H, W))
+    return x0
+
+
 def _rollout_blocks(params, cfg: WanConfig, scheduler: FlowMatchScheduler,
                     rope: RopeTables, ctx_kv: dict, cache: dit.KVCache,
                     noise: jax.Array, rng: jax.Array,
-                    steps: tuple[float, ...], exit_idx: int,
+                    steps: tuple[float, ...], exit_idx,
                     context_noise: float, num_blocks: int,
                     with_grad: bool, start_frame0: jax.Array):
-    """Scan over blocks, denoising steps[0..exit_idx] per block; the
-    exit-step forward carries gradient iff ``with_grad``."""
+    """Scan over blocks, denoising steps[0..exit] per block; the exit-step
+    forward carries gradient iff ``with_grad``.
+
+    ``exit_idx``: a python int shared by every block
+    (same_step_across_blocks=True), or an i32 array [num_blocks] of
+    per-block exits (the reference's same_step_across_blocks=False,
+    self_forcing_training.py:136-149) — implemented as a lax.switch over
+    statically-unrolled step prefixes, so each block executes exactly the
+    forwards the reference would (the switch picks one branch at runtime).
+    """
     B, F_total, C, H, W = noise.shape
     nb = F_total // num_blocks
     noise_blocks = noise.reshape(B, num_blocks, nb, C, H, W).transpose(
         1, 0, 2, 3, 4, 5)
     block_ids = jnp.arange(num_blocks, dtype=jnp.int32)
     rngs = jax.random.split(rng, num_blocks)
+    per_block = not isinstance(exit_idx, int)
+    exits = (jnp.asarray(exit_idx, jnp.int32) if per_block
+             else jnp.zeros((num_blocks,), jnp.int32))
 
     def block_step(cache, xs):
-        blk_id, noise_blk, blk_rng = xs
+        blk_id, noise_blk, blk_rng, blk_exit = xs
         start_frame = start_frame0 + blk_id * nb
-        noisy = noise_blk
-        x0 = noisy
-        for i in range(exit_idx + 1):
-            t = jnp.full((B, nb), steps[i], jnp.float32)
-            is_exit = (i == exit_idx)
-            # write_cache=False: within-block denoise steps attend over
-            # [0, write_at) + their own fresh K/V, and the refresh forward
-            # below rewrites the block's cache slots — the intermediate
-            # writes are dead stores (same as the inference sampler).
-            if is_exit and with_grad:
-                flow, cache = dit.forward_inference(
-                    params, cfg, noisy, t, ctx_kv, cache, start_frame, rope,
-                    write_cache=False)
-                x0 = scheduler.convert_flow_pred_to_x0(
-                    flow.reshape(B * nb, C, H, W),
-                    noisy.reshape(B * nb, C, H, W),
-                    t.reshape(-1)).reshape(B, nb, C, H, W)
-            else:
-                flow, cache = dit.forward_inference(
-                    _sg(params), cfg, _sg(noisy), t, _sg(ctx_kv), _sg(cache),
-                    start_frame, rope, write_cache=False)
-                flow, cache = _sg(flow), _sg(cache)
-                x0 = _sg(scheduler.convert_flow_pred_to_x0(
-                    flow.reshape(B * nb, C, H, W),
-                    noisy.reshape(B * nb, C, H, W),
-                    t.reshape(-1)).reshape(B, nb, C, H, W))
-            if not is_exit:
-                blk_rng, k = jax.random.split(blk_rng)
-                eps = jax.random.normal(k, x0.shape, x0.dtype)
-                t_next = jnp.full((B * nb,), steps[i + 1], jnp.float32)
-                noisy = _sg(scheduler.add_noise(
-                    x0.reshape(B * nb, C, H, W),
-                    eps.reshape(B * nb, C, H, W),
-                    t_next).reshape(B, nb, C, H, W))
+        if per_block:
+            x0 = jax.lax.switch(
+                jnp.clip(blk_exit, 0, len(steps) - 1),
+                [(lambda nz, r, n=n: _denoise_to_exit(
+                    params, cfg, scheduler, rope, ctx_kv, cache, nz, r,
+                    steps, n, with_grad, start_frame))
+                 for n in range(len(steps))],
+                noise_blk, blk_rng)
+        else:
+            x0 = _denoise_to_exit(params, cfg, scheduler, rope, ctx_kv,
+                                  cache, noise_blk, blk_rng, steps,
+                                  exit_idx, with_grad, start_frame)
 
         # cache refresh: re-noise at context_noise, no-grad forward
         # (self_forcing_training.py:199-216)
-        blk_rng, k = jax.random.split(blk_rng)
+        blk_rng = jax.random.fold_in(blk_rng, 7)
+        k = blk_rng
         t_ctx = jnp.full((B * nb,), context_noise, jnp.float32)
         eps = jax.random.normal(k, x0.shape, x0.dtype)
         renoised = _sg(scheduler.add_noise(
@@ -113,7 +145,7 @@ def _rollout_blocks(params, cfg: WanConfig, scheduler: FlowMatchScheduler,
         return _sg(cache), x0
 
     cache, outs = jax.lax.scan(block_step, cache,
-                               (block_ids, noise_blocks, rngs))
+                               (block_ids, noise_blocks, rngs, exits))
     out = outs.transpose(1, 0, 2, 3, 4, 5).reshape(B, F_total, C, H, W)
     return out, cache
 
@@ -144,13 +176,18 @@ class SelfForcingTrainingPipeline:
         self.context_noise = float(context_noise)
         self.frame_seqlen = frame_seqlen
 
-    def sample_exit_index(self, rng: np.random.Generator) -> int:
-        """Host-side draw of the shared exit step (replaces the rank0
-        broadcast, self_forcing_training.py:41-58)."""
+    def sample_exit_index(self, rng: np.random.Generator,
+                          num_blocks: int | None = None):
+        """Host-side draw of the exit step(s) (replaces the rank0
+        broadcast, self_forcing_training.py:41-58).  Returns an int when
+        same_step_across_blocks, else an i32 array of per-block exits
+        (pass ``num_blocks``; reference :136-149)."""
         n = len(self.denoising_step_list)
         if self.last_step_only:
             return n - 1
-        return int(rng.integers(0, n))
+        if self.same_step_across_blocks or num_blocks is None:
+            return int(rng.integers(0, n))
+        return np.asarray(rng.integers(0, n, size=num_blocks), np.int32)
 
     def denoised_timestep_bounds(self, exit_idx: int):
         """(from, to) for the ts-schedule (self_forcing_training.py:221-233)."""
@@ -201,12 +238,18 @@ class SelfForcingTrainingPipeline:
         grad_start_block = max(
             0, -(-max(0, start_gradient_frame - num_input_frames) // nb))
 
+        per_block = not isinstance(exit_idx, int)
+        exit_pre = exit_idx if not per_block \
+            else jnp.asarray(exit_idx, jnp.int32)[:grad_start_block]
+        exit_post = exit_idx if not per_block \
+            else jnp.asarray(exit_idx, jnp.int32)[grad_start_block:]
+
         rng1, rng2 = jax.random.split(rng)
         if grad_start_block > 0:
             pre, cache = _rollout_blocks(
                 params, cfg, self.scheduler, rope, ctx_kv, cache,
                 noise[:, :grad_start_block * nb], rng1,
-                self.denoising_step_list, exit_idx, self.context_noise,
+                self.denoising_step_list, exit_pre, self.context_noise,
                 grad_start_block, False, start)
             outputs.append(_sg(pre))
             cache = _sg(cache)
@@ -215,11 +258,12 @@ class SelfForcingTrainingPipeline:
         post, cache = _rollout_blocks(
             params, cfg, self.scheduler, rope, ctx_kv, cache,
             noise[:, grad_start_block * nb:], rng2,
-            self.denoising_step_list, exit_idx, self.context_noise,
+            self.denoising_step_list, exit_post, self.context_noise,
             num_blocks - grad_start_block, True, start)
         outputs.append(post)
 
         trajectory = jnp.concatenate(outputs, axis=1)
         tfrom, tto = self.denoised_timestep_bounds(exit_idx) \
-            if self.same_step_across_blocks else (None, None)
+            if (self.same_step_across_blocks and not per_block) \
+            else (None, None)
         return trajectory, tfrom, tto

@@ -51,6 +51,7 @@ class DemoApp:
         self.stop_event = threading.Event()
         self.busy = False
         self._busy_lock = threading.Lock()
+        self._owner_conn = None  # connection that started the active run
 
     # --------------------------------------------------------- generation
     def _generate(self, conn: WebSocketConnection, prompt: str, seed: int):
@@ -131,7 +132,11 @@ class DemoApp:
         while True:
             msg = conn.recv_event()
             if msg is None:
-                self.stop_event.set()
+                # stop on disconnect ONLY if this connection owns the
+                # active generation — another client dropping (e.g. one
+                # just refused with 'busy') must not kill the run
+                if self._owner_conn is conn:
+                    self.stop_event.set()
                 return
             event, data = msg
             data = data or {}
@@ -148,6 +153,7 @@ class DemoApp:
                 if not claimed:
                     conn.send_event("error", {"message": "busy"})
                     continue
+                self._owner_conn = conn
                 t = threading.Thread(
                     target=self._generate,
                     args=(conn, data.get("prompt", ""),

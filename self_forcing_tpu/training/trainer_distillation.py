@@ -131,23 +131,29 @@ class ScoreDistillationTrainer:
         self._critic_step_fn = {}
 
     # ------------------------------------------------------------- steps
-    def _make_gen_step(self, exit_idx: int):
+    def _make_gen_step(self, exit_idx):
+        """``exit_idx``: static int (same_step_across_blocks) or the
+        string 'per_block' — then the jitted step takes the per-block
+        exit array as a traced argument (one compile per noise shape
+        instead of one per exit draw)."""
         bundle, obj = self.bundle, self.obj
         objective = self.objective
         optimizer = self.gen_optimizer
+        per_block = exit_idx == "per_block"
 
         @jax.jit
         def step_fn(gen_params, fake_params, real_params, opt_state,
-                    noise, context, neg_context, rng):
+                    noise, context, neg_context, rng, exit_arr=None):
+            exits = exit_arr if per_block else exit_idx
             if objective == "dmd":
                 loss_fn = lambda gp: dmd.generator_loss(
                     bundle, obj, gp, fake_params, real_params, noise,
-                    context, neg_context, exit_idx, rng)
+                    context, neg_context, exits, rng)
             else:
                 from self_forcing_tpu.training.objectives import sid
                 loss_fn = lambda gp: sid.generator_loss(
                     bundle, obj, gp, fake_params, real_params, noise,
-                    context, neg_context, exit_idx, rng)
+                    context, neg_context, exits, rng)
             (loss, log), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 gen_params)
             gnorm = optax.global_norm(grads)
@@ -158,16 +164,17 @@ class ScoreDistillationTrainer:
 
         return step_fn
 
-    def _make_critic_step(self, exit_idx: int):
+    def _make_critic_step(self, exit_idx):
         bundle, obj = self.bundle, self.obj
         optimizer = self.critic_optimizer
+        per_block = exit_idx == "per_block"
 
         @jax.jit
         def step_fn(gen_params, fake_params, opt_state, noise, context,
-                    neg_context, rng):
+                    neg_context, rng, exit_arr=None):
             loss_fn = lambda fp: dmd.critic_loss(
                 bundle, obj, gen_params, fp, noise, context, neg_context,
-                exit_idx, rng)
+                exit_arr if per_block else exit_idx, rng)
             (loss, log), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 fake_params)
             gnorm = optax.global_norm(grads)
@@ -197,22 +204,29 @@ class ScoreDistillationTrainer:
         log = {}
         train_generator = self.state.step % self.dfake_gen_update_ratio == 0
 
-        exit_idx = self.bundle.pipeline.sample_exit_index(self.host_rng)
         shape = self._sample_rollout_shape(
             list(getattr(self.config, "image_or_video_shape",
                          [context.shape[0], 21, 16, 60, 104])))
         shape[0] = context.shape[0]
+        nb = self.obj.num_frame_per_block
+        exit_idx = self.bundle.pipeline.sample_exit_index(
+            self.host_rng, num_blocks=shape[1] // nb)
+        # per-block exit arrays (same_step_across_blocks=False) are traced
+        # args; a shared int exit is a static specialization key
+        key = "per_block" if not isinstance(exit_idx, int) else exit_idx
+        exit_arr = None if isinstance(exit_idx, int) \
+            else jnp.asarray(exit_idx)
 
         if train_generator:
-            if exit_idx not in self._gen_step_fn:
-                self._gen_step_fn[exit_idx] = self._make_gen_step(exit_idx)
+            if key not in self._gen_step_fn:
+                self._gen_step_fn[key] = self._make_gen_step(key)
             rng = jax.random.PRNGKey(int(self.host_rng.integers(2 ** 31)))
             rng, k = jax.random.split(rng)
             noise = jax.random.normal(k, shape, jnp.float32)
-            gen, opt, glog = self._gen_step_fn[exit_idx](
+            gen, opt, glog = self._gen_step_fn[key](
                 self.state.generator, self.state.fake_score, self.real_params,
                 self.state.gen_opt_state, noise, context, self.neg_context,
-                rng)
+                rng, exit_arr)
             self.state.generator = gen
             self.state.gen_opt_state = opt
             log.update({k: float(v) for k, v in glog.items()})
@@ -224,18 +238,22 @@ class ScoreDistillationTrainer:
                         ema_lib.update_ema, static_argnames=("decay",))(
                         self.state.generator_ema, gen, decay=self.ema_weight)
 
-        exit_idx = self.bundle.pipeline.sample_exit_index(self.host_rng)
-        if exit_idx not in self._critic_step_fn:
-            self._critic_step_fn[exit_idx] = self._make_critic_step(exit_idx)
-        rng = jax.random.PRNGKey(int(self.host_rng.integers(2 ** 31)))
-        rng, k = jax.random.split(rng)
         shape = self._sample_rollout_shape(shape)
         shape[0] = context.shape[0]
+        exit_idx = self.bundle.pipeline.sample_exit_index(
+            self.host_rng, num_blocks=shape[1] // nb)
+        key = "per_block" if not isinstance(exit_idx, int) else exit_idx
+        exit_arr = None if isinstance(exit_idx, int) \
+            else jnp.asarray(exit_idx)
+        if key not in self._critic_step_fn:
+            self._critic_step_fn[key] = self._make_critic_step(key)
+        rng = jax.random.PRNGKey(int(self.host_rng.integers(2 ** 31)))
+        rng, k = jax.random.split(rng)
         noise = jax.random.normal(k, shape, jnp.float32)
-        fake, opt, clog = self._critic_step_fn[exit_idx](
+        fake, opt, clog = self._critic_step_fn[key](
             self.state.generator, self.state.fake_score,
             self.state.critic_opt_state, noise, context, self.neg_context,
-            rng)
+            rng, exit_arr)
         self.state.fake_score = fake
         self.state.critic_opt_state = opt
         log.update({k: float(v) for k, v in clog.items()})

@@ -79,13 +79,21 @@ def test_load_lora_weights_torch_formats():
             rng.normal(size=(r, d)).astype(np.float32)
         sd[f"base_model.model.blocks.{i}.ffn.0.lora_B.weight"] = \
             rng.normal(size=(WAN_TINY.ffn_dim, r)).astype(np.float32)
-    lp = lora.load_lora_weights(params, sd, alpha=8.0)
+    lp = lora.load_lora_weights(params, sd, alpha=8.0,
+                                 head_dim=WAN_TINY.head_dim)
     q = lp["blocks"]["self_attn"]["q"]
     assert q["lora_A"].shape == (WAN_TINY.num_layers, d, r)
     assert float(q["lora_scale"][0]) == 2.0  # alpha/r
     np.testing.assert_allclose(
         np.asarray(q["lora_A"][1]),
         sd["blocks.1.self_attn.q.lora_A.weight"].T)
+    # q lora_B columns must be permuted to the RoPE half layout with the
+    # MODEL's head_dim (a hardcoded 128 scrambled WAN_TINY's 2x64 heads)
+    from self_forcing_tpu.models.wan.rope import qk_half_perm
+    perm = qk_half_perm(WAN_TINY.head_dim, WAN_TINY.num_heads)
+    np.testing.assert_allclose(
+        np.asarray(q["lora_B"][1]),
+        sd["blocks.1.self_attn.q.lora_B.weight"].T[:, perm])
     ffn = lp["blocks"]["ffn"]["fc1"]
     assert ffn["lora_B"].shape == (WAN_TINY.num_layers, r, WAN_TINY.ffn_dim)
 

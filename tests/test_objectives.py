@@ -250,3 +250,48 @@ def test_bundle_without_vae_rejects_long_rollout():
     pred = jax.numpy.zeros((1, 24, 16, 8, 8))
     with pytest.raises(ValueError, match="VAE"):
         bundle.trim_rollout(pred)
+
+
+def test_per_block_exit_matches_shared_when_equal():
+    """same_step_across_blocks=False (per-block exit array) must reduce to
+    the shared-exit rollout when every block draws the same exit
+    (reference self_forcing_training.py:136-149)."""
+    import dataclasses as dc
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from self_forcing_tpu.models.wan import dit
+    from self_forcing_tpu.models.wan.configs import WAN_TINY
+    from self_forcing_tpu.models.wan.rope import RopeTables
+    from self_forcing_tpu.pipelines.self_forcing_training import (
+        SelfForcingTrainingPipeline)
+    from self_forcing_tpu.scheduler import FlowMatchScheduler
+
+    cfg = dc.replace(WAN_TINY, num_frame_per_block=2)
+    params = dit.init_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    rope = RopeTables.create(cfg.head_dim)
+    sched = FlowMatchScheduler.create(1000, shift=5.0, training=True)
+    pipe = SelfForcingTrainingPipeline(
+        [1000, 500], sched, num_frame_per_block=2, num_max_frames=4,
+        same_step_across_blocks=False, frame_seqlen=16)
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (1, 8, cfg.text_dim))
+    ctx_kv = dit.precompute_context(params, cfg, ctx)
+    noise = jax.random.normal(jax.random.PRNGKey(2), (1, 4, 16, 8, 8))
+    rng = jax.random.PRNGKey(3)
+
+    for e in (0, 1):
+        ref, tf, tt = pipe.inference_with_trajectory(
+            params, cfg, rope, noise, ctx_kv, e, rng)
+        out, tf2, tt2 = pipe.inference_with_trajectory(
+            params, cfg, rope, noise, ctx_kv,
+            np.asarray([e, e], np.int32), rng)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+        assert (tf2, tt2) == (None, None)
+
+    # mixed exits differ from either shared rollout
+    mixed, _, _ = pipe.inference_with_trajectory(
+        params, cfg, rope, noise, ctx_kv, np.asarray([0, 1], np.int32), rng)
+    ref0, _, _ = pipe.inference_with_trajectory(
+        params, cfg, rope, noise, ctx_kv, 0, rng)
+    assert float(jnp.abs(mixed - ref0).max()) > 1e-4

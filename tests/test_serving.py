@@ -279,3 +279,24 @@ def test_demo_app_stream_and_busy():
         s.close()
     finally:
         server.shutdown()
+
+
+def test_taehv_streamer_short_first_chunk(ref_taehv):
+    """A first chunk shorter than the overlap (independent first frame)
+    must not drop fresh pixel frames: frame counts stay 4*T_new per chunk
+    (regression: skip was computed from the configured overlap, not the
+    actual tail length)."""
+    _, model = ref_taehv
+    params = _torch_params_to_jax(model)
+    rng = np.random.default_rng(2)
+    lat = jnp.asarray(rng.normal(size=(1, 7, 16, 8, 8)).astype(np.float32))
+
+    s = taehv_mod.TAEHVStreamer(params, overlap=3)
+    c0 = s.decode_chunk(lat[:, :1])     # 1-frame first block
+    c1 = s.decode_chunk(lat[:, 1:4])
+    c2 = s.decode_chunk(lat[:, 4:7])
+    assert c0.shape[1] == 4 * 1 - taehv_mod.FRAMES_TO_TRIM
+    assert c1.shape[1] == 12 and c2.shape[1] == 12
+    total = c0.shape[1] + c1.shape[1] + c2.shape[1]
+    full = taehv_mod.decode_video(params, lat, trim=True)
+    assert total == full.shape[1]
