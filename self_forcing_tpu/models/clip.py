@@ -61,8 +61,10 @@ def _ln(p, x, eps):
     return (n * p["w"] + p["b"]).astype(x.dtype)
 
 
-def _attn(p, x, num_heads):
-    """SelfAttention (clip.py:53-91): fused qkv, bidirectional."""
+def _attn(p, x, num_heads, mask=None):
+    """SelfAttention (clip.py:53-91): fused qkv, bidirectional.
+    ``mask``: optional bool [B, L] — False keys are excluded (the XLM-R
+    text tower masks pad positions, xlm_roberta.py:123-138)."""
     B, L, C = x.shape
     qkv = x @ p["to_qkv"]["w"] + p["to_qkv"]["b"]
     q, k, v = jnp.split(qkv.reshape(B, L, 3, num_heads, -1), 3, axis=2)
@@ -70,6 +72,8 @@ def _attn(p, x, num_heads):
     d = q.shape[-1]
     s = jnp.einsum("bqnd,bknd->bnqk", q, k,
                    preferred_element_type=jnp.float32) * (d ** -0.5)
+    if mask is not None:
+        s = jnp.where(mask[:, None, None, :], s, -jnp.inf)
     a = jax.nn.softmax(s, axis=-1).astype(v.dtype)
     o = jnp.einsum("bnqk,bknd->bqnd", a, v).reshape(B, L, C)
     return o @ p["proj"]["w"] + p["proj"]["b"]
@@ -84,12 +88,12 @@ def _mlp(p, x, activation):
     return h @ p["fc2"]["w"] + p["fc2"]["b"]
 
 
-def _block(p, x, num_heads, activation, eps, post_norm=False):
+def _block(p, x, num_heads, activation, eps, post_norm=False, mask=None):
     if post_norm:  # XLM-R style
-        x = _ln(p["norm1"], x + _attn(p["attn"], x, num_heads), eps)
+        x = _ln(p["norm1"], x + _attn(p["attn"], x, num_heads, mask), eps)
         x = _ln(p["norm2"], x + _mlp(p["mlp"], x, activation), eps)
     else:          # ViT pre-norm
-        x = x + _attn(p["attn"], _ln(p["norm1"], x, eps), num_heads)
+        x = x + _attn(p["attn"], _ln(p["norm1"], x, eps), num_heads, mask)
         x = x + _mlp(p["mlp"], _ln(p["norm2"], x, eps), activation)
     return x
 
@@ -130,13 +134,39 @@ def vision_forward(params: Params, cfg: CLIPConfig, x: jax.Array,
     return tokens
 
 
+def _torch_bicubic_matrix(in_size: int, out_size: int) -> np.ndarray:
+    """Interpolation matrix [out, in] matching torch F.interpolate
+    (mode='bicubic', align_corners=False, antialias=False): cubic
+    convolution with a=-0.75, no antialias prefilter.  jax.image.resize
+    differs on both counts (Keys a=-0.5 + antialiased downscale), which
+    drifted the CLIP conditioning tokens from the reference."""
+    a = -0.75
+    scale = in_size / out_size
+    W = np.zeros((out_size, in_size), np.float32)
+    for i in range(out_size):
+        x = (i + 0.5) * scale - 0.5
+        x0 = int(np.floor(x))
+        for k in range(-1, 3):
+            t = abs(x - (x0 + k))
+            if t <= 1:
+                w = (a + 2) * t ** 3 - (a + 3) * t ** 2 + 1
+            elif t < 2:
+                w = a * t ** 3 - 5 * a * t ** 2 + 8 * a * t - 4 * a
+            else:
+                w = 0.0
+            W[i, int(np.clip(x0 + k, 0, in_size - 1))] += w
+    return W
+
+
 def preprocess_images(images: jax.Array, cfg: CLIPConfig) -> jax.Array:
     """[B, 3, H, W] in [-1, 1] -> resized 224 + CLIP-normalized
-    (CLIPModel.visual, clip.py:528-538: bicubic resize, then normalize
-    ((x*0.5+0.5) - mean) / std)."""
-    B = images.shape[0]
-    x = jax.image.resize(images, (B, 3, cfg.image_size, cfg.image_size),
-                         method="cubic")
+    (CLIPModel.visual, clip.py:528-538: torch bicubic resize, then
+    normalize ((x*0.5+0.5) - mean) / std)."""
+    H, W = images.shape[-2:]
+    wh = jnp.asarray(_torch_bicubic_matrix(H, cfg.image_size))
+    ww = jnp.asarray(_torch_bicubic_matrix(W, cfg.image_size))
+    x = jnp.einsum("oh,bchw->bcow", wh, images.astype(jnp.float32))
+    x = jnp.einsum("pw,bcow->bcop", ww, x).astype(images.dtype)
     x = x * 0.5 + 0.5
     mean = jnp.asarray(CLIP_MEAN)[None, :, None, None]
     std = jnp.asarray(CLIP_STD)[None, :, None, None]
@@ -168,7 +198,7 @@ def text_forward(params: Params, cfg: CLIPConfig,
 
     def body(tok, bp):
         return _block(bp, tok, cfg.text_heads, "gelu", cfg.eps,
-                      post_norm=True), None
+                      post_norm=True, mask=mask), None
 
     x, _ = jax.lax.scan(body, x, params["blocks"])
     return x

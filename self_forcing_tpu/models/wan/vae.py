@@ -568,7 +568,10 @@ def decode_frame(params: Params, cfg: VAEConfig, z: jax.Array, cache: list,
     (= 4 for Wan).  Mirrors WanVAE_.decode's frame loop (vae.py:545-569).
     """
     zc = z.shape[-1]
-    x = z / jnp.asarray(LATENT_STD[:zc], z.dtype) \
+    # invert encode's (mu - mean)/std: z*std + mean (wrapper scale[1] is
+    # 1/std and the reference decode divides by IT, wan_wrapper.py:102 +
+    # vae.py:545-552 — i.e. multiplies by std)
+    x = z * jnp.asarray(LATENT_STD[:zc], z.dtype) \
         + jnp.asarray(LATENT_MEAN[:zc], z.dtype)
     x, _ = causal_conv3d(params["conv2"], x, None, kernel=(1, 1, 1))
     return _decoder_pass(params["decoder"], cfg, x, cache, first)

@@ -13,10 +13,17 @@ def init_ema(params):
     return jax.tree.map(lambda x: x.astype(jnp.float32), params)
 
 
-def update_ema(ema, params, decay: float):
+@jax.jit
+def _update_ema(ema, params, decay):
     return jax.tree.map(
         lambda e, p: decay * e + (1.0 - decay) * p.astype(jnp.float32),
         ema, params)
+
+
+def update_ema(ema, params, decay: float):
+    """Jitted once at module level: re-wrapping jax.jit per call (as the
+    trainers used to) retraced the full-tree update every train step."""
+    return _update_ema(ema, params, jnp.float32(decay))
 
 
 def ema_to_params(ema, like):

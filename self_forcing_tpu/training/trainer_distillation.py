@@ -234,8 +234,7 @@ class ScoreDistillationTrainer:
                 if self.state.generator_ema is None:
                     self.state.generator_ema = ema_lib.init_ema(gen)
                 else:
-                    self.state.generator_ema = jax.jit(
-                        ema_lib.update_ema, static_argnames=("decay",))(
+                    self.state.generator_ema = ema_lib.update_ema(
                         self.state.generator_ema, gen, decay=self.ema_weight)
 
         shape = self._sample_rollout_shape(shape)

@@ -51,6 +51,15 @@ class GANTrainer:
         self.bundle = ModelBundle.create(
             gen_cfg, critic_cfg, critic_cfg, obj,
             [int(s) for s in config.denoising_step_list])
+        if getattr(config, "warp_denoising_step", False):
+            # warp through scheduler timesteps like every other trainer
+            # (reference model/base.py:20-22 applies it to ALL models)
+            from self_forcing_tpu.scheduler import warp_denoising_steps
+            warped = warp_denoising_steps(
+                self.bundle.scheduler,
+                [int(s) for s in config.denoising_step_list])
+            self.bundle.pipeline.denoising_step_list = tuple(
+                float(s) for s in warped if s != 0)
 
         if cls_params is None:
             cls_params = dit.init_cls_branch_params(
@@ -187,8 +196,7 @@ class GANTrainer:
                 if self.generator_ema is None:
                     self.generator_ema = ema_lib.init_ema(self.generator)
                 else:
-                    self.generator_ema = jax.jit(
-                        ema_lib.update_ema, static_argnames=("decay",))(
+                    self.generator_ema = ema_lib.update_ema(
                         self.generator_ema, self.generator,
                         decay=self.ema_weight)
 
@@ -214,3 +222,34 @@ class GANTrainer:
         if self.generator_ema is not None:
             tree["generator_ema"] = self.generator_ema
         save_pytree(path, tree)
+
+    # full-state resume — the reference GAN trainer's checkpointer-based
+    # resume is broken as committed (trainer/gan.py:187-190, SURVEY §5.4);
+    # mirror the sibling trainers' save_state/load_state instead so the
+    # warmup/update-ratio phases (gated on self.step) survive restarts.
+    def _state_tree(self, ema_like):
+        return {"generator": self.generator, "critic": self.fake_score,
+                "critic_cls": self.cls_params,
+                "gen_opt_state": self.gen_opt_state,
+                "critic_opt_state": self.critic_opt_state,
+                "cls_opt_state": self.cls_opt_state,
+                "ema": ema_like, "step": self.step}
+
+    def save_state(self, path: str):
+        from self_forcing_tpu.utils.checkpoints import save_pytree
+        save_pytree(path, self._state_tree(self.generator_ema))
+
+    def load_state(self, path: str):
+        from self_forcing_tpu.utils.checkpoints import restore_pytree
+        ema_like = self.generator_ema
+        if ema_like is None and self.ema_weight > 0:
+            ema_like = ema_lib.init_ema(self.generator)
+        tree = restore_pytree(path, self._state_tree(ema_like))
+        self.generator = tree["generator"]
+        self.fake_score = tree["critic"]
+        self.cls_params = tree["critic_cls"]
+        self.gen_opt_state = tree["gen_opt_state"]
+        self.critic_opt_state = tree["critic_opt_state"]
+        self.cls_opt_state = tree["cls_opt_state"]
+        self.generator_ema = tree["ema"]
+        self.step = int(tree["step"])

@@ -87,8 +87,7 @@ class ODETrainer:
             if self.ema is None:
                 self.ema = ema_lib.init_ema(self.params)
             else:
-                self.ema = jax.jit(
-                    ema_lib.update_ema, static_argnames=("decay",))(
+                self.ema = ema_lib.update_ema(
                     self.ema, self.params, decay=self.ema_weight)
         self.step += 1
         # timestep-bucket loss breakdown (trainer/ode.py:173-182)
@@ -112,8 +111,14 @@ class ODETrainer:
 
     def load_state(self, path: str):
         from self_forcing_tpu.utils.checkpoints import restore_pytree
+        # a fresh trainer has ema=None (lazily initialized on the first
+        # step), but an EMA-enabled checkpoint carries the full EMA tree:
+        # restore needs a matching template
+        ema_like = self.ema
+        if ema_like is None and self.ema_weight > 0:
+            ema_like = ema_lib.init_ema(self.params)
         like = {"params": self.params, "opt_state": self.opt_state,
-                "ema": self.ema, "step": self.step}
+                "ema": ema_like, "step": self.step}
         tree = restore_pytree(path, like)
         self.params = tree["params"]
         self.opt_state = tree["opt_state"]

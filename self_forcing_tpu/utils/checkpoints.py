@@ -35,6 +35,18 @@ def load_torch_state_dict(path: str, key: str | None = None) -> dict:
     if path.endswith(".safetensors"):
         from safetensors.numpy import load_file
         sd = load_file(path)
+        if key is not None:
+            # safetensors files are flat: select a sub-dict by key prefix
+            # (torch checkpoints nest instead) or fail loudly rather than
+            # silently returning the whole dict
+            pref = key + "."
+            sub = {k[len(pref):]: v for k, v in sd.items()
+                   if k.startswith(pref)}
+            if not sub:
+                raise KeyError(
+                    f"{key!r} selects nothing in {path} (flat safetensors "
+                    f"keys have no {pref}* entries)")
+            sd = sub
     else:
         import torch
         sd = torch.load(path, map_location="cpu", weights_only=False)

@@ -123,3 +123,41 @@ def test_vae_wrapper_roundtrip_shapes():
     assert z.shape == (1, 2, vae_mod.VAE_TINY.z_dim, 4, 4)
     out = w.decode_to_pixel(z)
     assert out.shape == (1, 5, 3, 32, 32)
+
+
+def test_preprocess_matches_torch_bicubic():
+    """Resize matches torch F.interpolate(mode='bicubic',
+    align_corners=False) exactly (the reference preprocessing,
+    clip.py:528-538) — jax.image.resize uses a different cubic kernel."""
+    import torch
+    import torch.nn.functional as F
+    from self_forcing_tpu.models.clip import CLIPConfig, preprocess_images
+    cfg = CLIPConfig(image_size=16)
+    rng = np.random.default_rng(0)
+    img = rng.uniform(-1, 1, (2, 3, 40, 56)).astype(np.float32)
+    with torch.no_grad():
+        ref = F.interpolate(torch.tensor(img), size=(16, 16),
+                            mode="bicubic", align_corners=False).numpy()
+    out = np.asarray(preprocess_images(jnp.asarray(img), cfg))
+    # undo the normalization to compare the raw resize
+    from self_forcing_tpu.models.clip import CLIP_MEAN, CLIP_STD
+    raw = out * np.asarray(CLIP_STD)[None, :, None, None] \
+        + np.asarray(CLIP_MEAN)[None, :, None, None]
+    raw = (raw - 0.5) * 2.0
+    np.testing.assert_allclose(raw, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_text_forward_masks_pad_tokens():
+    """Pad positions must not change real-token features
+    (xlm_roberta.py:123-138 additive mask)."""
+    from self_forcing_tpu.models.clip import (CLIPConfig, init_text_params,
+                                              text_forward)
+    cfg = CLIPConfig(text_dim=32, text_heads=2, text_layers=2,
+                     vocab_size=64, max_text_len=16)
+    params = init_text_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    ids = jnp.asarray([[5, 6, 7, cfg.pad_id, cfg.pad_id]])
+    ids2 = jnp.asarray([[5, 6, 7, 9, 33]]).at[:, 3:].set(cfg.pad_id)
+    a = text_forward(params, cfg, ids)
+    b = text_forward(params, cfg, ids2)
+    np.testing.assert_allclose(np.asarray(a[:, :3]), np.asarray(b[:, :3]),
+                               rtol=1e-6, atol=1e-6)

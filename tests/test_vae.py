@@ -64,10 +64,11 @@ def test_decode_parity(models):
     with torch.no_grad():
         ref_px = tm.decode(torch.tensor(z), [mean, inv_std]).numpy()
 
-    # neutralize our latent normalization: decode_frame computes
-    # z/std + mean, so pre-scale with (z - mean) * std^-1 inverse.
+    # neutralize our latent normalization (the torch call above uses
+    # identity scale): decode_frame computes z*std + mean, so feed
+    # (z - mean)/std.
     z_j = (z.transpose(0, 2, 3, 4, 1) - jvae.LATENT_MEAN[:CFG.z_dim]) \
-        * jvae.LATENT_STD[:CFG.z_dim]
+        / jvae.LATENT_STD[:CFG.z_dim]
     out = np.asarray(jvae.decode(params, CFG, jnp.asarray(z_j)))
     ref = np.clip(ref_px.transpose(0, 2, 3, 4, 1), -1, 1)
     assert out.shape == ref.shape
@@ -193,3 +194,25 @@ def test_fused_resblock_matches_xla_streaming(monkeypatch):
                                atol=2e-5, rtol=2e-5)
     np.testing.assert_allclose(np.asarray(yb2), np.asarray(ya2),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_decode_inverts_encode_normalization(models):
+    """encode -> decode round-trips the normalization: decoding the
+    encoder's output must match decoding with the reference's scale
+    convention (regression: decode divided by std instead of multiplying,
+    so every pipeline video had per-channel mis-scaled latents)."""
+    import torch
+    tm, params = models
+    rng = np.random.default_rng(3)
+    px = rng.uniform(-1, 1, (B, T, H, W, 3)).astype(np.float32)
+    lat = jvae.encode(params, CFG, jnp.asarray(px))
+
+    mean = torch.tensor(jvae.LATENT_MEAN[:CFG.z_dim])
+    inv_std = 1.0 / torch.tensor(jvae.LATENT_STD[:CFG.z_dim])
+    with torch.no_grad():
+        z_t = torch.tensor(
+            np.asarray(lat).transpose(0, 4, 1, 2, 3))
+        ref_px = tm.decode(z_t, [mean, inv_std]).numpy()
+    out = np.asarray(jvae.decode(params, CFG, lat))
+    ref = np.clip(ref_px.transpose(0, 2, 3, 4, 1), -1, 1)
+    np.testing.assert_allclose(out, ref, rtol=5e-4, atol=5e-4)
