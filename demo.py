@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import zlib
 
 import numpy as np
 
@@ -65,7 +66,8 @@ def main():
         H = W = 8
         F = int(getattr(config, "num_frames", 3))
         encode = lambda prompts: jnp.stack([
-            jax.random.normal(jax.random.PRNGKey(hash(p) % 2 ** 31),
+            jax.random.normal(jax.random.PRNGKey(
+                zlib.crc32(p.encode()) % 2 ** 31),
                               (512, cfg.text_dim)) for p in prompts])
     else:
         from self_forcing_tpu.runtime import load_wan_models
@@ -91,6 +93,7 @@ def main():
         tae_params = taehv_mod.convert_taehv_state_dict(
             load_torch_state_dict(args.taehv_checkpoint))
         streamer = taehv_mod.TAEHVStreamer(tae_params, overlap=3)
+        reset_decoder = streamer.reset
 
         def decode_chunk(latents):
             px = streamer.decode_chunk(latents.astype(jnp.float32))
@@ -99,6 +102,9 @@ def main():
                     ).astype(np.uint8)
     else:
         state = {"cache": None}
+
+        def reset_decoder():
+            state["cache"] = None
 
         def decode_chunk(latents):
             z = latents.astype(jnp.float32).transpose(0, 1, 3, 4, 2)
@@ -121,7 +127,8 @@ def main():
             return (np.asarray(px[0]) * 255).astype(np.uint8)
 
     app = DemoApp(pipeline, encode, decode_chunk,
-                  latent_shape=(1, F, 16, H, W), fps=args.fps)
+                  latent_shape=(1, F, 16, H, W), fps=args.fps,
+                  reset_decoder_fn=reset_decoder)
     app.serve(args.host, args.port)
 
 

@@ -53,8 +53,13 @@ def main():
         if fname is None:
             snapshot_download(repo_id=repo, local_dir=dst)
         else:
-            hf_hub_download(repo_id=repo, filename=fname,
-                            local_dir=os.path.dirname(dst))
+            # hf_hub_download preserves the repo-relative filename path
+            # under local_dir (e.g. checkpoints/x.pt -> local_dir/
+            # checkpoints/x.pt); move the file to the declared dst
+            got = hf_hub_download(repo_id=repo, filename=fname,
+                                  local_dir=os.path.dirname(dst))
+            if os.path.abspath(got) != os.path.abspath(dst):
+                os.replace(got, dst)
 
 
 if __name__ == "__main__":

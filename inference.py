@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import zlib
 
 import numpy as np
 
@@ -62,7 +63,8 @@ def main():
         vae_params = vae_mod.init_params(jax.random.PRNGKey(1), vae_cfg)
         H = W = 8
         encode = lambda prompts: jnp.stack([
-            jax.random.normal(jax.random.PRNGKey(hash(p) % 2 ** 31),
+            jax.random.normal(jax.random.PRNGKey(
+                zlib.crc32(p.encode()) % 2 ** 31),
                               (512, cfg.text_dim)) for p in prompts])
     else:
         from self_forcing_tpu.runtime import load_wan_models
@@ -95,14 +97,15 @@ def main():
     os.makedirs(args.output_folder, exist_ok=True)
 
     F = int(args.num_output_frames)
+    # identical for every prompt: one T5 forward, not one per dataset row
+    neg = encode([str(getattr(config, "negative_prompt", ""))]) \
+        if not getattr(config, "denoising_step_list", None) else None
     for idx in range(rank, len(dataset), world):
         prompt = dataset[idx]["prompts"]
         context = encode([prompt])
         noise = jax.random.normal(
             jax.random.PRNGKey(args.seed + idx), (1, F, 16, H, W),
             jnp.float32)
-        neg = encode([str(getattr(config, "negative_prompt", ""))]) \
-            if not getattr(config, "denoising_step_list", None) else None
         if neg is not None:
             video = pipeline.inference(noise, context=context,
                                        neg_context=neg)

@@ -10,6 +10,8 @@ in jitted functions only via static extraction).
 """
 from __future__ import annotations
 
+import os
+
 import copy
 from typing import Any, Mapping
 
@@ -89,6 +91,8 @@ def load_config(config_path: str, default_path: str | None = None) -> Config:
     Reference: ``OmegaConf.merge(default_config, config)`` (train.py:20-22).
     """
     cfg = load_yaml(config_path)
-    if default_path is not None:
+    if default_path is not None and os.path.exists(default_path):
+        # optional like the reference's fixed configs/default_config.yaml
+        # merge — an experiment config outside configs/ must still load
         cfg = merge(load_yaml(default_path), cfg)
     return cfg

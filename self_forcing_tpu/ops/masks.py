@@ -91,6 +91,18 @@ def _from_numpy(s1, e1, s2=None, e2=None) -> IntervalMask:
         np.asarray(z, np.int32), np.asarray(z2, np.int32))
 
 
+def _self_visibility(idx, starts, ends):
+    """The reference masks all include '| (q_idx == kv_idx)'
+    (causal_model.py:549-552,699-704): with local_attn_size smaller than
+    the block, early-block queries fall outside their own window and the
+    row would otherwise be fully masked.  Encode the diagonal as the
+    second interval [q, q+1) exactly where interval1 misses it."""
+    covered = (starts <= idx) & (idx < ends)
+    s2 = np.where(covered, 0, idx)
+    e2 = np.where(covered, 0, idx + 1)
+    return s2, e2
+
+
 def block_causal_mask(num_frames: int, frame_seqlen: int,
                       num_frame_per_block: int = 1,
                       local_attn_size: int = -1) -> IntervalMask:
@@ -109,7 +121,7 @@ def block_causal_mask(num_frames: int, frame_seqlen: int,
         starts = np.zeros_like(ends)
     else:
         starts = np.maximum(ends - local_attn_size * frame_seqlen, 0)
-    return _from_numpy(starts, ends)
+    return _from_numpy(starts, ends, *_self_visibility(idx, starts, ends))
 
 
 def block_causal_mask_i2v(num_frames: int, frame_seqlen: int,
@@ -128,7 +140,7 @@ def block_causal_mask_i2v(num_frames: int, frame_seqlen: int,
         starts = np.zeros_like(ends)
     else:
         starts = np.maximum(ends - local_attn_size * frame_seqlen, 0)
-    return _from_numpy(starts, ends)
+    return _from_numpy(starts, ends, *_self_visibility(idx, starts, ends))
 
 
 def teacher_forcing_mask(num_frames: int, frame_seqlen: int,

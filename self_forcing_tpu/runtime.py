@@ -102,10 +102,15 @@ def load_wan_models(model_dir: str, causal: bool = True,
                     checkpoint_path: str | None = None,
                     checkpoint_key: str = "generator_ema",
                     dtype=jnp.bfloat16,
-                    load_t5: bool = True, load_vae: bool = True) -> WanModels:
+                    load_t5: bool = True, load_vae: bool = True,
+                    load_dit: bool = True) -> WanModels:
+    """``load_dit=False`` skips the multi-GB DiT load/convert for callers
+    that only need T5/VAE (e.g. trainers already holding the models)."""
     cfg = model_cfg or WAN_1_3B
-    generator = load_dit_params(model_dir, cfg, checkpoint_path,
-                                checkpoint_key, dtype)
+    generator = None
+    if load_dit:
+        generator = load_dit_params(model_dir, cfg, checkpoint_path,
+                                    checkpoint_key, dtype)
 
     t5_params = t5_cfg = vae_params = vae_cfg = tokenizer = None
     if load_t5:

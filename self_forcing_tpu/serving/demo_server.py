@@ -42,10 +42,15 @@ class DemoApp:
     """Wires a CausalInferencePipeline + VAE streamer to the WS transport."""
 
     def __init__(self, pipeline, encode_text_fn, decode_chunk_fn,
-                 latent_shape=(1, 21, 16, 60, 104), fps: float = 6.0):
+                 latent_shape=(1, 21, 16, 60, 104), fps: float = 6.0,
+                 reset_decoder_fn=None):
         self.pipeline = pipeline
         self.encode_text = encode_text_fn
         self.decode_chunk = decode_chunk_fn  # latents [B,nb,C,h,w] -> u8 px
+        # called at the start of every generation: streaming decoders
+        # carry temporal caches (VAE feat cache / TAEHV tail) that must
+        # not leak the previous video's state into the next one
+        self.reset_decoder = reset_decoder_fn
         self.latent_shape = tuple(latent_shape)
         self.fps = fps
         self.stop_event = threading.Event()
@@ -58,6 +63,8 @@ class DemoApp:
         import jax
         import jax.numpy as jnp
         self.stop_event.clear()
+        if self.reset_decoder is not None:
+            self.reset_decoder()
         frame_q: queue.Queue = queue.Queue(maxsize=256)
 
         def sender():

@@ -95,8 +95,17 @@ def critic_loss(bundle: ModelBundle, obj: ObjectiveConfig,
                          bundle.scheduler, noisy, t, context)
     flat = lambda a: a.reshape((B * F,) + a.shape[2:])
     loss_fn = get_denoising_loss(obj.denoising_loss_type)
-    flow_pred = bundle.scheduler.convert_x0_to_flow_pred(
-        flat(pred_fake), flat(noisy), t.reshape(-1))
-    loss = loss_fn(x=flat(pred), noise=flat(critic_noise),
-                   flow_pred=flow_pred)
+    if obj.denoising_loss_type == "flow":
+        flow_pred = bundle.scheduler.convert_x0_to_flow_pred(
+            flat(pred_fake), flat(noisy), t.reshape(-1))
+        loss = loss_fn(x=flat(pred), noise=flat(critic_noise),
+                       flow_pred=flow_pred)
+    else:
+        noise_pred = bundle.scheduler.convert_x0_to_noise(
+            flat(pred_fake), flat(noisy), t.reshape(-1))
+        loss = loss_fn(x=flat(pred), x_pred=flat(pred_fake),
+                       noise=flat(critic_noise), noise_pred=noise_pred,
+                       alphas_cumprod=getattr(bundle.scheduler,
+                                              "alphas_cumprod", None),
+                       timestep=t.reshape(-1))
     return loss, {"critic_timestep_mean": jnp.mean(t)}

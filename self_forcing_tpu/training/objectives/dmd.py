@@ -132,7 +132,10 @@ def critic_loss(bundle: ModelBundle, obj: ObjectiveConfig,
         noise_pred = bundle.scheduler.convert_x0_to_noise(
             flat(pred_fake), flat(noisy), t.reshape(-1))
         loss = loss_fn(x=flat(pred), x_pred=flat(pred_fake),
-                       noise=flat(critic_noise), noise_pred=noise_pred)
+                       noise=flat(critic_noise), noise_pred=noise_pred,
+                       alphas_cumprod=getattr(bundle.scheduler,
+                                              "alphas_cumprod", None),
+                       timestep=t.reshape(-1))
     return loss, {"critic_timestep_mean": jnp.mean(t)}
 
 

@@ -44,12 +44,18 @@ class WanT2V:
         self.negative_prompt = negative_prompt
         self.rope = RopeTables.create(model_cfg.head_dim)
 
-    def _forward(self, x, t, context):
+    def _forward(self, x, t, context, y=None, clip_fea=None):
         if self.mesh is not None and self.mesh.shape.get(self.sp_axis, 1) > 1:
+            if y is not None or clip_fea is not None:
+                raise NotImplementedError(
+                    "sequence-parallel I2V conditioning (y/clip_fea over "
+                    "the sp axis) is not implemented — run WanI2V without "
+                    "a mesh, or extend parallel/sequence.forward_train_sp")
             return forward_train_sp(self.params, self.cfg, x, t, context,
                                     self.rope, self.mesh, self.sp_axis)
         return dit.forward_train(self.params, self.cfg, x, t, context, None,
-                                 self.rope, remat=False)
+                                 self.rope, y=y, clip_fea=clip_fea,
+                                 remat=False)
 
     def generate(self, input_prompt: str, size=(832, 480), frame_num: int = 81,
                  shift: float = 5.0, sample_solver: str = "unipc",
@@ -65,6 +71,10 @@ class WanT2V:
 
         if context is None:
             context = self.text_encoder([input_prompt])
+        if neg_context is None:
+            if self.text_encoder is None:
+                raise ValueError("pass neg_context alongside context, or "
+                                 "construct with a text encoder")
             neg_context = self.text_encoder(
                 [n_prompt or self.negative_prompt])
         solver = make_solver(sample_solver, sampling_steps, shift)
@@ -123,6 +133,10 @@ class WanI2V(WanT2V):
         rng = jax.random.PRNGKey(max(seed, 0))
         if context is None:
             context = self.text_encoder([input_prompt])
+        if neg_context is None:
+            if self.text_encoder is None:
+                raise ValueError("pass neg_context alongside context, or "
+                                 "construct with a text encoder")
             neg_context = self.text_encoder(
                 [n_prompt or self.negative_prompt])
         clip_fea, y = self.encode_image_cond(img, F, h, w)
@@ -132,12 +146,9 @@ class WanI2V(WanT2V):
         state = init_solver_state(x.shape, x.dtype)
         for i, t_val in enumerate(solver.timesteps):
             t = jnp.full((1, F), float(t_val), jnp.float32)
-            cond = dit.forward_train(self.params, self.cfg, x, t, context,
-                                     None, self.rope, y=y,
-                                     clip_fea=clip_fea, remat=False)
-            uncond = dit.forward_train(self.params, self.cfg, x, t,
-                                       neg_context, None, self.rope, y=y,
-                                       clip_fea=clip_fea, remat=False)
+            cond = self._forward(x, t, context, y=y, clip_fea=clip_fea)
+            uncond = self._forward(x, t, neg_context, y=y,
+                                   clip_fea=clip_fea)
             flow = uncond + guide_scale * (cond - uncond)
             state, x = solver.step(i, state, flow, x)
         if self.vae_params is None:

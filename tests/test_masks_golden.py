@@ -46,15 +46,8 @@ def test_block_causal_mask_matches_reference(nfpb, local):
 
     ref = _dense_ref_mask(build, total)
     ours = np.asarray(block_causal_mask(F, fs, nfpb, local).materialize())
-    # the reference adds an identity diagonal (for padded rows); real
-    # in-window diagonals are always visible in both — compare with it
-    ref_no_eye = ref.copy()
-    ours_eye = ours | np.eye(total, dtype=bool)
-    np.testing.assert_array_equal(ours_eye, ref_no_eye | np.eye(total,
-                                                                dtype=bool))
-    # and the masks proper agree off the diagonal
-    off = ~np.eye(total, dtype=bool)
-    np.testing.assert_array_equal(ours & off, ref & off)
+    # exact, INCLUDING the reference's '| (q_idx == kv_idx)' diagonal
+    np.testing.assert_array_equal(ours, ref)
 
 
 @pytest.mark.parametrize("nfpb,local", [(2, -1), (2, 1)])
@@ -70,8 +63,7 @@ def test_i2v_mask_matches_reference(nfpb, local):
     ref = _dense_ref_mask(build, total)
     ours = np.asarray(block_causal_mask_i2v(F, fs, nfpb, local)
                       .materialize())
-    off = ~np.eye(total, dtype=bool)
-    np.testing.assert_array_equal(ours & off, ref & off)
+    np.testing.assert_array_equal(ours, ref)
 
 
 def test_teacher_forcing_mask_matches_reference():
@@ -86,3 +78,28 @@ def test_teacher_forcing_mask_matches_reference():
     ours = np.asarray(teacher_forcing_mask(F, fs, nfpb).materialize())
     off = ~np.eye(total, dtype=bool)
     np.testing.assert_array_equal(ours & off, ref & off)
+
+
+def test_block_causal_small_window_keeps_diagonal():
+    """local_attn_size smaller than the block: the reference's
+    '| (q_idx == kv_idx)' keeps every query self-visible
+    (causal_model.py:549-552) — rows outside their own window were fully
+    masked before the second-interval diagonal."""
+    from self_forcing_tpu.ops.masks import block_causal_mask
+    fs, F, nb, local = 4, 8, 4, 2
+    m = block_causal_mask(F, fs, num_frame_per_block=nb,
+                          local_attn_size=local)
+    total = F * fs
+    import jax.numpy as jnp
+    q = np.arange(total)
+    vis_self = np.asarray(m.visible(jnp.asarray(q), jnp.asarray(q)))
+    assert vis_self.all()
+    # and the window semantics are otherwise unchanged
+    ends = (q // (fs * nb) + 1) * (fs * nb)
+    lo = np.maximum(ends - local * fs, 0)
+    for qi in (0, 5, 17, 31):
+        cols = np.arange(total)
+        ref = ((cols < min(ends[qi], total)) & (cols >= lo[qi])) | \
+            (cols == qi)
+        got = np.asarray(m.visible(jnp.full(total, qi), jnp.asarray(cols)))
+        np.testing.assert_array_equal(got, ref)

@@ -60,11 +60,17 @@ def make_context_fn(config, cfg):
     t5_path = os.path.join(model_dir, "models_t5_umt5-xxl-enc-bf16.pth")
     if os.path.exists(t5_path):
         from self_forcing_tpu.runtime import load_wan_models
-        models = load_wan_models(model_dir, load_vae=False)
-        return lambda prompts: models.encode_text(prompts)
+        # T5 only: loading the DiT here duplicated the multi-GB generator
+        # the trainer already holds (minutes of convert on this host)
+        models = load_wan_models(model_dir, load_vae=False, load_dit=False)
+        return models.encode_text
 
     def pseudo(prompts):
-        keys = [jax.random.PRNGKey(hash(p) % (2 ** 31)) for p in prompts]
+        # zlib.crc32, not hash(): python string hashing is salted per
+        # process, so replicas would see different pseudo embeddings
+        import zlib
+        keys = [jax.random.PRNGKey(zlib.crc32(p.encode()) % (2 ** 31))
+                for p in prompts]
         return jnp.stack([jax.random.normal(k, (512, cfg.text_dim),
                                             jnp.float32) for k in keys])
     return pseudo
