@@ -75,6 +75,8 @@ class ShardingDataset:
         self.index = []
         self.latents_shape = []
         for fname in sorted(os.listdir(data_path)):
+            if not fname.endswith(".rs"):
+                continue  # stray files (editor swap, .DS_Store) aren't shards
             reader = RecordReader(os.path.join(data_path, fname))
             shard_id = len(self.readers)
             self.readers.append(reader)

@@ -600,9 +600,13 @@ def _ffn(bp: Params, cfg: WanConfig, xn: jax.Array) -> jax.Array:
 def _block_train(bp: Params, cfg: WanConfig, x: jax.Array, e0: jax.Array,
                  rope_cos: jax.Array, rope_sin: jax.Array,
                  mask: IntervalMask, ctx_kv_layer: dict,
-                 frame_seqlen: int) -> jax.Array:
+                 frame_seqlen: int, attn_fn=None) -> jax.Array:
     """One WanAttentionBlock, full-sequence (train) self-attention
-    (causal_model.py:284-336)."""
+    (causal_model.py:284-336).
+
+    ``attn_fn(q, k, v) -> [B, L, N, D]`` replaces the flash-attention call
+    when given (the sequence-parallel ring attention plugs in here so the
+    surrounding block math is never forked)."""
     mod = bp["modulation"].astype(jnp.float32)[:, None]          # [1,1,6,D]
     e = (mod + e0.astype(jnp.float32)).astype(x.dtype)           # [B,F,6,D]
     e_shift, e_scale, e_gate = e[:, :, 0:1], e[:, :, 1:2], e[:, :, 2:3]
@@ -613,13 +617,16 @@ def _block_train(bp: Params, cfg: WanConfig, x: jax.Array, e0: jax.Array,
     q, k, v = _qkv(bp["self_attn"], cfg, xn)
     q = _rope_half(q, rope_cos, rope_sin)
     k = _rope_half(k, rope_cos, rope_sin)
-    m0 = None
-    if cfg.attn_softmax == "bounded" and _bounded_active():
-        # Cauchy-Schwarz score bound for the bounded-offset softmax (same
-        # trick as the decode path; exact — see ops/pallas_attention.py)
-        m0 = (cfg.head_dim ** -0.5) * _max_row_norm(q, None) \
-            * _max_row_norm(k, None)
-    attn = flash_attention(q, k, v, mask, fixed_m0=m0)
+    if attn_fn is not None:
+        attn = attn_fn(q, k, v)
+    else:
+        m0 = None
+        if cfg.attn_softmax == "bounded" and _bounded_active():
+            # Cauchy-Schwarz score bound for the bounded-offset softmax
+            # (same trick as the decode path — ops/pallas_attention.py)
+            m0 = (cfg.head_dim ** -0.5) * _max_row_norm(q, None) \
+                * _max_row_norm(k, None)
+        attn = flash_attention(q, k, v, mask, fixed_m0=m0)
     B, L = attn.shape[:2]
     # num_heads*head_dim, not cfg.dim: under TP only the local heads live here
     y = _out_linear(bp["self_attn"]["o"],

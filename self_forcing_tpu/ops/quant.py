@@ -36,6 +36,12 @@ def quantize_linear_params(p: Params, mode: str = "w8a8") -> Params:
 
     Stacked-block weights [L, in, out] are quantized along axis 1.
     """
+    if "lora_A" in p:
+        # quantized_linear does not apply LoRA deltas — quantizing an
+        # unmerged adapter would silently revert to base-model behavior.
+        # Merge first (lora.merge_lora / scripts/merge_lora.py).
+        raise ValueError("cannot quantize a linear with unmerged LoRA "
+                         "params; merge the adapter first")
     w = p["w"]
     axis = w.ndim - 2
     w_q, scale = _quantize_weight(w, axis)
@@ -84,7 +90,10 @@ def quantized_linear(p: Params, x: jax.Array) -> jax.Array:
                                 p.get("b"), out_dtype=x.dtype)
                 if y is not None:
                     return y.reshape(*lead, y.shape[-1])
-                x_q, s_x = quantize_activations(x)  # XLA-dot fallback
+                # XLA-dot fallback reuses the Pallas quantization (the
+                # scale is lane-broadcast: column 0 is the value)
+                x_q = x_q2.reshape(*lead, K)
+                s_x = s128[:, :1].reshape(*lead, 1)
             else:
                 # quantize kernel declined the shape; the matmul kernel
                 # may still take XLA-quantized activations

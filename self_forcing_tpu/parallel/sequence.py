@@ -31,78 +31,66 @@ from self_forcing_tpu.models.wan.rope import RopeTables
 
 
 def ring_attention(q: jax.Array, k: jax.Array, v: jax.Array,
-                   axis_name: str, scale: Optional[float] = None
-                   ) -> jax.Array:
+                   axis_name: str, scale: Optional[float] = None,
+                   kv_valid: Optional[int] = None) -> jax.Array:
     """Bidirectional ring attention inside shard_map.
 
     q/k/v: [B, L_loc, N, D] local shards; full attention over the global
-    sequence via ``sp`` ppermute rotations.
+    sequence via ``sp - 1`` ppermute rotations (a python loop — sp is
+    static — so no rotation is issued after the final accumulate).
+
+    ``kv_valid``: optional global token count — KV columns at global index
+    >= kv_valid are masked out (sequence padding to an sp multiple; the
+    reference likewise rounds seq_len up to the sp world size,
+    wan/text2video.py:160-162).
     """
     d = q.shape[-1]
     scale = (d ** -0.5) if scale is None else scale
     sp = jax.lax.psum(1, axis_name)
+    idx = jax.lax.axis_index(axis_name)
 
     qf = jnp.swapaxes(q, 1, 2).astype(jnp.float32) * scale  # [B,N,Lq,D]
+    B, Lq, N, D = q.shape
+    m = qf[..., :1] * 0.0 - 1e30
+    l = qf[..., :1] * 0.0
+    o = qf * 0.0
+    kc, vc = k, v
+    perm = [(i, (i + 1) % sp) for i in range(sp)]
 
-    def step(carry, _):
-        m, l, o, kc, vc = carry
+    for step in range(sp):
         kf = jnp.swapaxes(kc, 1, 2).astype(jnp.float32)
         vf = jnp.swapaxes(vc, 1, 2).astype(jnp.float32)
         s = jnp.einsum("bnqd,bnkd->bnqk", qf, kf)
+        if kv_valid is not None:
+            # after `step` rotations device idx holds the KV that
+            # originated on device (idx - step) mod sp
+            src = (idx - step) % sp
+            col = src * kc.shape[1] + jnp.arange(kc.shape[1])
+            s = jnp.where(col[None, None, None, :] < kv_valid, s, -1e30)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
         corr = jnp.exp(m - m_new)
-        l_new = l * corr + jnp.sum(p, axis=-1, keepdims=True)
-        o_new = o * corr + jnp.einsum("bnqk,bnkd->bnqd", p, vf)
-        # rotate KV to the next rank on the ring
-        perm = [(i, (i + 1) % sp) for i in range(sp)]
-        kc = jax.lax.ppermute(kc, axis_name, perm)
-        vc = jax.lax.ppermute(vc, axis_name, perm)
-        return (m_new, l_new, o_new, kc, vc), None
+        l = l * corr + jnp.sum(p, axis=-1, keepdims=True)
+        o = o * corr + jnp.einsum("bnqk,bnkd->bnqd", p, vf)
+        m = m_new
+        if step < sp - 1:  # the last rotation's result was never read
+            kc = jax.lax.ppermute(kc, axis_name, perm)
+            vc = jax.lax.ppermute(vc, axis_name, perm)
 
-    B, Lq, N, D = q.shape
-    # derive carries from qf so they inherit its varying-axis type
-    # (shard_map scan carries must match exactly)
-    m0 = qf[..., :1] * 0.0 - 1e30
-    l0 = qf[..., :1] * 0.0
-    o0 = qf * 0.0
-    (m, l, o, _, _), _ = jax.lax.scan(step, (m0, l0, o0, k, v), None,
-                                      length=sp)
     out = o / jnp.maximum(l, 1e-30)
     return jnp.swapaxes(out, 1, 2).astype(q.dtype)
 
 
 def _block_sp(bp, cfg: WanConfig, x, e0, cos, sin, ctx_kv_layer,
-              frame_seqlen: int, axis_name: str):
-    """One transformer block with ring self-attention (sequence-sharded
-    tokens); mirrors dit._block_train."""
-    from self_forcing_tpu.models.wan.dit import (_cross_attention, _gate,
-                                                 _modulate, _qkv,
-                                                 _rope_half, gelu_tanh,
-                                                 layer_norm, linear)
-    mod = bp["modulation"].astype(jnp.float32)[:, None]
-    e = (mod + e0.astype(jnp.float32)).astype(x.dtype)
-    e_shift, e_scale, e_gate = e[:, :, 0:1], e[:, :, 1:2], e[:, :, 2:3]
-    f_shift, f_scale, f_gate = e[:, :, 3:4], e[:, :, 4:5], e[:, :, 5:6]
-
-    xn = _modulate(layer_norm(x, cfg.eps), e_shift, e_scale, frame_seqlen)
-    q, k, v = _qkv(bp["self_attn"], cfg, xn)
-    q = _rope_half(q, cos, sin)
-    k = _rope_half(k, cos, sin)
-    attn = ring_attention(q, k, v, axis_name)
-    B, L = attn.shape[:2]
-    y = linear(bp["self_attn"]["o"], attn.reshape(B, L, cfg.dim))
-    x = x + _gate(y, e_gate, frame_seqlen)
-
-    if "norm3" in bp:
-        xc = layer_norm(x, cfg.eps, bp["norm3"]["w"], bp["norm3"]["b"])
-    else:
-        xc = x
-    x = x + _cross_attention(bp, cfg, xc, ctx_kv_layer)
-
-    xn = _modulate(layer_norm(x, cfg.eps), f_shift, f_scale, frame_seqlen)
-    y = linear(bp["ffn"]["fc2"], gelu_tanh(linear(bp["ffn"]["fc1"], xn)))
-    return x + _gate(y, f_gate, frame_seqlen)
+              frame_seqlen: int, axis_name: str,
+              kv_valid: Optional[int] = None):
+    """One transformer block with ring self-attention: dit._block_train
+    with the attention swapped via its ``attn_fn`` hook (no forked block
+    math to keep in sync)."""
+    return dit._block_train(
+        bp, cfg, x, e0, cos, sin, None, ctx_kv_layer, frame_seqlen,
+        attn_fn=lambda q, k, v: ring_attention(q, k, v, axis_name,
+                                               kv_valid=kv_valid))
 
 
 def forward_train_sp(params, cfg: WanConfig, x: jax.Array, t: jax.Array,
@@ -118,9 +106,18 @@ def forward_train_sp(params, cfg: WanConfig, x: jax.Array, t: jax.Array,
 
     B, F, C, H, W = x.shape
     sp = mesh.shape[axis_name]
-    assert F % sp == 0, (F, sp)
     h, w = H // cfg.patch_size[1], W // cfg.patch_size[2]
     frame_seqlen = h * w
+    # pad frames to an sp multiple (the reference rounds seq_len up to the
+    # sp world size, wan/text2video.py:160-162); padded KV columns are
+    # masked out of the ring attention and the padded frames sliced off
+    F_pad = -(-F // sp) * sp
+    if F_pad != F:
+        x = jnp.concatenate(
+            [x, jnp.zeros((B, F_pad - F, C, H, W), x.dtype)], axis=1)
+        t = jnp.concatenate(
+            [t, jnp.broadcast_to(t[:, -1:], (B, F_pad - F))], axis=1)
+    kv_valid = F * frame_seqlen if F_pad != F else None
 
     def shard_fn(params, x_loc, t_loc, context):
         from self_forcing_tpu.models.wan.dit import (head_forward, patchify,
@@ -138,7 +135,7 @@ def forward_train_sp(params, cfg: WanConfig, x: jax.Array, t: jax.Array,
             bp, kt, vt = xs
             tok = _block_sp(bp, cfg, tok, e0, cos, sin,
                             {"k_txt": kt, "v_txt": vt}, frame_seqlen,
-                            axis_name)
+                            axis_name, kv_valid=kv_valid)
             return tok, None
 
         tokens, _ = jax.lax.scan(
@@ -153,4 +150,5 @@ def forward_train_sp(params, cfg: WanConfig, x: jax.Array, t: jax.Array,
         in_specs=(P(), pspec, pspec, P()),
         out_specs=pspec,
         )
-    return fn(params, x, t, context)
+    out = fn(params, x, t, context)
+    return out[:, :F] if F_pad != F else out

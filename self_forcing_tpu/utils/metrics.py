@@ -24,17 +24,28 @@ class MetricsLogger:
         if not disable_wandb:
             try:
                 import wandb
-                self._wandb = wandb
                 wandb.init(**(wandb_kwargs or {}))
-            except ImportError:
-                pass
+                self._wandb = wandb
+            except Exception:  # noqa: BLE001 — importable-but-unconfigured
+                # wandb (no API key, offline) raises UsageError/CommError;
+                # fall back to the JSONL sink either way
+                self._wandb = None
 
     def log(self, metrics: Mapping, step: int | None = None):
         if not self.is_main:
             return
-        rec = {"ts": round(time.time(), 3), **{
-            k: (float(v) if hasattr(v, "__float__") else v)
-            for k, v in metrics.items()}}
+        def scal(v):
+            # size-1 arrays float() fine; bigger arrays get their mean
+            # (float() on size>1 ndarrays raises TypeError)
+            size = getattr(v, "size", 1)
+            if hasattr(v, "__float__") and size == 1:
+                return float(v)
+            if size != 1 and hasattr(v, "mean"):
+                return float(v.mean())
+            return v
+
+        rec = {"ts": round(time.time(), 3),
+               **{k: scal(v) for k, v in metrics.items()}}
         if step is not None:
             rec["step"] = step
         self._file.write(json.dumps(rec) + "\n")

@@ -22,10 +22,15 @@ def merge_dict_list(dict_list: Sequence[dict]) -> dict:
     if not dict_list:
         return {}
     out = {}
-    for k in dict_list[0]:
+    keys = {k: None for d in dict_list for k in d}  # ordered union
+    for k in keys:
         vals = [d[k] for d in dict_list if k in d]
-        if isinstance(vals[0], (int, float)):
-            out[k] = float(np.mean(vals))
+        first = np.asarray(vals[0]) if not isinstance(
+            vals[0], (int, float)) else vals[0]
+        if isinstance(vals[0], (int, float)) or                 getattr(first, "size", 2) == 1:
+            # numbers AND 0-d/size-1 arrays (np.float32 is not a python
+            # float) average; only true arrays stack
+            out[k] = float(np.mean([np.asarray(v) for v in vals]))
         else:
             out[k] = np.stack([np.asarray(v) for v in vals])
     return out

@@ -22,9 +22,22 @@ class PhaseTimer:
 
     @contextlib.contextmanager
     def phase(self, name: str, *sync_targets):
+        """``with timer.phase('decode') as ph: out = f(); ph.sync(out)`` —
+        arrays produced INSIDE the body must be registered via ph.sync()
+        (entry-time sync_targets can only reference pre-existing arrays;
+        JAX dispatch is async, so without a sync the phase measures
+        dispatch, not device time)."""
+        class _Phase:
+            def __init__(self):
+                self.targets = list(sync_targets)
+
+            def sync(self, *arrays):
+                self.targets.extend(arrays)
+
+        ph = _Phase()
         t0 = time.perf_counter()
-        yield
-        for t in sync_targets:
+        yield ph
+        for t in ph.targets:
             jax.block_until_ready(t)
         self.phases[name] = self.phases.get(name, 0.0) + (
             time.perf_counter() - t0)

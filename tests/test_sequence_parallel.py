@@ -56,3 +56,30 @@ def test_forward_train_sp_matches_single_device():
     assert out.shape == ref.shape
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=5e-4, atol=5e-4)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs >= 4 devices")
+def test_forward_sp_pads_non_divisible_frames():
+    """F % sp != 0 (e.g. Wan's 21 frames on a power-of-2 sp axis) pads to
+    the sp multiple, masks the pad KV out of the ring, and matches the
+    dense forward on the real frames (reference rounds seq_len up,
+    wan/text2video.py:160-162)."""
+    from self_forcing_tpu.models.wan.rope import RopeTables
+    from self_forcing_tpu.parallel.mesh import create_mesh
+    from self_forcing_tpu.parallel.sequence import forward_train_sp
+
+    mesh = create_mesh(dp=1, fsdp=2, sp=4)
+    params = dit.init_params(jax.random.PRNGKey(0), CFG, jnp.float32)
+    params["head"]["head"]["w"] = 0.02 * jax.random.normal(
+        jax.random.PRNGKey(9), params["head"]["head"]["w"].shape)
+    rope = RopeTables.create(CFG.head_dim)
+    F = 6  # not divisible by sp=4
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, F, 16, 8, 8))
+    t = jnp.full((1, F), 500.0, jnp.float32)
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (1, 8, CFG.text_dim))
+
+    ref = dit.forward_train(params, CFG, x, t, ctx, None, rope, remat=False)
+    out = forward_train_sp(params, CFG, x, t, ctx, rope, mesh)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
