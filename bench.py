@@ -26,12 +26,36 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def _tpu_reachable(timeout_s: int = 240) -> bool:
+    """Probe the (tunneled) TPU in a subprocess: backend init HANGS when
+    the axon tunnel is down (outages of hours observed), which would hang
+    the whole bench — probe out-of-process with a hard timeout."""
+    import subprocess
+    import sys
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp;"
+             "x = jnp.ones((256, 256), jnp.bfloat16);"
+             "print(float(jnp.sum(jax.jit(lambda a: a@a)(x))))"],
+            timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     from self_forcing_tpu.models.wan import dit, vae as vae_mod
     from self_forcing_tpu.models.wan.configs import WAN_1_3B, WanConfig
     from self_forcing_tpu.pipelines.causal_inference import (
         CausalInferencePipeline, denoise_block, refresh_block)
     from self_forcing_tpu.config import Config
+
+    import os
+    if os.environ.get("JAX_PLATFORMS", "") not in ("", "cpu") \
+            and not _tpu_reachable():
+        log("bench: TPU tunnel unreachable — falling back to CPU smoke")
+        jax.config.update("jax_platforms", "cpu")
 
     platform = jax.devices()[0].platform
     on_tpu = platform in ("tpu", "axon")
