@@ -153,3 +153,41 @@ def test_denoise_write_cache_dead_store_equivalence():
         ci.denoise_block.clear_cache()
         ci.refresh_block.clear_cache()
     np.testing.assert_allclose(a, b_out, rtol=1e-5, atol=1e-5)
+
+
+def test_inference_stream_interleave_cache_reuse():
+    """inference() -> stream() -> inference() with matching geometry: the
+    cache-reuse path must survive donation (stream donates the buffers
+    self._cache aliased; regression: 'Array has been deleted')."""
+    import dataclasses as dc
+    from self_forcing_tpu.config import Config
+    from self_forcing_tpu.models.wan import dit
+    from self_forcing_tpu.models.wan.configs import WAN_TINY
+    from self_forcing_tpu.pipelines.causal_inference import (
+        CausalInferencePipeline)
+
+    cfg = dc.replace(WAN_TINY, num_frame_per_block=1)
+    params = dit.init_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    args = Config({"denoising_step_list": [1000, 500],
+                   "warp_denoising_step": False, "timestep_shift": 8.0,
+                   "num_frame_per_block": 1,
+                   "independent_first_frame": False, "context_noise": 0})
+    pipe = CausalInferencePipeline(args, params, cfg)
+    noise = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 16, 8, 8),
+                              jnp.float32)
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (1, 8, cfg.text_dim),
+                            jnp.float32)
+
+    _, lat1 = pipe.inference(noise, context=ctx, return_latents=True)
+    chunks = list(pipe.stream(noise, ctx))
+    assert len(chunks) == 2
+    _, lat2 = pipe.inference(noise, context=ctx, return_latents=True)
+    np.testing.assert_allclose(np.asarray(lat1), np.asarray(lat2),
+                               rtol=1e-5, atol=1e-5)
+    # abandoning a stream mid-way must not leave a stale cache behind
+    gen = pipe.stream(noise, ctx)
+    next(gen)
+    gen.close()
+    _, lat3 = pipe.inference(noise, context=ctx, return_latents=True)
+    np.testing.assert_allclose(np.asarray(lat1), np.asarray(lat3),
+                               rtol=1e-5, atol=1e-5)
