@@ -72,8 +72,13 @@ def main():
     else:
         from self_forcing_tpu.runtime import load_wan_models
         cfg = WAN_1_3B
+        # t5_on_host: the serving resident set (DiT + 9.8 GB KV cache +
+        # VAE) leaves no HBM for a resident 11 GB T5 on a 16 GB chip;
+        # prompts encode by streaming weights per layer (the reference
+        # demo's DynamicSwapInstaller low-memory mode)
         models = load_wan_models(model_dir, model_cfg=cfg,
-                                 checkpoint_path=args.checkpoint_path)
+                                 checkpoint_path=args.checkpoint_path,
+                                 t5_on_host=True)
         params, vae_params, vae_cfg = (models.generator, models.vae_params,
                                        models.vae_cfg)
         encode = models.encode_text

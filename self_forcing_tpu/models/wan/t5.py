@@ -119,6 +119,33 @@ def relative_position_buckets(L: int, num_buckets: int,
     return buckets
 
 
+def _encoder_block(bp: Params, cfg: T5Config, x: jax.Array,
+                   buckets: jax.Array, pad_bias: jax.Array) -> jax.Array:
+    """One T5 encoder block (T5SelfAttention + gated-GELU FFN,
+    t5.py:266-301); shared by the scan forward and the weight-streamed
+    forward."""
+    B, L, _ = x.shape
+    nh = cfg.num_heads
+    hd = cfg.dim_attn // nh
+    pos_bias = bp["pos_emb"][buckets]            # [L, L, nh]
+    pos_bias = pos_bias.transpose(2, 0, 1)[None]  # [1, nh, L, L]
+    h = t5_layer_norm(x, bp["norm1"]["w"], cfg.eps)
+    q = (h @ bp["attn"]["q"]["w"]).reshape(B, L, nh, hd)
+    k = (h @ bp["attn"]["k"]["w"]).reshape(B, L, nh, hd)
+    v = (h @ bp["attn"]["v"]["w"]).reshape(B, L, nh, hd)
+    scores = jnp.einsum("bqnd,bknd->bnqk", q, k,
+                        preferred_element_type=jnp.float32)
+    scores = scores + pos_bias.astype(jnp.float32) + pad_bias
+    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    a = jnp.einsum("bnqk,bknd->bqnd", probs, v)
+    a = a.reshape(B, L, cfg.dim_attn) @ bp["attn"]["o"]["w"]
+    x = x + a
+
+    h = t5_layer_norm(x, bp["norm2"]["w"], cfg.eps)
+    ff = (h @ bp["ffn"]["fc1"]["w"]) * gelu_erf_free(h @ bp["ffn"]["gate"]["w"])
+    return x + ff @ bp["ffn"]["fc2"]["w"]
+
+
 def encode(params: Params, cfg: T5Config, ids: jax.Array,
            mask: jax.Array) -> jax.Array:
     """ids [B, L] i32, mask [B, L] {0,1} -> embeddings [B, L, dim].
@@ -137,27 +164,48 @@ def encode(params: Params, cfg: T5Config, ids: jax.Array,
     pad_bias = jnp.where(mask[:, None, None, :] > 0, 0.0, -1e30)
 
     def block(x, bp):
-        pos_bias = bp["pos_emb"][buckets]            # [L, L, nh]
-        pos_bias = pos_bias.transpose(2, 0, 1)[None]  # [1, nh, L, L]
-        h = t5_layer_norm(x, bp["norm1"]["w"], cfg.eps)
-        q = (h @ bp["attn"]["q"]["w"]).reshape(B, L, nh, hd)
-        k = (h @ bp["attn"]["k"]["w"]).reshape(B, L, nh, hd)
-        v = (h @ bp["attn"]["v"]["w"]).reshape(B, L, nh, hd)
-        scores = jnp.einsum("bqnd,bknd->bnqk", q, k,
-                            preferred_element_type=jnp.float32)
-        scores = scores + pos_bias.astype(jnp.float32) + pad_bias
-        probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
-        a = jnp.einsum("bnqk,bknd->bqnd", probs, v)
-        a = a.reshape(B, L, cfg.dim_attn) @ bp["attn"]["o"]["w"]
-        x = x + a
-
-        h = t5_layer_norm(x, bp["norm2"]["w"], cfg.eps)
-        ff = (h @ bp["ffn"]["fc1"]["w"]) * gelu_erf_free(h @ bp["ffn"]["gate"]["w"])
-        x = x + ff @ bp["ffn"]["fc2"]["w"]
-        return x, None
+        return _encoder_block(bp, cfg, x, buckets, pad_bias), None
 
     x, _ = jax.lax.scan(block, x, params["blocks"])
     return t5_layer_norm(x, params["norm"]["w"], cfg.eps)
+
+
+def encode_streamed(params_host: Params, cfg: T5Config, ids,
+                    mask, device=None) -> jax.Array:
+    """Weight-STREAMED encode: params live on the host (numpy) and each
+    layer's weights are device_put just-in-time, so peak HBM is one layer
+    + activations (~0.7 GB for umt5-xxl) instead of the full ~11 GB.
+
+    This is the TPU equivalent of the reference demo's
+    DynamicSwapInstaller low-memory mode (demo_utils/memory.py:13-58):
+    on a 16 GB v5e the resident set (DiT 2.6 GB + KV cache 9.8 GB + VAE)
+    leaves no room for a resident T5 when a new prompt arrives mid-serve.
+    ~11 GB of host->HBM transfer per prompt (~0.5-1 s on a TPU VM).
+    """
+    import numpy as np
+    device = device or jax.devices()[0]
+
+    def put(t):
+        return jax.device_put(jnp.asarray(t), device)
+
+    ids = np.asarray(ids)
+    B, L = ids.shape
+    # embedding gather on the host: the [vocab, dim] table never moves
+    x = put(np.asarray(params_host["token_embedding"])[ids])
+    buckets = put(relative_position_buckets(L, cfg.num_buckets,
+                                            cfg.max_dist))
+    mask_d = put(np.asarray(mask))
+    pad_bias = jnp.where(mask_d[:, None, None, :] > 0, 0.0, -1e30)
+
+    blk = jax.jit(_encoder_block, static_argnames=("cfg",))
+    n_layers = len(jax.tree.leaves(params_host["blocks"])[0])
+    for i in range(n_layers):
+        bp = jax.tree.map(lambda a: put(np.asarray(a)[i]),
+                          params_host["blocks"])
+        x = blk(bp, cfg, x, buckets, pad_bias)
+        del bp  # freed before the next layer's weights arrive
+    out = t5_layer_norm(x, put(params_host["norm"]["w"]), cfg.eps)
+    return out * (mask_d[..., None] > 0)
 
 
 def encode_for_dit(params: Params, cfg: T5Config, ids: jax.Array,

@@ -17,6 +17,7 @@ import glob
 import os
 from typing import Optional
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -46,6 +47,13 @@ class WanModels:
     def encode_text(self, prompts: list[str]) -> jax.Array:
         assert self.t5_params is not None and self.tokenizer is not None
         ids, mask = self.tokenizer(prompts)
+        leaf = jax.tree.leaves(self.t5_params)[0]
+        if isinstance(leaf, np.ndarray):
+            # host-offloaded T5 (load_wan_models t5_on_host=True): weights
+            # stream to the device one layer at a time — the reference
+            # demo's DynamicSwapInstaller low-memory mode
+            return t5_mod.encode_streamed(self.t5_params, self.t5_cfg,
+                                          ids, mask)
         return t5_mod.encode_for_dit(self.t5_params, self.t5_cfg,
                                      jnp.asarray(ids), jnp.asarray(mask))
 
@@ -103,7 +111,8 @@ def load_wan_models(model_dir: str, causal: bool = True,
                     checkpoint_key: str = "generator_ema",
                     dtype=jnp.bfloat16,
                     load_t5: bool = True, load_vae: bool = True,
-                    load_dit: bool = True) -> WanModels:
+                    load_dit: bool = True,
+                    t5_on_host: bool = False) -> WanModels:
     """``load_dit=False`` skips the multi-GB DiT load/convert for callers
     that only need T5/VAE (e.g. trainers already holding the models)."""
     cfg = model_cfg or WAN_1_3B
@@ -120,6 +129,11 @@ def load_wan_models(model_dir: str, causal: bool = True,
             t5_cfg = t5_mod.UMT5_XXL
             t5_params = ckpt.convert_t5_state_dict(
                 ckpt.load_torch_state_dict(t5_path), t5_cfg, dtype)
+            if t5_on_host:
+                # keep the ~11 GB encoder on the host; encode_text then
+                # streams weights per layer (t5.encode_streamed)
+                t5_params = jax.tree.map(np.asarray,
+                                         jax.device_get(t5_params))
         tok_path = _find(model_dir, "google/umt5-xxl", "**/google/umt5-xxl")
         if tok_path:
             from self_forcing_tpu.tokenizer import HuggingfaceTokenizer

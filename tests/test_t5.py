@@ -109,3 +109,22 @@ def test_relative_buckets_match_reference(ref_t5):
     ref_buckets = emb._relative_position_bucket(rel).numpy()
     ours = jt5.relative_position_buckets(30, 32)
     np.testing.assert_array_equal(ours, ref_buckets)
+
+
+def test_encode_streamed_matches_scan():
+    """Weight-streamed encode (host params, per-layer device_put — the
+    DynamicSwap low-memory equivalent) matches the scan forward."""
+    import numpy as np
+    from self_forcing_tpu.models.wan import t5 as t5_mod
+    cfg = t5_mod.T5Config(dim=64, dim_attn=64, dim_ffn=128, num_heads=4,
+                          num_layers=3, vocab_size=128, num_buckets=8,
+                          max_dist=16)
+    params = t5_mod.init_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    ids = jnp.asarray([[5, 9, 2, 0, 0]], jnp.int32)
+    mask = jnp.asarray([[1, 1, 1, 0, 0]], jnp.int32)
+    ref = t5_mod.encode_for_dit(params, cfg, ids, mask)
+    host = jax.tree.map(lambda a: np.asarray(jax.device_get(a)), params)
+    out = t5_mod.encode_streamed(host, cfg, np.asarray(ids),
+                                 np.asarray(mask))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
