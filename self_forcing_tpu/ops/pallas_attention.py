@@ -706,9 +706,6 @@ def _decode_fresh_op_bwd(scale, tq, tk, tf, interpret, static_hi, quant,
                 N = q_.shape[2]
                 kc_, vc_ = (xla_attn.unfold_kv(kc_, N),
                             xla_attn.unfold_kv(vc_, N))
-        if heads_packed is not None and kc_.ndim == 3:
-            kc_, vc_ = (xla_attn.unfold_kv(kc_, heads_packed),
-                        xla_attn.unfold_kv(vc_, heads_packed))
         out = xla_attn.decode_attention_fresh_xla(
             q_, kc_, vc_, kn_, vn_, kv_start, kv_end, scale=scale)
         if heads_packed is not None:
@@ -1462,7 +1459,6 @@ def _flash_bwd(q, k, v, out, lse, g, s1, e1, s2, e2, scale, tq, tk,
 
     iv = [prep(a) for a in (s1n, e1n, s2n, e2n)]
     iv_spec = pl.BlockSpec((1, Sq), lambda *a: (0, 0))
-    row_spec = pl.BlockSpec((1, Sq), lambda *a: (0, 0))
 
     def bn_row_spec():
         return pl.BlockSpec((1, 1, Sq), lambda b, i, j, tl: (b, 0, 0))

@@ -82,7 +82,9 @@ def _conv2d_9tap(x: jax.Array, w: jax.Array, b: jax.Array,
         return w_bytes + scratch + acc + out + 2_000_000 <= 16_000_000
 
     cand = [t for t in range(8, 0, -1) if H % t == 0 and fits(t)]
-    assert cand, f"no strip height fits VMEM for {(H, W, C, Cop)}"
+    if not cand:
+        return None  # decline -> caller's XLA fallback (kernel-family
+        # contract; an assert crashed instead of declining)
     th = cand[0]
 
     xin = jnp.pad(x, ((0, 0), (1, 1), (1, Wp - W - 1), (0, Cp - C)))
@@ -240,6 +242,8 @@ def causal_conv3d_pallas(x: jax.Array, cache: jax.Array, w: jax.Array,
         frames = xin[:, tau:tau + T].reshape(B * T, H, W, C)
         y = _conv2d_9tap(frames, w[tau], bp if tau == 2 else zeros,
                          interpret)
+        if y is None:
+            return None  # no strip height fits VMEM -> XLA fallback
         acc = y if acc is None else acc + y
     return acc[..., :Cout].reshape(B, T, H, W, Cout)
 
@@ -255,7 +259,7 @@ def causal_conv3d_pallas(x: jax.Array, cache: jax.Array, w: jax.Array,
 # ---------------------------------------------------------------------
 
 def _conv3d_v2_kernel(t_ref, x_hbm, w_ref, b_ref, o_ref, xs, sem, *,
-                      th: int, T: int, H: int, W: int, C: int):
+                      th: int, H: int, W: int, C: int):
     b = pl.program_id(0)
     hi = pl.program_id(1)
     t = t_ref[0]
@@ -369,7 +373,7 @@ def causal_conv3d_pallas_v2(x: jax.Array, cache: jax.Array, w: jax.Array,
         ],
     )
     call = pl.pallas_call(
-        functools.partial(_conv3d_v2_kernel, th=th, T=1, H=H, W=W, C=C),
+        functools.partial(_conv3d_v2_kernel, th=th, H=H, W=W, C=C),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, H, W, Cout), x.dtype),
         interpret=interpret,

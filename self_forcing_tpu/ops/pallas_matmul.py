@@ -210,6 +210,16 @@ def quantize_rows_pallas(x: jax.Array, interpret: bool = False):
     tm = _pick_tile(M, 8, 2048)
     if tm is None or K % 128 or K > 4096:
         return None
+    # VMEM budget: bf16 in (2K) + int8 out (K) + f32 scale (512) bytes per
+    # row — shrink tm until under ~14MB, else decline (the documented
+    # 'None when no legal tiling exists' contract; tm<=2048/K<=4096 alone
+    # admits 20MB tiles past the 16MB scoped-VMEM hard limit).  Budget
+    # calibrated to keep the measured-good production tile (tm=1560,
+    # K=1536 -> 8MB) untouched.
+    while tm is not None and tm * (3 * K + 512) > 14 * 2 ** 20:
+        tm = _pick_tile(M, 8, tm - 1) if tm > 8 else None
+    if tm is None:
+        return None
     return pl.pallas_call(
         _quantize_rows_kernel,
         grid=(M // tm,),

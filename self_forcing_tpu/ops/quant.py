@@ -95,8 +95,16 @@ def quantized_linear(p: Params, x: jax.Array) -> jax.Array:
                 x_q = x_q2.reshape(*lead, K)
                 s_x = s128[:, :1].reshape(*lead, 1)
             else:
-                # quantize kernel declined the shape; the matmul kernel
-                # may still take XLA-quantized activations
+                # quantize kernel declined the shape; the raw-bf16 matmul
+                # (in-kernel quantization) or the int8 matmul with
+                # XLA-quantized activations may still take it
+                from self_forcing_tpu.ops.pallas_matmul import (
+                    w8a8_matmul_bf16x)
+                y = w8a8_matmul_bf16x(x.reshape(-1, K), p["w_qa"],
+                                      p["w_scale"], p.get("b"),
+                                      out_dtype=x.dtype)
+                if y is not None:
+                    return y.reshape(*lead, y.shape[-1])
                 x_q, s_x = quantize_activations(x)
                 y = w8a8_matmul(
                     x_q.reshape(-1, K), s_x.reshape(-1, 1),
