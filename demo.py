@@ -102,9 +102,11 @@ def main():
 
         def decode_chunk(latents):
             px = streamer.decode_chunk(latents.astype(jnp.float32))
-            px = jnp.clip(px, 0, 1)
-            return (np.asarray(px[0].transpose(0, 2, 3, 1)) * 255
-                    ).astype(np.uint8)
+            # u8 cast ON DEVICE and no fetch here: DemoApp pulls the pixels
+            # one block later (lookahead), and u8 is 4x fewer bytes through
+            # the device transport than f32
+            return (jnp.clip(px[0].transpose(0, 2, 3, 1), 0, 1)
+                    * 255).astype(jnp.uint8)
     else:
         state = {"cache": None}
 
@@ -129,7 +131,9 @@ def main():
                     False)
                 outs.append(y)
             px = jnp.clip(jnp.concatenate(outs, axis=1) * 0.5 + 0.5, 0, 1)
-            return (np.asarray(px[0]) * 255).astype(np.uint8)
+            # device-side u8; DemoApp fetches after dispatching the next
+            # block (see demo_server._generate lookahead)
+            return (px[0] * 255).astype(jnp.uint8)
 
     app = DemoApp(pipeline, encode, decode_chunk,
                   latent_shape=(1, F, 16, H, W), fps=args.fps,

@@ -113,17 +113,29 @@ class DemoApp:
             noise = jax.random.normal(rng, self.latent_shape, jnp.bfloat16)
             t_start = time.time()
             n_blocks = 0
-            for blk in self.pipeline.stream(noise, context, rng=rng):
-                if self.stop_event.is_set():
+            gen = self.pipeline.stream(noise, context, rng=rng)
+            # One-block lookahead: fetch block N's pixels only AFTER the
+            # generator has dispatched block N+1's work (refresh + denoise)
+            # — the host-side fetch + frame enqueue then overlaps device
+            # compute instead of idling the chip for an RTT per block.
+            # decode_chunk may return a device array; np.asarray is the
+            # only synchronization point.
+            pending = None
+            while not self.stop_event.is_set():
+                blk = next(gen, None)
+                px = self.decode_chunk(blk) if blk is not None else None
+                if pending is not None:
+                    n_blocks += 1
+                    frames = np.asarray(pending)
+                    conn.send_event("block_ready", {
+                        "block": n_blocks,
+                        "elapsed_s": round(time.time() - t_start, 3)})
+                    for f in frames:
+                        if not put_frame(f):
+                            break
+                pending = px
+                if blk is None:
                     break
-                pixels = self.decode_chunk(blk)  # [T, H, W, 3] u8
-                n_blocks += 1
-                conn.send_event("block_ready", {
-                    "block": n_blocks,
-                    "elapsed_s": round(time.time() - t_start, 3)})
-                for f in np.asarray(pixels):
-                    if not put_frame(f):
-                        break
         except Exception as e:  # noqa: BLE001 (reference demo.py:489-506)
             conn.send_event("error", {"message": str(e)})
         finally:

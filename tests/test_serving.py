@@ -281,6 +281,56 @@ def test_demo_app_stream_and_busy():
         server.shutdown()
 
 
+def test_demo_app_lookahead_overlap():
+    """The generation loop must dispatch block N+1's work (generator
+    resume + decode) BEFORE fetching block N's pixels, so the device never
+    idles while the host JPEG-encodes (PERF.md serving overlap).  Also
+    covers decode_chunk returning a lazy/device array: np.asarray is the
+    only sync point."""
+    from self_forcing_tpu.serving.demo_server import DemoApp
+
+    order = []
+
+    class LazyPixels:
+        def __init__(self, i):
+            self.i = i
+
+        def __array__(self, dtype=None, copy=None):
+            order.append(("fetch", self.i))
+            return np.zeros((2, 8, 8, 3), np.uint8)
+
+    class FakePipe:
+        def stream(self, noise, context, rng=None):
+            for i in range(3):
+                order.append(("denoise", i))
+                yield i
+
+    class FakeConn:
+        open = True
+
+        def __init__(self):
+            self.events = []
+
+        def send_event(self, event, data):
+            self.events.append(event)
+
+    def decode(blk):
+        order.append(("decode", blk))
+        return LazyPixels(blk)
+
+    app = DemoApp(FakePipe(), encode_text_fn=lambda p: np.zeros((1, 4, 8)),
+                  decode_chunk_fn=decode, latent_shape=(1, 3, 16, 4, 4),
+                  fps=100.0)
+    conn = FakeConn()
+    app._generate(conn, "prompt", 0)
+
+    fetches = [order.index(("fetch", i)) for i in range(3)]
+    assert order.index(("decode", 1)) < fetches[0]
+    assert order.index(("denoise", 2)) < fetches[1]
+    assert conn.events.count("block_ready") == 3
+    assert conn.events[-1] == "generation_complete"
+
+
 def test_taehv_streamer_short_first_chunk(ref_taehv):
     """A first chunk shorter than the overlap (independent first frame)
     must not drop fresh pixel frames: frame counts stay 4*T_new per chunk
