@@ -49,6 +49,7 @@ from jax.experimental.pallas import tpu as pltpu
 from self_forcing_tpu.ops.masks import IntervalMask
 
 NEG_INF = -1e30
+LN127 = math.log(127.0)  # folds p-quantization's x127 into the exp bias
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -391,9 +392,11 @@ def _decode_fresh_kernel(li_ref, lo_ref, hi_ref, m0_ref, q_ref, k_ref,
 def _decode_fresh_int8_kernel(li_ref, lo_ref, hi_ref, m0_ref, q_ref,
                               k_ref, v_ref, kn_ref, vn_ref, o_ref, m_scr,
                               l_scr, acc_scr,
-                              kq_scr, vq_scr, sc_scr, *, scale: float,
+                              kq_scr, vq_scr, qq_scr, qs_scr, sc_scr, *,
+                              scale: float,
                               tq: int, tk: int, tf: int, kv_len: int,
-                              kt_cache: int, fresh_len: int):
+                              kt_cache: int, fresh_len: int,
+                              bounded: bool = False):
     """int8 variant of :func:`_decode_fresh_kernel` — the demo-config
     speed toggle (reference FP8 linears analog, extended to attention).
 
@@ -405,6 +408,29 @@ def _decode_fresh_int8_kernel(li_ref, lo_ref, hi_ref, m0_ref, q_ref,
     scratch, so the quantization VPU cost is amortized over all q tiles.
     Softmax state stays fp32 — only the two matmuls are quantized
     (SageAttention-style; arXiv:2410.02367 uses the same decomposition).
+
+    ``bounded=True`` (cfg.attn_softmax='bounded' + attn_quant='int8'):
+    the int8 path was VPU-bound, not MXU-bound — halving MXU work bought
+    nothing while the dequant/round/correction chain ran ~10 VPU ops per
+    score element (PERF.md).  This mode cuts that chain to ~6:
+    - q tiles are quantized ONCE (ki == 0) into ``qq_scr``; the per-row
+      scale is stashed in the otherwise-unused ``m_scr`` column 0;
+    - the x127 of the p-quantization folds into the exp argument
+      (127*e^(s-m0) = e^(s-m0+ln127)), so p comes out of the single fused
+      convert*a+b -> exp chain already in [0, 127] and goes straight to
+      the round/int8 convert; ``l`` sums the scaled p, so the final
+      acc/l divide cancels the 127 (and the v-scale dequant multiplies
+      [tq, D] accumulator columns, not [tq, tk] score elements);
+    - no running max, no correction multiplies (the caller's m0 bound
+      plays the max's stability role, exactly as in the bf16 bounded
+      kernel).
+    CAVEAT (sharper than the bf16 kernel's 87-nat cliff): scores more
+    than ln(254) ~ 5.5 nats below m0 quantize to p=0, so the bound's
+    slack directly eats softmax tail mass.  With qk-norm the Cauchy-
+    Schwarz bound is tight when any strong match exists (slack =
+    -ln max cos); the loose-bound regime is near-uniform attention where
+    the tail truncation biases output toward zero.  Accuracy-checked in
+    tests/test_pallas_attention.py against the f32 reference.
     """
     ki = pl.program_id(1)
     nk = pl.num_programs(1)
@@ -413,9 +439,22 @@ def _decode_fresh_int8_kernel(li_ref, lo_ref, hi_ref, m0_ref, q_ref,
 
     @pl.when(ki == 0)
     def _init():
-        m_scr[pl.ds(row, tq), :] = jnp.full((tq, 128), NEG_INF, jnp.float32)
+        if not bounded:
+            m_scr[pl.ds(row, tq), :] = jnp.full((tq, 128), NEG_INF,
+                                                jnp.float32)
         l_scr[pl.ds(row, tq), :] = jnp.zeros((tq, 128), jnp.float32)
         acc_scr[pl.ds(row, tq), :] = jnp.zeros_like(acc_scr[pl.ds(row, tq), :])
+
+    @pl.when(ki == 0)
+    def _quantize_q_tile():
+        # q is re-read by every kv tile (q innermost): quantize it ONCE
+        # into VMEM scratch, with a per-TILE scalar scale in SMEM (per-row
+        # scales need sub-lane reads every accumulate — measured slower;
+        # production q is qk-normed, so rows are homogeneous anyway).
+        q = q_ref[0].astype(jnp.float32)
+        qs = jnp.maximum(jnp.max(jnp.abs(q)), 1e-8) / 127.0
+        qq_scr[pl.ds(row, tq), :] = jnp.round(q / qs).astype(jnp.int8)
+        qs_scr[qi] = qs
 
     lo = lo_ref[0]
     hi = hi_ref[0]
@@ -446,28 +485,62 @@ def _decode_fresh_int8_kernel(li_ref, lo_ref, hi_ref, m0_ref, q_ref,
         sc_scr[1] = vs
 
     def _accumulate(vis, width):
-        q = q_ref[0].astype(jnp.float32)
-        qs = jnp.maximum(jnp.max(jnp.abs(q), axis=-1, keepdims=True),
-                         1e-8) / 127.0
-        qq = jnp.round(q / qs).astype(jnp.int8)
+        if bounded:
+            # fused dequant+offset: s_true = s_i32 * (qs*ks*scale); the
+            # p-quantization's x127 folds into the exp bias, so the whole
+            # per-score-element VPU chain is convert, fma, exp, (mask,)
+            # min, round, convert — no max reduce, no corrections.
+            qq = qq_scr[pl.ds(row, tq), :]
+            s_i32 = jax.lax.dot_general(
+                qq, kq_scr[pl.ds(0, width), :], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            a = qs_scr[qi] * (sc_scr[0] * scale)
+            p = jnp.exp(s_i32.astype(jnp.float32) * a
+                        + (LN127 - m0_ref[0]))
+            if vis is not None:
+                p = jnp.where(vis, p, 0.0)
+            # quantization noise on s can push p past 127 by a hair; a
+            # wrap in the int8 convert would be catastrophic
+            p = jnp.minimum(p, 127.0)
+            l_scr[pl.ds(row, tq), 0:1] = (
+                l_scr[pl.ds(row, tq), 0:1]
+                + jnp.sum(p, axis=-1, keepdims=True))
+            pq = jnp.round(p).astype(jnp.int8)
+            pv_i32 = jax.lax.dot_general(
+                pq, vq_scr[pl.ds(0, width), :], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            # l sums the x127-scaled p, so vs alone dequants: the 127
+            # cancels in finalize's acc/l
+            acc_scr[pl.ds(row, tq), :] = (acc_scr[pl.ds(row, tq), :]
+                                          + pv_i32.astype(jnp.float32)
+                                          * sc_scr[1])
+            return
+        # online-max path, VPU-lean form: q pre-quantized in scratch; the
+        # p-quantization's x127 folds into the exp bias (l then sums the
+        # x127-scaled p and the final acc/l divide cancels it); softmax
+        # state written to single columns, not 128-wide broadcasts.
+        qq = qq_scr[pl.ds(row, tq), :]
         s_i32 = jax.lax.dot_general(
             qq, kq_scr[pl.ds(0, width), :], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.int32)
-        s = s_i32.astype(jnp.float32) * (qs * (sc_scr[0] * scale))
+        s = s_i32.astype(jnp.float32) * (qs_scr[qi] * (sc_scr[0] * scale))
         if vis is not None:
             s = jnp.where(vis, s, NEG_INF)
         m_prev = m_scr[pl.ds(row, tq), 0:1]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)
+        p = jnp.exp(s - (m_new - LN127))      # = 127 * softmax-numerator
         corr = jnp.exp(m_prev - m_new)
         l_new = (l_scr[pl.ds(row, tq), 0:1] * corr
                  + jnp.sum(p, axis=-1, keepdims=True))
-        pq = jnp.round(p * 127.0).astype(jnp.int8)
+        pq = jnp.round(p).astype(jnp.int8)
         pv_i32 = jax.lax.dot_general(
             pq, vq_scr[pl.ds(0, width), :], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32)
-        pv = pv_i32.astype(jnp.float32) * (sc_scr[1] / 127.0)
+        pv = pv_i32.astype(jnp.float32) * sc_scr[1]
         acc_scr[pl.ds(row, tq), :] = acc_scr[pl.ds(row, tq), :] * corr + pv
+        # full-tile broadcast stores: a [tq, 1] column store lowers to a
+        # read-modify-write of the (8,128) tiles and measured SLOWER than
+        # broadcasting (9.44 vs 8.5 ms/call at the full window)
         m_scr[pl.ds(row, tq), :] = jnp.broadcast_to(m_new, (tq, 128))
         l_scr[pl.ds(row, tq), :] = jnp.broadcast_to(l_new, (tq, 128))
 
@@ -593,10 +666,12 @@ def _decode_fresh_fwd(q, k_cache, v_cache, k_new, v_new, kv_start, kv_end,
     if quant == "int8":
         kernel = functools.partial(
             _decode_fresh_int8_kernel, scale=scale, tq=tq, tk=tk, tf=tf,
-            kv_len=S, kt_cache=ktc, fresh_len=Lf)
+            kv_len=S, kt_cache=ktc, fresh_len=Lf, bounded=bounded)
         scratch += [
             pltpu.VMEM((max(tk, tf), D), jnp.int8),   # quantized K tile
             pltpu.VMEM((max(tk, tf), D), jnp.int8),   # quantized V tile
+            pltpu.VMEM((qt * tq, D), jnp.int8),       # quantized Q
+            pltpu.SMEM((qt,), jnp.float32),           # per-q-tile scales
             pltpu.SMEM((2,), jnp.float32),            # per-tile K/V scales
         ]
     else:
@@ -925,8 +1000,12 @@ def decode_attention_fresh_pallas(q: jax.Array, k_cache: jax.Array,
     qt = _cdiv(Lq, min(tq, max(128, 1 << (Lq - 1).bit_length())))
     tq = max(8, -(-_cdiv(Lq, qt) // 8) * 8)
     Lf = k_new.shape[1]
-    ntf = _cdiv(Lf, min(tk, max(128, 1 << (Lf - 1).bit_length())))
-    # int8 scratch tiles are (32, 128)-tiled: keep tf 32-aligned there
+    # int8 scratch tiles are (32, 128)-tiled (tf 32-aligned), and the
+    # extra qq scratch leaves less VMEM for operand double-buffers: cap
+    # the fresh tile at 1280 there (4x1184 instead of 3x1568 at Lf=4680;
+    # the 16 MB scoped-VMEM limit was exceeded by 50 KB otherwise)
+    cap = 1280 if quant == "int8" else tk
+    ntf = _cdiv(Lf, min(cap, max(128, 1 << (Lf - 1).bit_length())))
     gran = 32 if quant == "int8" else 8
     tf = max(gran, -(-_cdiv(Lf, ntf) // gran) * gran)
     li = None if layer_idx is None else jnp.asarray(layer_idx, jnp.int32)

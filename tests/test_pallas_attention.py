@@ -387,6 +387,37 @@ def test_decode_fresh_bounded_matches_xla():
                                        rtol=5e-3, atol=5e-3)
 
 
+def test_decode_fresh_int8_bounded_tight_bound():
+    """quant='int8' + fixed_m0 (both MXU dots int8 AND no online-max
+    chain — the fastest kernel variant, 7.4 vs 8.0 ms bf16-bounded at the
+    full 1.3B window).  Only valid with a TIGHT bound: p quantizes to
+    int8 against m0, so scores more than ln(254) ~ 5.5 nats below the
+    bound truncate to zero.  With slack inside that budget the output
+    stays at int8-quantization tolerance; the production bound (Cauchy-
+    Schwarz over qk-normed rows) is tight exactly when strong matches
+    exist.  dit.py does NOT enable this by default (attn_softmax=bounded
+    guard keeps attn_quant on the online-max kernel)."""
+    key = jax.random.PRNGKey(30)
+    q, kc, vc = _qkv(key, 96, 256)
+    kn = jax.random.normal(jax.random.fold_in(key, 1), (B, 96, N, D))
+    vn = jax.random.normal(jax.random.fold_in(key, 2), (B, 96, N, D))
+    lo, hi = jnp.int32(32), jnp.int32(200)
+    ref = decode_attention_fresh_xla(q, kc, vc, kn, vn, lo, hi)
+    scale = D ** -0.5
+    # true max score over the live window + modest slack = tight bound
+    sc = jnp.einsum("blnd,bsnd->bnls", q, jnp.concatenate(
+        [kc[:, 32:200], kn], axis=1)) * scale
+    m0 = float(jnp.max(sc)) + 0.5
+    out = decode_attention_fresh_pallas(q, kc, vc, kn, vn, lo, hi,
+                                        tq=32, tk=64, interpret=True,
+                                        quant="int8", fixed_m0=m0)
+    d = np.abs(np.asarray(out) - np.asarray(ref))
+    s = np.abs(np.asarray(ref)).max()
+    # each nat of slack multiplies the effective p-quantization step by e
+    assert d.max() < 0.10 * max(s, 1.0), (d.max(), s)
+    assert d.mean() < 0.02, d.mean()
+
+
 def test_decode_fresh_bounded_packed_layout():
     """Bounded mode with column-packed operands ([B, L, N*D] layout) and a
     stacked cache, as the DiT denoise hot path drives it."""
