@@ -252,6 +252,10 @@ def decode_attention_fresh(q: jax.Array, k_cache: jax.Array,
 
     ``quant='int8'`` routes to the int8-MXU Pallas kernel (demo speed
     toggle); off-TPU the XLA fallback ignores it (full precision).
+    The kernel quantizes q with ONE scale per (head, 472-row) tile —
+    accurate when q rows are magnitude-homogeneous (the Wan DiT qk-norms
+    q, so this holds on the production path); callers with wildly
+    heterogeneous q row norms should not enable int8.
 
     With a STACKED cache [L, BN, S, D] plus ``layer_idx``, the Pallas
     kernel indexes the layer via a prefetched scalar — callers inside a

@@ -413,8 +413,8 @@ def _decode_fresh_int8_kernel(li_ref, lo_ref, hi_ref, m0_ref, q_ref,
     the int8 path was VPU-bound, not MXU-bound — halving MXU work bought
     nothing while the dequant/round/correction chain ran ~10 VPU ops per
     score element (PERF.md).  This mode cuts that chain to ~6:
-    - q tiles are quantized ONCE (ki == 0) into ``qq_scr``; the per-row
-      scale is stashed in the otherwise-unused ``m_scr`` column 0;
+    - q tiles are quantized ONCE (ki == 0) into ``qq_scr`` with a
+      per-TILE scalar scale in SMEM (``qs_scr``);
     - the x127 of the p-quantization folds into the exp argument
       (127*e^(s-m0) = e^(s-m0+ln127)), so p comes out of the single fused
       convert*a+b -> exp chain already in [0, 127] and goes straight to
@@ -517,8 +517,7 @@ def _decode_fresh_int8_kernel(li_ref, lo_ref, hi_ref, m0_ref, q_ref,
             return
         # online-max path, VPU-lean form: q pre-quantized in scratch; the
         # p-quantization's x127 folds into the exp bias (l then sums the
-        # x127-scaled p and the final acc/l divide cancels it); softmax
-        # state written to single columns, not 128-wide broadcasts.
+        # x127-scaled p and the final acc/l divide cancels it).
         qq = qq_scr[pl.ds(row, tq), :]
         s_i32 = jax.lax.dot_general(
             qq, kq_scr[pl.ds(0, width), :], (((1,), (1,)), ((), ())),
@@ -1004,7 +1003,7 @@ def decode_attention_fresh_pallas(q: jax.Array, k_cache: jax.Array,
     # extra qq scratch leaves less VMEM for operand double-buffers: cap
     # the fresh tile at 1280 there (4x1184 instead of 3x1568 at Lf=4680;
     # the 16 MB scoped-VMEM limit was exceeded by 50 KB otherwise)
-    cap = 1280 if quant == "int8" else tk
+    cap = min(tk, 1280) if quant == "int8" else tk
     ntf = _cdiv(Lf, min(cap, max(128, 1 << (Lf - 1).bit_length())))
     gran = 32 if quant == "int8" else 8
     tf = max(gran, -(-_cdiv(Lf, ntf) // gran) * gran)

@@ -107,36 +107,49 @@ class DemoApp:
 
         sender_t = threading.Thread(target=sender, daemon=True)
         sender_t.start()
+        t_start = time.time()
+        n_blocks = 0
+        # One-block lookahead: fetch block N's pixels only AFTER the
+        # generator has dispatched block N+1's work (refresh + denoise)
+        # — the host-side fetch + frame enqueue then overlaps device
+        # compute instead of idling the chip for an RTT per block.
+        # decode_chunk may return a device array; np.asarray is the
+        # only synchronization point.
+        pending = None
+
+        def flush_pending():
+            nonlocal pending, n_blocks
+            if pending is None:
+                return
+            frames, pending = np.asarray(pending), None
+            n_blocks += 1
+            conn.send_event("block_ready", {
+                "block": n_blocks,
+                "elapsed_s": round(time.time() - t_start, 3)})
+            for f in frames:
+                if not put_frame(f):
+                    break
+
         try:
             context = self.encode_text([prompt])
             rng = jax.random.PRNGKey(seed)
             noise = jax.random.normal(rng, self.latent_shape, jnp.bfloat16)
             t_start = time.time()
-            n_blocks = 0
             gen = self.pipeline.stream(noise, context, rng=rng)
-            # One-block lookahead: fetch block N's pixels only AFTER the
-            # generator has dispatched block N+1's work (refresh + denoise)
-            # — the host-side fetch + frame enqueue then overlaps device
-            # compute instead of idling the chip for an RTT per block.
-            # decode_chunk may return a device array; np.asarray is the
-            # only synchronization point.
-            pending = None
             while not self.stop_event.is_set():
                 blk = next(gen, None)
                 px = self.decode_chunk(blk) if blk is not None else None
-                if pending is not None:
-                    n_blocks += 1
-                    frames = np.asarray(pending)
-                    conn.send_event("block_ready", {
-                        "block": n_blocks,
-                        "elapsed_s": round(time.time() - t_start, 3)})
-                    for f in frames:
-                        if not put_frame(f):
-                            break
+                flush_pending()
                 pending = px
                 if blk is None:
                     break
         except Exception as e:  # noqa: BLE001 (reference demo.py:489-506)
+            # deliver the already-decoded held block before reporting: a
+            # failure while dispatching block N+1 must not eat block N
+            try:
+                flush_pending()
+            except Exception:  # noqa: BLE001 — the flush itself may sync
+                pass           # a poisoned device array; error wins then
             conn.send_event("error", {"message": str(e)})
         finally:
             try:

@@ -331,6 +331,41 @@ def test_demo_app_lookahead_overlap():
     assert conn.events[-1] == "generation_complete"
 
 
+def test_demo_app_lookahead_flushes_pending_on_error():
+    """If dispatching block N+1 raises, the already-decoded block N held
+    by the lookahead must still reach the client before the error event
+    (code-review regression: the held block was silently dropped)."""
+    from self_forcing_tpu.serving.demo_server import DemoApp
+
+    class FakePipe:
+        def stream(self, noise, context, rng=None):
+            yield 0
+            raise RuntimeError("device poof")
+
+    class FakeConn:
+        open = True
+
+        def __init__(self):
+            self.events = []
+
+        def send_event(self, event, data):
+            self.events.append((event, data))
+
+    app = DemoApp(FakePipe(), encode_text_fn=lambda p: np.zeros((1, 4, 8)),
+                  decode_chunk_fn=lambda blk: np.zeros((2, 8, 8, 3),
+                                                       np.uint8),
+                  latent_shape=(1, 2, 16, 4, 4), fps=100.0)
+    conn = FakeConn()
+    app._generate(conn, "prompt", 0)
+    names = [e for e, _ in conn.events]
+    assert names.count("block_ready") == 1
+    assert names.count("frame_ready") == 2
+    assert "error" in names
+    assert names.index("block_ready") < names.index("error")
+    err = dict(conn.events)["error"]
+    assert "device poof" in err["message"]
+
+
 def test_taehv_streamer_short_first_chunk(ref_taehv):
     """A first chunk shorter than the overlap (independent first frame)
     must not drop fresh pixel frames: frame counts stay 4*T_new per chunk
