@@ -198,7 +198,9 @@ def main():
         else "frames_per_sec_cpu_smoke",
         "value": round(fps, 3),
         "unit": "frames/s",
-        "vs_baseline": round(fps / 16.0, 3),
+        # CPU-smoke fallback runs a tiny model: comparing it against the
+        # 16-fps TPU target would invite misreading — emit null instead
+        "vs_baseline": round(fps / 16.0, 3) if on_tpu else None,
         "p50_ttfc_s": round(sorted(ttfcs)[len(ttfcs) // 2], 3),
         "total_s_81f": round(best, 3),
         "platform": platform,

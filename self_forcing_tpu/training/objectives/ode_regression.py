@@ -64,5 +64,10 @@ def generator_loss(gen_params, cfg: WanConfig, rope: RopeTables,
     log = {
         "unnormalized_loss": jnp.mean(diff, axis=(1, 2, 3, 4)),
         "timestep": jnp.mean(t, axis=1),
+        # latent triplet for periodic video visualization (the reference
+        # keeps these in log_dict too, trainer/ode.py:190-209); they stay
+        # device arrays until a visualization step actually fetches them
+        "input": noisy,
+        "output": pred,
     }
     return loss, log

@@ -52,6 +52,7 @@ class ODETrainer:
         self.step = 0
         self.host_rng = np.random.default_rng(int(getattr(config, "seed", 0)))
         self._step_fn = None
+        self.last_visual = None
 
     def _make_step(self):
         cfg, rope, scheduler = self.cfg, self.rope, self.scheduler
@@ -90,6 +91,12 @@ class ODETrainer:
                 self.ema = ema_lib.update_ema(
                     self.ema, self.params, decay=self.ema_weight)
         self.step += 1
+        # latent triplet for visualization (trainer/ode.py:190-209) —
+        # stashed as device arrays; nothing is fetched unless a
+        # visualization step reads them
+        self.last_visual = {"input": log.pop("input"),
+                            "output": log.pop("output"),
+                            "ground_truth": batch["ode_latent"][:, -1]}
         # timestep-bucket loss breakdown (trainer/ode.py:173-182)
         out = {k: np.asarray(v) for k, v in log.items()}
         t = out.pop("timestep", None)

@@ -31,6 +31,30 @@ class MetricsLogger:
                 # fall back to the JSONL sink either way
                 self._wandb = None
 
+    def log_video(self, name: str, video, step: int, fps: int = 16):
+        """Log a decoded video (the reference's wandb.Video triplets,
+        trainer/ode.py:190-209). ``video``: [T, H, W, 3] float in [0, 1]
+        or uint8. Always written as an mp4 under ``logdir/videos``; also
+        sent to wandb when enabled."""
+        if not self.is_main:
+            return None
+        import numpy as np
+        from self_forcing_tpu.utils.video_io import save_video
+        video = np.asarray(video)
+        if video.dtype != np.uint8:
+            video = (np.clip(video, 0.0, 1.0) * 255.0).astype(np.uint8)
+        vdir = os.path.join(self.logdir, "videos")
+        os.makedirs(vdir, exist_ok=True)
+        path = os.path.join(vdir, f"{name}_{step:06d}.mp4")
+        save_video(video, path, fps=fps)
+        if self._wandb is not None:
+            # wandb.Video wants [T, C, H, W]
+            self._wandb.log(
+                {name: self._wandb.Video(video.transpose(0, 3, 1, 2),
+                                         caption=name, fps=fps,
+                                         format="mp4")}, step=step)
+        return path
+
     def log(self, metrics: Mapping, step: int | None = None):
         if not self.is_main:
             return

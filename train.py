@@ -82,7 +82,8 @@ def main():
     parser.add_argument("--logdir", type=str, default="logs/run")
     parser.add_argument("--no_save", action="store_true")
     parser.add_argument("--no_visualize", action="store_true")
-    parser.add_argument("--disable-wandb", action="store_true", default=True)
+    parser.add_argument("--disable-wandb", action="store_true")
+    parser.add_argument("--wandb-save-dir", type=str, default="")
     parser.add_argument("--max_steps", type=int, default=100)
     args = parser.parse_args()
 
@@ -101,7 +102,20 @@ def main():
                                       "default_config.yaml"))
     set_seed(int(getattr(config, "seed", 0)))
     is_main = jax.process_index() == 0
-    logger = MetricsLogger(args.logdir, disable_wandb=True, is_main=is_main)
+    # wandb wiring matches the reference (trainer/distillation.py:48-57):
+    # entity/project from the config, run name = config file stem, save
+    # dir from the CLI; MetricsLogger falls back to JSONL when wandb is
+    # missing or unconfigured
+    wandb_kwargs = {
+        "entity": getattr(config, "wandb_entity", None),
+        "project": getattr(config, "wandb_project", None),
+        "name": os.path.basename(args.config_path).rsplit(".", 1)[0],
+        "dir": args.wandb_save_dir or None,
+    }
+    logger = MetricsLogger(
+        args.logdir, disable_wandb=args.disable_wandb,
+        wandb_kwargs={k: v for k, v in wandb_kwargs.items() if v},
+        is_main=is_main)
 
     trainer_kind = str(getattr(config, "trainer", "score_distillation"))
     dtype = jnp.bfloat16 if getattr(config, "mixed_precision", False) \
@@ -172,12 +186,35 @@ def main():
     else:
         raise ValueError(f"unknown trainer {trainer_kind!r}")
 
+    # ---- periodic decoded-video visualization (reference
+    # trainer/ode.py:190-209 logs input/output/ground-truth triplets)
+    vae_wrapper = None
+    model_dir = getattr(config, "model_dir", "wan_models")
+    if (not args.no_visualize and is_main
+            and hasattr(trainer, "last_visual") and os.path.isdir(model_dir)):
+        from self_forcing_tpu.runtime import load_wan_models
+        from self_forcing_tpu.wrappers import WanVAEWrapper
+        models = load_wan_models(model_dir, load_dit=False, load_t5=False)
+        if models.vae_params is not None:
+            vae_wrapper = WanVAEWrapper(models.vae_params, models.vae_cfg)
+    visualize_every = int(getattr(config, "visualize_every", 100))
+
+    def visualize(step):
+        if vae_wrapper is None or trainer.last_visual is None:
+            return
+        for name, lat in trainer.last_visual.items():
+            px = vae_wrapper.decode_to_pixel(jnp.asarray(lat))
+            video = np.asarray(px[0].transpose(0, 2, 3, 1)) * 0.5 + 0.5
+            logger.log_video(name, video, step)
+
     log_iters = int(getattr(config, "log_iters", 50))
     for step in range(args.max_steps):
         t0 = time.time()
         log = trainer.train_step(next_batch())
         log["step_time_s"] = round(time.time() - t0, 3)
         logger.log(log, step=step)
+        if step % visualize_every == 0:
+            visualize(step)
         if is_main and (step % 10 == 0 or step == args.max_steps - 1):
             brief = {k: round(v, 5) for k, v in log.items()
                      if isinstance(v, float)}
