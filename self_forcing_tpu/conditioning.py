@@ -177,11 +177,21 @@ class PoseImageConditioner:
     """Training-side conditioning combiner (fixed re-design of the broken
     utils/conditioning.py, SURVEY.md §2.4): builds the per-batch dict of
     pose condition tokens + optional CLIP/VAE image conditioning with
-    condition dropout."""
+    condition dropout.
+
+    ``build_conditioning`` mirrors the reference contract
+    (utils/conditioning.py:157-182, with its :164 SyntaxError fixed):
+    returns {"add_condition" [B, L, 5120], "clip_fea" [B, 257, 1280],
+    "y" [B, F, 20, h, w]} — the keys the DMD objectives thread into the
+    generator rollout and the score forwards."""
 
     dwpose_params: Params
     randomref_params: Params | None = None
     drop_prob: float = 0.0
+    clip_params: Params | None = None
+    clip_cfg: Any = None
+    vae_params: Params | None = None
+    vae_cfg: Any = None
 
     def __call__(self, dwpose_data: jax.Array,
                  random_ref_dwpose: Optional[jax.Array] = None,
@@ -198,4 +208,98 @@ class PoseImageConditioner:
                 rng, 1.0 - self.drop_prob,
                 (emb.shape[0],) + (1,) * (emb.ndim - 1))
             out["dwpose_emb"] = jnp.where(keep, emb, jnp.zeros_like(emb))
+        return out
+
+    def encode_image(self, first_frame: jax.Array, num_frames: int,
+                     height: int, width: int):
+        """CLIP visual tokens + masked first-frame VAE latent
+        (utils/conditioning.py:130-156).
+
+        first_frame: [B, H0, W0, 3] u8 (dataset layout,
+        utils/dataset.py:127-196) or [B, 3, H0, W0] float in [-1, 1];
+        num_frames: LATENT frame count F (the reference passes
+        image_or_video_shape[1]); height/width: pixel dims.
+        Returns (clip_fea [B, 257, 1280], y [B, F, 16+4, h, w])."""
+        assert self.clip_params is not None and self.vae_params is not None, \
+            "encode_image needs clip_params and vae_params"
+        from self_forcing_tpu.models import clip as clip_mod
+        from self_forcing_tpu.models.wan import vae as vae_mod
+
+        img = first_frame
+        if img.ndim == 4 and img.shape[-1] == 3:     # [B, H, W, 3] u8
+            img = img.transpose(0, 3, 1, 2)
+        img = img.astype(jnp.float32)
+        # u8 -> [-1, 1] (reference: images * (2/255) - 1 when max > 1)
+        img = jnp.where(jnp.max(img) > 1.0, img * (2.0 / 255.0) - 1.0, img)
+
+        clip_fea = clip_mod.encode_image(
+            self.clip_params, self.clip_cfg or clip_mod.CLIP_XLM_ROBERTA_VIT_H_14,
+            img)
+
+        B = img.shape[0]
+        h, w = height // 8, width // 8
+        if img.shape[-2:] != (height, width):
+            img = jax.image.resize(img, (B, 3, height, width), "cubic")
+        # first pixel frame + zeros through the VAE -> F latent frames
+        frames = jnp.concatenate(
+            [img[:, None],
+             jnp.zeros((B, (num_frames - 1) * 4, 3, height, width),
+                       img.dtype)], axis=1)
+        z = vae_mod.encode(self.vae_params, self.vae_cfg,
+                           frames.transpose(0, 1, 3, 4, 2))
+        z = z.transpose(0, 1, 4, 2, 3)               # [B, F, 16, h, w]
+        # 4-channel temporal mask: first latent frame's 4 sub-slots = 1
+        # (utils/conditioning.py:142-148 repeat_interleave packing)
+        mask = jnp.zeros((B, num_frames, 4, h, w), z.dtype).at[:, 0].set(1.0)
+        return clip_fea, jnp.concatenate([mask, z], axis=2)
+
+    def build_conditioning(self, dwpose_data: jax.Array,
+                           first_frame: Optional[jax.Array] = None,
+                           random_ref_dwpose: Optional[jax.Array] = None,
+                           num_frames: int = 21, height: int = 480,
+                           width: int = 832,
+                           rng: Optional[jax.Array] = None,
+                           pose_drop_prob: Optional[float] = None) -> dict:
+        """The reference build_conditioning (utils/conditioning.py:157-182):
+        pose tokens + image y + randomref bias, with condition dropout
+        (dropped samples zero add_condition and lose the randomref term,
+        keeping the bare image y)."""
+        drop = self.drop_prob if pose_drop_prob is None else pose_drop_prob
+        x = prepare_dwpose_input(dwpose_data)
+        emb = dwpose_embedding(self.dwpose_params, x)   # [B, 5120, F, h', w']
+        B, C = emb.shape[:2]
+        # 'b c f h w -> b (f h w) c' (utils/conditioning.py:169)
+        add_condition = emb.transpose(0, 2, 3, 4, 1).reshape(B, -1, C)
+
+        out = {"add_condition": add_condition}
+        image_y = None
+        if first_frame is not None and self.clip_params is not None \
+                and self.vae_params is not None:
+            clip_fea, image_y = self.encode_image(first_frame, num_frames,
+                                                  height, width)
+            out["clip_fea"] = clip_fea
+
+        randomref = None
+        if random_ref_dwpose is not None and self.randomref_params is not None:
+            ref = random_ref_dwpose
+            if ref.ndim == 4 and ref.shape[-1] == 3:    # [B, H, W, 3] u8
+                ref = ref.transpose(0, 3, 1, 2)
+            randomref = randomref_embedding(
+                self.randomref_params, ref.astype(jnp.float32) / 255.0)
+
+        y = image_y
+        if y is not None and randomref is not None:
+            y = y + randomref[:, None]                  # broadcast frames
+
+        if drop > 0 and rng is not None:
+            keep = jax.random.bernoulli(rng, 1.0 - drop, (B,))
+            out["add_condition"] = jnp.where(
+                keep[:, None, None], out["add_condition"],
+                jnp.zeros_like(out["add_condition"]))
+            if y is not None:
+                # dropped samples keep the bare image y (reference :175-176)
+                y = jnp.where(keep[:, None, None, None, None], y, image_y)
+
+        if y is not None:
+            out["y"] = y
         return out

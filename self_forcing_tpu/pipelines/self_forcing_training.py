@@ -44,10 +44,15 @@ def _sg(tree):
 
 def _denoise_to_exit(params, cfg: WanConfig, scheduler, rope, ctx_kv,
                      cache, noise_blk, blk_rng, steps, exit_idx: int,
-                     with_grad: bool, start_frame):
+                     with_grad: bool, start_frame, y_blk=None,
+                     cond_blk=None):
     """Unrolled denoise of one block through steps[0..exit_idx] (static);
     only the exit-step forward carries gradient (iff ``with_grad``).  The
-    cache is read-only here (write_cache=False), so only x0 is returned."""
+    cache is read-only here (write_cache=False), so only x0 is returned.
+
+    ``y_blk`` [B, nb, Cy, H, W] / ``cond_blk`` [B, nb*fs, 5120]: this
+    block's slice of the i2v/pose conditioning (the reference forwards the
+    whole conditional_dict per call, self_forcing_training.py:159,188)."""
     B, nb, C, H, W = noise_blk.shape
     noisy = noise_blk
     x0 = noisy
@@ -61,7 +66,7 @@ def _denoise_to_exit(params, cfg: WanConfig, scheduler, rope, ctx_kv,
         if is_exit and with_grad:
             flow, _ = dit.forward_inference(
                 params, cfg, noisy, t, ctx_kv, cache, start_frame, rope,
-                write_cache=False)
+                y=y_blk, add_condition=cond_blk, write_cache=False)
             x0 = scheduler.convert_flow_pred_to_x0(
                 flow.reshape(B * nb, C, H, W),
                 noisy.reshape(B * nb, C, H, W),
@@ -69,7 +74,9 @@ def _denoise_to_exit(params, cfg: WanConfig, scheduler, rope, ctx_kv,
         else:
             flow, _ = dit.forward_inference(
                 _sg(params), cfg, _sg(noisy), t, _sg(ctx_kv), _sg(cache),
-                start_frame, rope, write_cache=False)
+                start_frame, rope, y=_sg(y_blk) if y_blk is not None else None,
+                add_condition=_sg(cond_blk) if cond_blk is not None else None,
+                write_cache=False)
             flow = _sg(flow)
             x0 = _sg(scheduler.convert_flow_pred_to_x0(
                 flow.reshape(B * nb, C, H, W),
@@ -91,7 +98,9 @@ def _rollout_blocks(params, cfg: WanConfig, scheduler: FlowMatchScheduler,
                     noise: jax.Array, rng: jax.Array,
                     steps: tuple[float, ...], exit_idx,
                     context_noise: float, num_blocks: int,
-                    with_grad: bool, start_frame0: jax.Array):
+                    with_grad: bool, start_frame0: jax.Array,
+                    y: jax.Array | None = None,
+                    add_condition: jax.Array | None = None):
     """Scan over blocks, denoising steps[0..exit] per block; the exit-step
     forward carries gradient iff ``with_grad``.
 
@@ -111,22 +120,32 @@ def _rollout_blocks(params, cfg: WanConfig, scheduler: FlowMatchScheduler,
     per_block = not isinstance(exit_idx, int)
     exits = (jnp.asarray(exit_idx, jnp.int32) if per_block
              else jnp.zeros((num_blocks,), jnp.int32))
+    # conditioning slices ride the scan as xs (the reference re-passes the
+    # full conditional_dict every forward; here each block sees its slice)
+    y_blocks = None if y is None else y.reshape(
+        B, num_blocks, nb, *y.shape[2:]).transpose(1, 0, 2, 3, 4, 5)
+    cond_blocks = None
+    if add_condition is not None:
+        Lb = add_condition.shape[1] // num_blocks
+        cond_blocks = add_condition.reshape(
+            B, num_blocks, Lb, add_condition.shape[2]).transpose(1, 0, 2, 3)
 
     def block_step(cache, xs):
-        blk_id, noise_blk, blk_rng, blk_exit = xs
+        blk_id, noise_blk, blk_rng, blk_exit, y_blk, cond_blk = xs
         start_frame = start_frame0 + blk_id * nb
         if per_block:
             x0 = jax.lax.switch(
                 jnp.clip(blk_exit, 0, len(steps) - 1),
                 [(lambda nz, r, n=n: _denoise_to_exit(
                     params, cfg, scheduler, rope, ctx_kv, cache, nz, r,
-                    steps, n, with_grad, start_frame))
+                    steps, n, with_grad, start_frame, y_blk, cond_blk))
                  for n in range(len(steps))],
                 noise_blk, blk_rng)
         else:
             x0 = _denoise_to_exit(params, cfg, scheduler, rope, ctx_kv,
                                   cache, noise_blk, blk_rng, steps,
-                                  exit_idx, with_grad, start_frame)
+                                  exit_idx, with_grad, start_frame,
+                                  y_blk, cond_blk)
 
         # cache refresh: re-noise at context_noise, no-grad forward
         # (self_forcing_training.py:199-216)
@@ -141,11 +160,14 @@ def _rollout_blocks(params, cfg: WanConfig, scheduler: FlowMatchScheduler,
         _, cache = dit.forward_inference(
             _sg(params), cfg, renoised,
             jnp.full((B, nb), context_noise, jnp.float32), _sg(ctx_kv),
-            _sg(cache), start_frame, rope)
+            _sg(cache), start_frame, rope,
+            y=_sg(y_blk) if y_blk is not None else None,
+            add_condition=_sg(cond_blk) if cond_blk is not None else None)
         return _sg(cache), x0
 
     cache, outs = jax.lax.scan(block_step, cache,
-                               (block_ids, noise_blocks, rngs, exits))
+                               (block_ids, noise_blocks, rngs, exits,
+                                y_blocks, cond_blocks))
     out = outs.transpose(1, 0, 2, 3, 4, 5).reshape(B, F_total, C, H, W)
     return out, cache
 
@@ -205,12 +227,21 @@ class SelfForcingTrainingPipeline:
                                   rope: RopeTables, noise: jax.Array,
                                   ctx_kv: dict, exit_idx: int,
                                   rng: jax.Array,
-                                  initial_latent: Optional[jax.Array] = None):
+                                  initial_latent: Optional[jax.Array] = None,
+                                  y: Optional[jax.Array] = None,
+                                  add_condition: Optional[jax.Array] = None):
         """Returns (trajectory [B, F_out, C, H, W],
         denoised_timestep_from, denoised_timestep_to).
 
         Gradient flows only through the exit-step forwards of the blocks in
         the final 21 frames.
+
+        ``y`` [B, F, Cy, H, W] (i2v channel-concat conditioning) and
+        ``add_condition`` [B, F*frame_seqlen, 5120] (UniAnimate pose
+        tokens) cover the *generated* (noise) frames and are sliced per
+        block inside the rollout scans — the reference instead re-passes
+        the whole conditional_dict to every generator forward
+        (self_forcing_training.py:123,159,211).
         """
         B, F, C, H, W = noise.shape
         nb = self.num_frame_per_block
@@ -244,22 +275,31 @@ class SelfForcingTrainingPipeline:
         exit_post = exit_idx if not per_block \
             else jnp.asarray(exit_idx, jnp.int32)[grad_start_block:]
 
+        split_f = grad_start_block * nb
+        split_tok = split_f * fs
+        y_pre = y[:, :split_f] if y is not None else None
+        y_post = y[:, split_f:] if y is not None else None
+        cond_pre = add_condition[:, :split_tok] \
+            if add_condition is not None else None
+        cond_post = add_condition[:, split_tok:] \
+            if add_condition is not None else None
+
         rng1, rng2 = jax.random.split(rng)
         if grad_start_block > 0:
             pre, cache = _rollout_blocks(
                 params, cfg, self.scheduler, rope, ctx_kv, cache,
-                noise[:, :grad_start_block * nb], rng1,
+                noise[:, :split_f], rng1,
                 self.denoising_step_list, exit_pre, self.context_noise,
-                grad_start_block, False, start)
+                grad_start_block, False, start, y_pre, cond_pre)
             outputs.append(_sg(pre))
             cache = _sg(cache)
             start = start + grad_start_block * nb
 
         post, cache = _rollout_blocks(
             params, cfg, self.scheduler, rope, ctx_kv, cache,
-            noise[:, grad_start_block * nb:], rng2,
+            noise[:, split_f:], rng2,
             self.denoising_step_list, exit_post, self.context_noise,
-            num_blocks - grad_start_block, True, start)
+            num_blocks - grad_start_block, True, start, y_post, cond_post)
         outputs.append(post)
 
         trajectory = jnp.concatenate(outputs, axis=1)

@@ -84,15 +84,28 @@ def sample_timestep_per_block(rng: jax.Array, min_t: int, max_t: int,
                             ).reshape(batch, num_frame)
 
 
+def model_cond(cfg: WanConfig, cond: Optional[dict]):
+    """Select the conditioning entries a given model can consume (the
+    reference passes the whole conditional_dict everywhere and gates
+    add_condition on isinstance CausalWanModel, utils/wan_wrapper.py:
+    269-277; y/clip_fea are consumed only by y-concat (in_dim > out_dim)
+    / i2v models).  Returns (y, clip_fea)."""
+    if not cond:
+        return None, None
+    y = cond.get("y") if cfg.in_dim > cfg.out_dim else None
+    clip_fea = cond.get("clip_fea") if cfg.model_type == "i2v" else None
+    return y, clip_fea
+
+
 def score_x0(params, cfg: WanConfig, rope: RopeTables,
              scheduler: FlowMatchScheduler, noisy: jax.Array,
              t: jax.Array, context: jax.Array,
-             remat: bool = True) -> jax.Array:
+             remat: bool = True, y=None, clip_fea=None) -> jax.Array:
     """Bidirectional score model forward -> x0 prediction
     (utils/wan_wrapper.py:253-349, non-causal branch)."""
     B, F, C, H, W = noisy.shape
     flow = dit.forward_train(params, cfg, noisy, t, context, None, rope,
-                             remat=remat)
+                             y=y, clip_fea=clip_fea, remat=remat)
     return scheduler.convert_flow_pred_to_x0(
         flow.reshape(B * F, C, H, W), noisy.reshape(B * F, C, H, W),
         t.reshape(-1)).reshape(B, F, C, H, W)
@@ -100,14 +113,20 @@ def score_x0(params, cfg: WanConfig, rope: RopeTables,
 
 def cfg_combined_score(params, cfg, rope, scheduler, noisy, t,
                        context, neg_context, guidance_scale: float,
-                       remat: bool = True) -> jax.Array:
-    """CFG: cond + (cond - uncond) * scale (model/dmd.py:93-110)."""
-    cond = score_x0(params, cfg, rope, scheduler, noisy, t, context, remat)
+                       remat: bool = True, cond: Optional[dict] = None
+                       ) -> jax.Array:
+    """CFG: cond + (cond - uncond) * scale (model/dmd.py:93-110).  The
+    image/pose conditioning rides both branches — the reference updates
+    conditional AND unconditional dicts with it (trainer/distillation.py:
+    274-276)."""
+    y, clip_fea = model_cond(cfg, cond)
+    pos = score_x0(params, cfg, rope, scheduler, noisy, t, context, remat,
+                   y, clip_fea)
     if guidance_scale == 0.0:
-        return cond
+        return pos
     uncond = score_x0(params, cfg, rope, scheduler, noisy, t, neg_context,
-                      remat)
-    return cond + (cond - uncond) * guidance_scale
+                      remat, y, clip_fea)
+    return pos + (pos - uncond) * guidance_scale
 
 
 @dataclasses.dataclass
@@ -151,14 +170,31 @@ class ModelBundle:
                    independent_first_frame=independent_first_frame)
 
     def run_generator(self, gen_params, noise, ctx_kv, exit_idx: int,
-                      rng: jax.Array):
+                      rng: jax.Array, cond: Optional[dict] = None):
         """Rollout -> (trajectory[last 21 frames], gradient_mask or None,
         t_from, t_to) — matches the reference _run_generator contract
         (model/base.py:159-233) including the long-rollout slice +
-        re-encode and the first-block gradient mask."""
+        re-encode and the first-block gradient mask.
+
+        ``cond``: optional conditioning dict with the reference
+        conditional_dict keys {add_condition, y, clip_fea} (clip_fea is
+        consumed by the caller when building ctx_kv)."""
+        cond = cond or {}
+        F = noise.shape[1]
+        fs = ((noise.shape[3] // self.generator_cfg.patch_size[1])
+              * (noise.shape[4] // self.generator_cfg.patch_size[2]))
+        y, _ = model_cond(self.generator_cfg, cond)
+        add_condition = cond.get("add_condition")
+        # rollout length is sampled per step (<= num_training_frames);
+        # the conditioning covers the full training window — slice the
+        # leading F frames for this rollout
+        if y is not None:
+            y = y[:, :F]
+        if add_condition is not None:
+            add_condition = add_condition[:, :F * fs]
         pred, t_from, t_to = self.pipeline.inference_with_trajectory(
             gen_params, self.generator_cfg, self.rope_g, noise, ctx_kv,
-            exit_idx, rng)
+            exit_idx, rng, y=y, add_condition=add_condition)
         pred, gradient_mask = self.trim_rollout(pred)
         return pred, gradient_mask, t_from, t_to
 

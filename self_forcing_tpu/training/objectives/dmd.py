@@ -30,16 +30,17 @@ def _add_noise_bf(scheduler: FlowMatchScheduler, x, noise, t):
 
 def compute_kl_grad(bundle: ModelBundle, obj: ObjectiveConfig,
                     fake_params, real_params, noisy, pred, t,
-                    context, neg_context):
+                    context, neg_context, cond=None):
     """model/dmd.py:54-126.  All forwards are no-grad."""
+    cond = _sg(cond) if cond else None
     fake_x0 = cfg_combined_score(
         _sg(fake_params), bundle.critic_cfg, bundle.rope_c, bundle.scheduler,
         _sg(noisy), t, _sg(context), _sg(neg_context),
-        obj.fake_guidance_scale)
+        obj.fake_guidance_scale, cond=cond)
     real_x0 = cfg_combined_score(
         _sg(real_params), bundle.teacher_cfg, bundle.rope_t, bundle.scheduler,
         _sg(noisy), t, _sg(context), _sg(neg_context),
-        obj.real_guidance_scale)
+        obj.real_guidance_scale, cond=cond)
 
     grad = fake_x0 - real_x0
     # normalization (model/dmd.py:117-120)
@@ -54,9 +55,12 @@ def compute_kl_grad(bundle: ModelBundle, obj: ObjectiveConfig,
 def distribution_matching_loss(bundle: ModelBundle, obj: ObjectiveConfig,
                                fake_params, real_params, pred, context,
                                neg_context, rng, t_from, t_to,
-                               gradient_mask=None):
+                               gradient_mask=None, cond=None):
     """model/dmd.py:128-194. ``pred`` carries generator gradient."""
     B, F = pred.shape[:2]
+    if cond and cond.get("y") is not None:
+        # score models see the (possibly shorter) rollout window
+        cond = dict(cond, y=cond["y"][:, :F])
     min_t = t_to if (obj.ts_schedule and t_to is not None) \
         else obj.min_score_timestep
     max_t = t_from if (obj.ts_schedule_max and t_from is not None) \
@@ -68,7 +72,7 @@ def distribution_matching_loss(bundle: ModelBundle, obj: ObjectiveConfig,
     noisy = _sg(_add_noise_bf(bundle.scheduler, _sg(pred), noise, t))
 
     grad, log = compute_kl_grad(bundle, obj, fake_params, real_params,
-                                noisy, pred, t, context, neg_context)
+                                noisy, pred, t, context, neg_context, cond)
     target = _sg(pred.astype(jnp.float32) - grad)
     diff = (pred.astype(jnp.float32) - target) ** 2
     if gradient_mask is not None:
@@ -83,28 +87,31 @@ def distribution_matching_loss(bundle: ModelBundle, obj: ObjectiveConfig,
 def generator_loss(bundle: ModelBundle, obj: ObjectiveConfig,
                    gen_params, fake_params, real_params,
                    noise, context, neg_context, exit_idx: int,
-                   rng: jax.Array, gradient_mask=None):
-    """model/dmd.py:196-235: rollout + DMD loss."""
+                   rng: jax.Array, gradient_mask=None, cond=None):
+    """model/dmd.py:196-235: rollout + DMD loss.  ``cond``: optional
+    conditioning dict {add_condition, y, clip_fea} threaded through the
+    rollout and both score models (trainer/distillation.py:264-276)."""
     rng_roll, rng_dmd = jax.random.split(rng)
-    ctx_kv_g = _make_ctx(gen_params, bundle.generator_cfg, context)
+    ctx_kv_g = _make_ctx(gen_params, bundle.generator_cfg, context, cond)
     pred, roll_mask, t_from, t_to = bundle.run_generator(
-        gen_params, noise, ctx_kv_g, exit_idx, rng_roll)
+        gen_params, noise, ctx_kv_g, exit_idx, rng_roll, cond=cond)
     if gradient_mask is None:
         gradient_mask = roll_mask  # long-rollout first-block mask
     loss, log = distribution_matching_loss(
         bundle, obj, fake_params, real_params, pred, context, neg_context,
-        rng_dmd, t_from, t_to, gradient_mask)
+        rng_dmd, t_from, t_to, gradient_mask, cond)
     return loss, log
 
 
 def critic_loss(bundle: ModelBundle, obj: ObjectiveConfig,
                 gen_params, fake_params, noise, context, neg_context,
-                exit_idx: int, rng: jax.Array):
+                exit_idx: int, rng: jax.Array, cond=None):
     """model/dmd.py:237-332: no-grad rollout -> critic denoising loss."""
     rng_roll, rng_t, rng_n = jax.random.split(rng, 3)
-    ctx_kv_g = _make_ctx(_sg(gen_params), bundle.generator_cfg, context)
+    ctx_kv_g = _make_ctx(_sg(gen_params), bundle.generator_cfg, context,
+                         cond)
     pred, _, t_from, t_to = bundle.run_generator(
-        _sg(gen_params), noise, ctx_kv_g, exit_idx, rng_roll)
+        _sg(gen_params), noise, ctx_kv_g, exit_idx, rng_roll, cond=cond)
     pred = _sg(pred)
 
     B, F = pred.shape[:2]
@@ -117,9 +124,14 @@ def critic_loss(bundle: ModelBundle, obj: ObjectiveConfig,
     critic_noise = jax.random.normal(rng_n, pred.shape, pred.dtype)
     noisy = _add_noise_bf(bundle.scheduler, pred, critic_noise, t)
 
-    from self_forcing_tpu.training.objectives.base import score_x0
+    from self_forcing_tpu.training.objectives.base import (model_cond,
+                                                           score_x0)
+    if cond and cond.get("y") is not None:
+        cond = dict(cond, y=cond["y"][:, :F])
+    y_c, clip_c = model_cond(bundle.critic_cfg, cond)
     pred_fake = score_x0(fake_params, bundle.critic_cfg, bundle.rope_c,
-                         bundle.scheduler, noisy, t, context)
+                         bundle.scheduler, noisy, t, context,
+                         y=y_c, clip_fea=clip_c)
 
     flat = lambda a: a.reshape((B * F,) + a.shape[2:])
     loss_fn = get_denoising_loss(obj.denoising_loss_type)
@@ -139,6 +151,8 @@ def critic_loss(bundle: ModelBundle, obj: ObjectiveConfig,
     return loss, {"critic_timestep_mean": jnp.mean(t)}
 
 
-def _make_ctx(gen_params, cfg, context):
+def _make_ctx(gen_params, cfg, context, cond=None):
     from self_forcing_tpu.models.wan import dit
-    return dit.precompute_context(gen_params, cfg, context)
+    clip_fea = (cond or {}).get("clip_fea") \
+        if cfg.model_type == "i2v" else None
+    return dit.precompute_context(gen_params, cfg, context, clip_fea)

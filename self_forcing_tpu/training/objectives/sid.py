@@ -25,8 +25,10 @@ __all__ = ["generator_loss", "critic_loss"]
 def distribution_matching_loss(bundle: ModelBundle, obj: ObjectiveConfig,
                                fake_params, real_params, pred, context,
                                neg_context, rng, t_from, t_to,
-                               gradient_mask=None):
+                               gradient_mask=None, cond=None):
     B, F = pred.shape[:2]
+    if cond and cond.get("y") is not None:
+        cond = dict(cond, y=cond["y"][:, :F])
     min_t = t_to if (obj.ts_schedule and t_to is not None) \
         else obj.min_score_timestep
     max_t = t_from if (obj.ts_schedule_max and t_from is not None) \
@@ -38,12 +40,15 @@ def distribution_matching_loss(bundle: ModelBundle, obj: ObjectiveConfig,
     noisy = _add_noise_bf(bundle.scheduler, pred, noise, t)
 
     # differentiable score forwards (frozen params still get no update)
+    from self_forcing_tpu.training.objectives.base import model_cond
+    y_c, clip_c = model_cond(bundle.critic_cfg, cond)
     fake_x0 = score_x0(fake_params, bundle.critic_cfg, bundle.rope_c,
-                       bundle.scheduler, noisy, t, context)
+                       bundle.scheduler, noisy, t, context,
+                       y=y_c, clip_fea=clip_c)
     real_x0 = cfg_combined_score(real_params, bundle.teacher_cfg,
                                  bundle.rope_t, bundle.scheduler, noisy, t,
                                  context, neg_context,
-                                 obj.real_guidance_scale)
+                                 obj.real_guidance_scale, cond=cond)
 
     rf = real_x0.astype(jnp.float32)
     ff = fake_x0.astype(jnp.float32)
@@ -65,13 +70,13 @@ def distribution_matching_loss(bundle: ModelBundle, obj: ObjectiveConfig,
 def generator_loss(bundle: ModelBundle, obj: ObjectiveConfig,
                    gen_params, fake_params, real_params, noise, context,
                    neg_context, exit_idx: int, rng: jax.Array,
-                   gradient_mask=None):
+                   gradient_mask=None, cond=None):
     rng_roll, rng_sid = jax.random.split(rng)
-    ctx_kv_g = _make_ctx(gen_params, bundle.generator_cfg, context)
+    ctx_kv_g = _make_ctx(gen_params, bundle.generator_cfg, context, cond)
     pred, roll_mask, t_from, t_to = bundle.run_generator(
-        gen_params, noise, ctx_kv_g, exit_idx, rng_roll)
+        gen_params, noise, ctx_kv_g, exit_idx, rng_roll, cond=cond)
     if gradient_mask is None:
         gradient_mask = roll_mask  # long-rollout first-block mask
     return distribution_matching_loss(
         bundle, obj, fake_params, real_params, pred, context, neg_context,
-        rng_sid, t_from, t_to, gradient_mask)
+        rng_sid, t_from, t_to, gradient_mask, cond)

@@ -58,7 +58,8 @@ class ScoreDistillationTrainer:
                  generator_cfg: WanConfig, critic_cfg: WanConfig,
                  teacher_cfg: WanConfig, neg_context, mesh=None,
                  objective: str | None = None, vae_params=None,
-                 vae_cfg=None):
+                 vae_cfg=None, conditioner=None, clip_params=None,
+                 clip_cfg=None):
         self.config = config
         self.mesh = mesh
         obj = ObjectiveConfig(
@@ -130,6 +131,57 @@ class ScoreDistillationTrainer:
         self._gen_step_fn = {}
         self._critic_step_fn = {}
 
+        # pose/image conditioning (reference trainer/distillation.py:
+        # 106-122 builds a PoseImageConditioner when use_pose_conditioning)
+        self.conditioner = conditioner
+        if self.conditioner is None and getattr(
+                config, "use_pose_conditioning", False):
+            self.conditioner = self._build_conditioner(
+                config, clip_params, clip_cfg, vae_params, vae_cfg)
+        self._cond_fn = {}
+
+    @staticmethod
+    def _build_conditioner(config, clip_params, clip_cfg, vae_params,
+                           vae_cfg):
+        import os
+
+        from self_forcing_tpu import conditioning as cond_mod
+        dw = rr = None
+        pose_path = getattr(config, "pose_weights_path", None)
+        if pose_path and os.path.exists(str(pose_path)):
+            from self_forcing_tpu.utils import checkpoints as ckpt
+            sd = ckpt.load_torch_state_dict(str(pose_path))
+            dw, rr = cond_mod.load_pose_embedding_weights(sd)
+            if dw is None and rr is None and bool(
+                    getattr(config, "pose_weights_strict", True)):
+                raise ValueError(
+                    f"no dwpose_embedding./randomref_embedding_pose. "
+                    f"weights in {pose_path}")
+        if dw is None:
+            dw = cond_mod.init_dwpose_params(jax.random.PRNGKey(7))
+        if rr is None:
+            rr = cond_mod.init_randomref_params(jax.random.PRNGKey(8))
+        return cond_mod.PoseImageConditioner(
+            dw, rr,
+            drop_prob=float(getattr(config, "pose_drop_prob", 0.0)),
+            clip_params=clip_params, clip_cfg=clip_cfg,
+            vae_params=vae_params, vae_cfg=vae_cfg)
+
+    def _build_cond(self, batch: dict, shape) -> dict | None:
+        """Per-batch conditioning dict from raw pose/image inputs
+        (trainer/distillation.py:264-276)."""
+        if self.conditioner is None or "dwpose_data" not in batch:
+            return None
+        rng = jax.random.PRNGKey(int(self.host_rng.integers(2 ** 31)))
+        ff = batch.get("first_frame")
+        rr = batch.get("random_ref_dwpose")
+        return self.conditioner.build_conditioning(
+            jnp.asarray(batch["dwpose_data"]),
+            first_frame=None if ff is None else jnp.asarray(ff),
+            random_ref_dwpose=None if rr is None else jnp.asarray(rr),
+            num_frames=self.obj.num_training_frames,
+            height=int(shape[3]) * 8, width=int(shape[4]) * 8, rng=rng)
+
     # ------------------------------------------------------------- steps
     def _make_gen_step(self, exit_idx):
         """``exit_idx``: static int (same_step_across_blocks) or the
@@ -143,17 +195,18 @@ class ScoreDistillationTrainer:
 
         @jax.jit
         def step_fn(gen_params, fake_params, real_params, opt_state,
-                    noise, context, neg_context, rng, exit_arr=None):
+                    noise, context, neg_context, rng, exit_arr=None,
+                    cond=None):
             exits = exit_arr if per_block else exit_idx
             if objective == "dmd":
                 loss_fn = lambda gp: dmd.generator_loss(
                     bundle, obj, gp, fake_params, real_params, noise,
-                    context, neg_context, exits, rng)
+                    context, neg_context, exits, rng, cond=cond)
             else:
                 from self_forcing_tpu.training.objectives import sid
                 loss_fn = lambda gp: sid.generator_loss(
                     bundle, obj, gp, fake_params, real_params, noise,
-                    context, neg_context, exits, rng)
+                    context, neg_context, exits, rng, cond=cond)
             (loss, log), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 gen_params)
             gnorm = optax.global_norm(grads)
@@ -171,10 +224,10 @@ class ScoreDistillationTrainer:
 
         @jax.jit
         def step_fn(gen_params, fake_params, opt_state, noise, context,
-                    neg_context, rng, exit_arr=None):
+                    neg_context, rng, exit_arr=None, cond=None):
             loss_fn = lambda fp: dmd.critic_loss(
                 bundle, obj, gen_params, fp, noise, context, neg_context,
-                exit_arr if per_block else exit_idx, rng)
+                exit_arr if per_block else exit_idx, rng, cond=cond)
             (loss, log), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 fake_params)
             gnorm = optax.global_norm(grads)
@@ -204,29 +257,33 @@ class ScoreDistillationTrainer:
         log = {}
         train_generator = self.state.step % self.dfake_gen_update_ratio == 0
 
-        shape = self._sample_rollout_shape(
-            list(getattr(self.config, "image_or_video_shape",
-                         [context.shape[0], 21, 16, 60, 104])))
+        base_shape = list(getattr(self.config, "image_or_video_shape",
+                                  [context.shape[0], 21, 16, 60, 104]))
+        cond = self._build_cond(batch, base_shape)
+        shape = self._sample_rollout_shape(base_shape)
         shape[0] = context.shape[0]
         nb = self.obj.num_frame_per_block
         exit_idx = self.bundle.pipeline.sample_exit_index(
             self.host_rng, num_blocks=shape[1] // nb)
         # per-block exit arrays (same_step_across_blocks=False) are traced
-        # args; a shared int exit is a static specialization key
-        key = "per_block" if not isinstance(exit_idx, int) else exit_idx
+        # args; a shared int exit is a static specialization key.  The
+        # present conditioning keys extend the key (cond arrays are traced)
+        ckey = None if cond is None else tuple(sorted(cond))
+        key = ("per_block" if not isinstance(exit_idx, int) else exit_idx,
+               ckey)
         exit_arr = None if isinstance(exit_idx, int) \
             else jnp.asarray(exit_idx)
 
         if train_generator:
             if key not in self._gen_step_fn:
-                self._gen_step_fn[key] = self._make_gen_step(key)
+                self._gen_step_fn[key] = self._make_gen_step(key[0])
             rng = jax.random.PRNGKey(int(self.host_rng.integers(2 ** 31)))
             rng, k = jax.random.split(rng)
             noise = jax.random.normal(k, shape, jnp.float32)
             gen, opt, glog = self._gen_step_fn[key](
                 self.state.generator, self.state.fake_score, self.real_params,
                 self.state.gen_opt_state, noise, context, self.neg_context,
-                rng, exit_arr)
+                rng, exit_arr, cond)
             self.state.generator = gen
             self.state.gen_opt_state = opt
             log.update({k: float(v) for k, v in glog.items()})
@@ -241,18 +298,19 @@ class ScoreDistillationTrainer:
         shape[0] = context.shape[0]
         exit_idx = self.bundle.pipeline.sample_exit_index(
             self.host_rng, num_blocks=shape[1] // nb)
-        key = "per_block" if not isinstance(exit_idx, int) else exit_idx
+        key = ("per_block" if not isinstance(exit_idx, int) else exit_idx,
+               ckey)
         exit_arr = None if isinstance(exit_idx, int) \
             else jnp.asarray(exit_idx)
         if key not in self._critic_step_fn:
-            self._critic_step_fn[key] = self._make_critic_step(key)
+            self._critic_step_fn[key] = self._make_critic_step(key[0])
         rng = jax.random.PRNGKey(int(self.host_rng.integers(2 ** 31)))
         rng, k = jax.random.split(rng)
         noise = jax.random.normal(k, shape, jnp.float32)
         fake, opt, clog = self._critic_step_fn[key](
             self.state.generator, self.state.fake_score,
             self.state.critic_opt_state, noise, context, self.neg_context,
-            rng, exit_arr)
+            rng, exit_arr, cond)
         self.state.fake_score = fake
         self.state.critic_opt_state = opt
         log.update({k: float(v) for k, v in clog.items()})

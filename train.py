@@ -135,6 +135,15 @@ def main():
         from self_forcing_tpu.data.loader import DataLoader
         ds = ODERegressionDataset(data_path)
         batches = iter(DataLoader(ds, B, infinite=True))
+    elif trainer_kind == "score_distillation" \
+            and getattr(config, "use_pose_conditioning", False) \
+            and os.path.isdir(data_path):
+        # pose distillation reads the sharded pose dataset (reference
+        # trainer/distillation.py:141-147 PoseShardingLMDBDataset branch)
+        from self_forcing_tpu.data.datasets import PoseShardingDataset
+        from self_forcing_tpu.data.loader import DataLoader
+        ds = PoseShardingDataset(data_path)
+        batches = iter(DataLoader(ds, B, infinite=True))
     elif trainer_kind in ("diffusion", "gan") and os.path.isdir(data_path):
         from self_forcing_tpu.data.datasets import ShardingDataset
         from self_forcing_tpu.data.loader import DataLoader
@@ -157,6 +166,9 @@ def main():
         out = {}
         if "prompts" in b:
             out["context"] = context_fn(list(b["prompts"]))
+        for k in ("dwpose_data", "random_ref_dwpose", "first_frame"):
+            if k in b:
+                out[k] = np.asarray(b[k])
         if "ode_latent" in b:
             out["ode_latent"] = jnp.asarray(b["ode_latent"])
             out["latents"] = out["ode_latent"][:, -1]
