@@ -137,6 +137,34 @@ class CausalDiffusionInferencePipeline:
         self.num_frame_per_block = self.cfg.num_frame_per_block
         self.independent_first_frame = self.cfg.independent_first_frame
 
+    # ------------------------------------------------------- image cond
+    def encode_image(self, image: jax.Array, num_frames: int,
+                     height: int, width: int):
+        """CLIP visual tokens + masked first-frame VAE latent ``y``
+        (reference encode_image, causal_diffusion_inference.py:151-172).
+
+        ``image``: [B, 3, H, W] float in [-1, 1] or [B, H, W, 3] u8;
+        ``num_frames``: latent frame count; height/width: PIXEL dims.
+        Returns (clip_fea [B, 257, 1280], y [B, F, 20, h, w]).
+        ``image_encoder`` at construction: (clip_params, clip_cfg) tuple
+        or bare clip params."""
+        if self.image_encoder is None:
+            raise ValueError(
+                "input_image given but the pipeline has no image_encoder "
+                "(pass image_encoder=(clip_params, clip_cfg))")
+        if self.vae_params is None:
+            raise ValueError(
+                "input_image conditioning needs vae_params for the "
+                "first-frame latent (encode_image, reference :166-169)")
+        enc = self.image_encoder
+        clip_params, clip_cfg = enc if isinstance(enc, tuple) else (enc, None)
+        conditioner = cond_mod.PoseImageConditioner(
+            dwpose_params=self.dwpose_params,
+            randomref_params=self.randomref_params,
+            clip_params=clip_params, clip_cfg=clip_cfg,
+            vae_params=self.vae_params, vae_cfg=self.vae_cfg)
+        return conditioner.encode_image(image, num_frames, height, width)
+
     # ----------------------------------------------------------------- api
     def inference(self, noise: jax.Array,
                   text_prompts: Optional[List[str]] = None,
@@ -164,8 +192,20 @@ class CausalDiffusionInferencePipeline:
                     "text encoder to encode the negative prompt")
             neg_context = self.text_encoder(
                 [getattr(self.args, "negative_prompt", "")] * B)
-        ctx_pos = dit.precompute_context(self.params, self.cfg, context)
-        ctx_neg = dit.precompute_context(self.params, self.cfg, neg_context)
+        # ---- image conditioning (reference :322-355: encode_image builds
+        # CLIP tokens + masked first-frame VAE y; clip_feature rides both
+        # the cond and uncond dicts)
+        image_y = None
+        clip_fea = None
+        if input_image is not None:
+            clip_fea, image_y = self.encode_image(input_image, F, H * 8,
+                                                  W * 8)
+            image_y = image_y.astype(noise.dtype)
+        clip_arg = clip_fea if self.cfg.model_type == "i2v" else None
+        ctx_pos = dit.precompute_context(self.params, self.cfg, context,
+                                         clip_arg)
+        ctx_neg = dit.precompute_context(self.params, self.cfg, neg_context,
+                                         clip_arg)
 
         num_input_frames = (initial_latent.shape[1]
                             if initial_latent is not None else 0)
@@ -177,7 +217,7 @@ class CausalDiffusionInferencePipeline:
 
         # ---- pose conditioning (:329-353)
         dwpose_emb = None
-        y = None
+        y = image_y                              # [B, F, 20, h, w] or None
         if dwpose_data is not None:
             x_in = cond_mod.prepare_dwpose_input(dwpose_data)
             dwpose_emb = cond_mod.dwpose_embedding(self.dwpose_params, x_in)
@@ -187,10 +227,14 @@ class CausalDiffusionInferencePipeline:
                 ref = ref[None]
             ref = ref.transpose(0, 3, 1, 2)  # HWC -> CHW
             rr = cond_mod.randomref_embedding(self.randomref_params, ref)
-            # [B, 20, h, w] -> y [B, 1(frame), 20, h, w] bias
-            y = rr[:, None].astype(noise.dtype)
-            y = jnp.broadcast_to(
-                y, (B, nb, rr.shape[1], rr.shape[2], rr.shape[3]))
+            if y is not None:
+                # randomref bias over the image y (reference :348-350)
+                y = y + rr[:, None].astype(noise.dtype)
+            else:
+                # no image: the 20-ch randomref alone, repeated per frame
+                y = jnp.broadcast_to(
+                    rr[:, None].astype(noise.dtype),
+                    (B, F, rr.shape[1], rr.shape[2], rr.shape[3]))
 
         # ---- context priming (:256-312)
         current_start = int(start_frame_index)   # RoPE frame position
@@ -233,7 +277,8 @@ class CausalDiffusionInferencePipeline:
                 ).astype(noise.dtype)
             y_blk = None
             if y is not None:
-                y_blk = y[:, :current_num_frames]
+                # y covers the generated frames; slice this block's frames
+                y_blk = y[:, noise_ptr:noise_ptr + current_num_frames]
             x0, cache_pos, cache_neg = denoise_block_cfg(
                 self.params, self.cfg, self.rope, self.solver, noisy,
                 ctx_pos, ctx_neg, cache_pos, cache_neg,
