@@ -51,6 +51,48 @@ def build_models(config, causal_dtype):
     return cfg, generator, fake, real
 
 
+def setup_mesh(config, generator, fake, real):
+    """FSDP-style parameter sharding over a ('dp','fsdp') mesh when more
+    than one device is available — the reference wires FSDP in-trainer
+    (trainer/distillation.py:74-101, sharding_strategy 'hybrid_full');
+    here GSPMD shardings are applied once at setup and XLA inserts the
+    all-gathers/reduce-scatters.  Returns (mesh or None, sharded params)."""
+    import jax
+    from self_forcing_tpu.parallel import create_mesh, shard_params
+    strategy = str(getattr(config, "sharding_strategy", "hybrid_full"))
+    n = len(jax.devices())
+    if n == 1 or strategy in ("none", "no_shard"):
+        return None, generator, fake, real
+    # hybrid: replicate over 'dp' (DCN / hosts), shard over 'fsdp' (ICI).
+    dp = int(getattr(config, "dp_size", 0)) or (
+        jax.process_count() if strategy.startswith("hybrid")
+        and n % jax.process_count() == 0 else 1)
+    mesh = create_mesh(dp=dp, fsdp=n // dp)
+    min_size = int(getattr(config, "fsdp_min_param_size", 2 ** 16))
+    generator = shard_params(generator, mesh, min_size=min_size)
+    fake = shard_params(fake, mesh, min_size=min_size)
+    real = shard_params(real, mesh, min_size=min_size)
+    return mesh, generator, fake, real
+
+
+def shard_batch(batch: dict, mesh):
+    """Shard array batch entries over the mesh's data axes (the
+    DistributedSampler equivalent, parallel/mesh.py data_sharding)."""
+    if mesh is None:
+        return batch
+    import jax
+    from self_forcing_tpu.parallel.mesh import data_sharding
+    def put(v):
+        if not (hasattr(v, "shape") and getattr(v, "ndim", 0) >= 1):
+            return v
+        if v.shape[0] % (mesh.shape["dp"] * mesh.shape["fsdp"]) == 0:
+            return jax.device_put(v, data_sharding(mesh))
+        if v.shape[0] % mesh.shape["dp"] == 0:
+            return jax.device_put(v, data_sharding(mesh, "dp"))
+        return v
+    return {k: put(v) for k, v in batch.items()}
+
+
 def make_context_fn(config, cfg):
     """Text contexts: real T5 when weights exist, deterministic pseudo
     embeddings otherwise (keeps tiny/CI runs self-contained)."""
@@ -121,6 +163,10 @@ def main():
     dtype = jnp.bfloat16 if getattr(config, "mixed_precision", False) \
         else jnp.float32
     cfg, generator, fake, real = build_models(config, dtype)
+    mesh, generator, fake, real = setup_mesh(config, generator, fake, real)
+    if mesh is not None and is_main:
+        print(f"[train] mesh dp={mesh.shape['dp']} "
+              f"fsdp={mesh.shape['fsdp']} over {len(jax.devices())} devices")
     context_fn = make_context_fn(config, cfg)
 
     shape = list(getattr(config, "image_or_video_shape", [1, 21, 16, 60, 104]))
@@ -184,10 +230,10 @@ def main():
             ScoreDistillationTrainer)
         neg = context_fn([str(getattr(config, "negative_prompt", ""))] * B)
         trainer = ScoreDistillationTrainer(
-            config, generator, fake, real, cfg, cfg, cfg, neg)
+            config, generator, fake, real, cfg, cfg, cfg, neg, mesh=mesh)
     elif trainer_kind == "gan":
         from self_forcing_tpu.training.trainer_gan import GANTrainer
-        trainer = GANTrainer(config, generator, fake, cfg, cfg)
+        trainer = GANTrainer(config, generator, fake, cfg, cfg, mesh=mesh)
     elif trainer_kind == "ode":
         from self_forcing_tpu.training.trainer_ode import ODETrainer
         trainer = ODETrainer(config, generator, cfg)
@@ -222,7 +268,7 @@ def main():
     log_iters = int(getattr(config, "log_iters", 50))
     for step in range(args.max_steps):
         t0 = time.time()
-        log = trainer.train_step(next_batch())
+        log = trainer.train_step(shard_batch(next_batch(), mesh))
         log["step_time_s"] = round(time.time() - t0, 3)
         logger.log(log, step=step)
         if step % visualize_every == 0:
