@@ -38,9 +38,31 @@ TARGET_LINEARS = (
 )
 
 
+def _resolve_targets(targets) -> tuple:
+    """Map the reference's lora_targets aliases (q/k/v/o apply to both
+    attention modules, ffn.0/ffn.2 to the FFN linears —
+    utils/lora.py:100-141) to (module, proj) paths."""
+    if targets is None:
+        return TARGET_LINEARS
+    out = []
+    for t in targets:
+        t = str(t)
+        if t in ("q", "k", "v", "o"):
+            out += [("self_attn", t), ("cross_attn", t)]
+        elif t == "ffn.0":
+            out.append(("ffn", "fc1"))
+        elif t == "ffn.2":
+            out.append(("ffn", "fc2"))
+        else:
+            raise ValueError(f"unknown lora target {t!r}")
+    return tuple(out)
+
+
 def apply_lora(params: Params, rank: int = 16, alpha: float = 16.0,
-               key: jax.Array | None = None, dtype=jnp.float32) -> Params:
-    """Attach adapters to every target linear in params['blocks'].
+               key: jax.Array | None = None, dtype=jnp.float32,
+               targets=None) -> Params:
+    """Attach adapters to the target linears in params['blocks']
+    (default: the reference's full q/k/v/o + ffn set).
 
     A ~ N(0, 1/r) (kaiming-ish), B zero — so the model output is unchanged
     at init (utils/lora.py:37-44).
@@ -48,7 +70,7 @@ def apply_lora(params: Params, rank: int = 16, alpha: float = 16.0,
     key = key if key is not None else jax.random.PRNGKey(0)
     blocks = params["blocks"]
     new_blocks = jax.tree.map(lambda x: x, blocks)  # shallow-ish copy
-    for i, path in enumerate(TARGET_LINEARS):
+    for i, path in enumerate(_resolve_targets(targets)):
         node = new_blocks
         for p in path[:-1]:
             node = node[p]
@@ -158,6 +180,14 @@ def load_lora_weights(params: Params, state_dict: Mapping[str, Any],
         leaf["lora_scale"] = jnp.full((num_layers,), scale, dtype)
         out["blocks"][module][proj] = leaf
     return out
+
+
+def has_lora(params: Params) -> bool:
+    """True when any adapter is already attached."""
+    for path, _ in jax.tree_util.tree_flatten_with_path(params)[0]:
+        if any(getattr(p, "key", None) == "lora_A" for p in path):
+            return True
+    return False
 
 
 def lora_label_tree(params: Params, train_pose_proj: bool = True) -> Params:

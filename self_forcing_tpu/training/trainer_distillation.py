@@ -102,11 +102,42 @@ class ScoreDistillationTrainer:
             self.bundle.pipeline.denoising_step_list = tuple(
                 float(s) for s in warped if s != 0)
 
-        self.gen_optimizer = make_optimizer(
+        # ---- LoRA training mode (reference model/base.py:39-72 + the
+        # lora config block, configs/self_forcing_dmd.yaml:58-80)
+        from self_forcing_tpu import lora as lora_mod
+        lora_rank = int(getattr(config, "lora_rank", 0) or 0)
+        self.train_lora_only = bool(
+            getattr(config, "train_lora_only", False)) and lora_rank > 0
+        if lora_rank > 0 and not lora_mod.has_lora(generator_params):
+            generator_params = lora_mod.apply_lora(
+                generator_params, rank=lora_rank,
+                alpha=float(getattr(config, "lora_alpha", lora_rank)),
+                targets=getattr(config, "lora_targets", None),
+                key=jax.random.PRNGKey(
+                    int(getattr(config, "seed", 0)) + 1337))
+            import os
+            lora_path = getattr(config, "lora_path", None) or \
+                getattr(config, "generator_lora_path", None)
+            if lora_path and os.path.exists(str(lora_path)):
+                from self_forcing_tpu.utils import checkpoints as ckpt
+                generator_params = lora_mod.load_lora_weights(
+                    generator_params,
+                    ckpt.load_torch_state_dict(str(lora_path)),
+                    alpha=float(getattr(config, "lora_alpha", lora_rank)),
+                    head_dim=gen_cfg.head_dim)
+
+        gen_opt_kwargs = dict(
             lr=float(config.lr), beta1=float(getattr(config, "beta1", 0.0)),
             beta2=float(getattr(config, "beta2", 0.999)),
             weight_decay=float(getattr(config, "weight_decay", 0.01)),
-            max_grad_norm=float(getattr(config, "max_grad_norm_generator", 10.0)))
+            max_grad_norm=float(getattr(config, "max_grad_norm_generator",
+                                        10.0)))
+        if self.train_lora_only:
+            from self_forcing_tpu.training.optim import make_lora_optimizer
+            self.gen_optimizer = make_lora_optimizer(
+                lora_mod.lora_label_tree(generator_params), **gen_opt_kwargs)
+        else:
+            self.gen_optimizer = make_optimizer(**gen_opt_kwargs)
         self.critic_optimizer = make_optimizer(
             lr=float(getattr(config, "lr_critic", config.lr)),
             beta1=float(getattr(config, "beta1_critic", 0.0)),

@@ -111,3 +111,79 @@ def test_lora_label_tree_masks():
     assert any("pose_proj" in str(p) for p in trainable)
     # lora_scale stays frozen (a constant); A/B must not be frozen
     assert not any("lora_A" in str(p) or "lora_B" in str(p) for p in frozen)
+
+
+def test_lora_targets_subset():
+    params = dit.init_params(jax.random.PRNGKey(0), WAN_TINY,
+                             dtype=jnp.float32)
+    lp = lora.apply_lora(params, rank=4, targets=["q", "ffn.0"])
+    assert "lora_A" in lp["blocks"]["self_attn"]["q"]
+    assert "lora_A" in lp["blocks"]["cross_attn"]["q"]
+    assert "lora_A" in lp["blocks"]["ffn"]["fc1"]
+    assert "lora_A" not in lp["blocks"]["self_attn"]["k"]
+    assert "lora_A" not in lp["blocks"]["ffn"]["fc2"]
+    assert lora.has_lora(lp) and not lora.has_lora(params)
+
+
+def test_lora_only_training_freezes_base():
+    """One LoRA-only DMD train step: base weights bit-identical, adapters
+    moved (reference train_lora_only mode, model/base.py:39-72 +
+    configs/self_forcing_dmd.yaml:58-80)."""
+    import dataclasses
+
+    from self_forcing_tpu.config import Config
+    from self_forcing_tpu.training.trainer_distillation import (
+        ScoreDistillationTrainer)
+
+    tiny = dataclasses.replace(WAN_TINY, num_layers=1, dim=64, ffn_dim=128,
+                               num_heads=2)
+    config = Config({
+        "denoising_step_list": [1000, 500], "num_train_timestep": 1000,
+        "timestep_shift": 5.0, "guidance_scale": 3.0,
+        "denoising_loss_type": "flow", "num_frame_per_block": 1,
+        "num_training_frames": 2, "same_step_across_blocks": True,
+        "ts_schedule": False, "last_step_only": True, "context_noise": 0,
+        "lr": 1e-2, "weight_decay": 0.01, "dfake_gen_update_ratio": 1,
+        "ema_weight": 0.0, "seed": 0,
+        "image_or_video_shape": [1, 2, 16, 8, 8],
+        "train_lora_only": True, "lora_rank": 4, "lora_alpha": 8,
+    })
+    key = jax.random.PRNGKey(0)
+    gen = _randomize_head(dit.init_params(key, tiny, jnp.float32))
+    fake = _randomize_head(dit.init_params(jax.random.fold_in(key, 1), tiny,
+                                           jnp.float32, causal=False))
+    real = _randomize_head(dit.init_params(jax.random.fold_in(key, 2), tiny,
+                                           jnp.float32, causal=False))
+    neg = jax.random.normal(jax.random.fold_in(key, 3), (1, 8, tiny.text_dim))
+    trainer = ScoreDistillationTrainer(config, gen, fake, real, tiny, tiny,
+                                       tiny, neg)
+    assert trainer.train_lora_only
+    before = jax.tree.map(np.asarray, trainer.state.generator)
+    ctx = jax.random.normal(jax.random.fold_in(key, 4), (1, 8, tiny.text_dim))
+    log = trainer.train_step({"context": ctx})
+    assert np.isfinite(log["generator_loss"])
+    after = jax.tree.map(np.asarray, trainer.state.generator)
+
+    def walk(b, a, path=""):
+        moved, frozen_ok = [], []
+        if isinstance(b, dict):
+            for k in b:
+                m, f = walk(b[k], a[k], f"{path}/{k}")
+                moved += m
+                frozen_ok += f
+            return moved, frozen_ok
+        is_trainable = ("lora_A" in path or "lora_B" in path
+                        or "pose_proj" in path)
+        if is_trainable:
+            moved.append((path, not np.array_equal(b, a)))
+        else:
+            frozen_ok.append((path, np.array_equal(b, a)))
+        return moved, frozen_ok
+
+    moved, frozen = walk(before, after)
+    # every non-adapter leaf is bit-identical
+    bad = [p for p, ok in frozen if not ok]
+    assert not bad, f"base weights moved: {bad[:5]}"
+    # lora_B starts at zero but gets nonzero grads -> must move
+    b_moved = [p for p, m in moved if m and "lora_B" in p]
+    assert b_moved, "no lora_B adapter moved"
