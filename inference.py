@@ -31,6 +31,14 @@ def main():
     parser.add_argument("--use_ema", action="store_true")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--save_with_index", action="store_true")
+    parser.add_argument("--i2v", action="store_true",
+                        help="image-to-video eval over a "
+                             "TextImagePairDataset directory (reference "
+                             "inference.py:83-150)")
+    parser.add_argument("--dwpose_path", type=str, default=None,
+                        help=".npz with dwpose_data [3,F_px,H,W] u8 and "
+                             "optional random_ref_dwpose [H,W,3] u8 for "
+                             "the pose-conditioned diffusion pipeline")
     args = parser.parse_args()
 
     import jax
@@ -78,8 +86,24 @@ def main():
         encode = models.encode_text
         H, W = LATENT_HEIGHT, LATENT_WIDTH
 
+    few_step = bool(getattr(config, "denoising_step_list", None))
+
+    # ---- pose inputs (diffusion pipeline only; the reference CLI passes
+    # these kwargs to the few-step pipeline too, which TypeErrors —
+    # SURVEY.md §3.1 fork caveat; here that misuse raises cleanly)
+    dwpose_data = random_ref = None
+    if args.dwpose_path:
+        if few_step:
+            raise ValueError(
+                "--dwpose_path needs the 50-step diffusion pipeline "
+                "(a config without denoising_step_list)")
+        pose = np.load(args.dwpose_path)
+        dwpose_data = jnp.asarray(pose["dwpose_data"])[None]
+        if "random_ref_dwpose" in pose:
+            random_ref = jnp.asarray(pose["random_ref_dwpose"])[None]
+
     # ---- pipeline choice (reference inference.py:62-67)
-    if getattr(config, "denoising_step_list", None):
+    if few_step:
         from self_forcing_tpu.pipelines.causal_inference import (
             CausalInferencePipeline)
         pipeline = CausalInferencePipeline(
@@ -87,30 +111,69 @@ def main():
     else:
         from self_forcing_tpu.pipelines.causal_diffusion_inference import (
             CausalDiffusionInferencePipeline)
+        dwpose_params = randomref_params = None
+        if dwpose_data is not None:
+            from self_forcing_tpu import conditioning as cond_mod
+            pose_path = getattr(config, "pose_weights_path", None)
+            if pose_path and os.path.exists(str(pose_path)):
+                from self_forcing_tpu.utils import checkpoints as ckpt
+                dwpose_params, randomref_params = \
+                    cond_mod.load_pose_embedding_weights(
+                        ckpt.load_torch_state_dict(str(pose_path)))
+            elif size == "tiny":
+                dwpose_params = cond_mod.init_dwpose_params(
+                    jax.random.PRNGKey(7))
+                randomref_params = cond_mod.init_randomref_params(
+                    jax.random.PRNGKey(8))
+            else:
+                raise ValueError(
+                    "--dwpose_path given but config.pose_weights_path is "
+                    "missing (UniAnimate LoRA checkpoint with the "
+                    "dwpose_embedding. weights)")
         pipeline = CausalDiffusionInferencePipeline(
-            config, params, cfg, vae_params=vae_params, vae_cfg=vae_cfg)
+            config, params, cfg, vae_params=vae_params, vae_cfg=vae_cfg,
+            dwpose_params=dwpose_params, randomref_params=randomref_params)
 
     # ---- prompts, sharded per process (reference :96-99)
     data_path = args.data_path or str(getattr(config, "data_path", ""))
-    dataset = TextDataset(data_path)
+    if args.i2v:
+        from self_forcing_tpu.data.datasets import TextImagePairDataset
+        dataset = TextImagePairDataset(data_path)
+    else:
+        dataset = TextDataset(data_path)
     rank, world = jax.process_index(), jax.process_count()
     os.makedirs(args.output_folder, exist_ok=True)
 
     F = int(args.num_output_frames)
     # identical for every prompt: one T5 forward, not one per dataset row
     neg = encode([str(getattr(config, "negative_prompt", ""))]) \
-        if not getattr(config, "denoising_step_list", None) else None
+        if not few_step else None
     for idx in range(rank, len(dataset), world):
-        prompt = dataset[idx]["prompts"]
+        item = dataset[idx]
+        prompt = item["prompts"]
         context = encode([prompt])
+        initial_latent = None
+        n_noise = F
+        if args.i2v:
+            # encode the image as the first latent frame; generate F-1
+            # more (reference inference.py:136-150)
+            img = jnp.asarray(item["image"], jnp.float32)  # [H0,W0,3] [-1,1]
+            img = jax.image.resize(img, (H * 8, W * 8, 3), "cubic")
+            z = vae_mod.encode(vae_params, vae_cfg, img[None, None])
+            initial_latent = z.transpose(0, 1, 4, 2, 3)  # [1,1,16,h,w]
+            n_noise = F - 1
         noise = jax.random.normal(
-            jax.random.PRNGKey(args.seed + idx), (1, F, 16, H, W),
+            jax.random.PRNGKey(args.seed + idx), (1, n_noise, 16, H, W),
             jnp.float32)
         if neg is not None:
             video = pipeline.inference(noise, context=context,
-                                       neg_context=neg)
+                                       neg_context=neg,
+                                       initial_latent=initial_latent,
+                                       dwpose_data=dwpose_data,
+                                       random_ref_dwpose=random_ref)
         else:
-            video = pipeline.inference(noise, context=context)
+            video = pipeline.inference(noise, context=context,
+                                       initial_latent=initial_latent)
         # [B, T, 3, H, W] in [0,1] -> mp4 at 16 fps (reference :196)
         frames = (np.asarray(video[0]).transpose(0, 2, 3, 1)
                   * 255).astype(np.uint8)

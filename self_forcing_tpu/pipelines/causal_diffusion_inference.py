@@ -230,11 +230,15 @@ class CausalDiffusionInferencePipeline:
             if y is not None:
                 # randomref bias over the image y (reference :348-350)
                 y = y + rr[:, None].astype(noise.dtype)
-            else:
-                # no image: the 20-ch randomref alone, repeated per frame
+            elif self.cfg.in_dim > self.cfg.out_dim:
+                # UniAnimate-style y-consuming model without an image:
+                # the 20-ch randomref alone, repeated per frame
                 y = jnp.broadcast_to(
                     rr[:, None].astype(noise.dtype),
                     (B, F, rr.shape[1], rr.shape[2], rr.shape[3]))
+            # else: a t2v model (in_dim == out_dim) has no y channels to
+            # consume — randomref without an image is a no-op, as in the
+            # reference (:348-350 only adds it onto image_emb["y"])
 
         # ---- context priming (:256-312)
         current_start = int(start_frame_index)   # RoPE frame position
