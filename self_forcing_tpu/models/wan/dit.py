@@ -292,9 +292,7 @@ def _heads(cfg: WanConfig, x: jax.Array) -> jax.Array:
 
 
 def _qkv(p: Params, cfg: WanConfig, x: jax.Array):
-    q = linear(p["q"], x)
-    k = linear(p["k"], x)
-    v = linear(p["v"], x)
+    q, k, v = _qkv_project(p, x)
     if cfg.qk_norm:
         q = _qk_rms_norm(q, p["norm_q"]["w"], cfg)
         k = _qk_rms_norm(k, p["norm_k"]["w"], cfg)
@@ -362,15 +360,26 @@ def _packed_ok(cfg: WanConfig) -> bool:
     return cfg.head_dim % 128 == 0
 
 
+def _qkv_project(p: Params, x: jax.Array):
+    """Self-attention input projections: three separate linears, or the
+    fused [in, 3*out] ``qkv`` matmul when the params were prepared with
+    ops/quant.quantize_dit_params(fuse_qkv=True) — one MXU dispatch +
+    one dequant-epilogue pass instead of three (exact same math; the
+    split below is a free lane slice)."""
+    if "qkv" in p:
+        qkv = linear(p["qkv"], x)
+        n = qkv.shape[-1] // 3
+        return qkv[..., :n], qkv[..., n:2 * n], qkv[..., 2 * n:]
+    return linear(p["q"], x), linear(p["k"], x), linear(p["v"], x)
+
+
 def _qkv_rope_packed(p: Params, cfg: WanConfig, x: jax.Array,
                      cos: jax.Array, sin: jax.Array):
     """q/k/v in the natural [B, L, N*D] layout with RoPE applied through a
     bitcast head view — zero transposes (pairs with the attention
     kernels' ``heads_packed`` column slicing; the [BN, L, D] fold costs
     two f32 layout copies per tensor at 1.3B geometry)."""
-    q = linear(p["q"], x)
-    k = linear(p["k"], x)
-    v = linear(p["v"], x)
+    q, k, v = _qkv_project(p, x)
     if cfg.qk_norm:
         q = _qk_rms_norm(q, p["norm_q"]["w"], cfg)
         k = _qk_rms_norm(k, p["norm_k"]["w"], cfg)
@@ -391,9 +400,7 @@ def _qkv_rope_folded(p: Params, cfg: WanConfig, x: jax.Array,
     Same math as _qkv + _rope_half (causal_model.py:111-117,195-200);
     the fold happens on the bf16 norm output and all rotation arithmetic
     stays in the kernel layout."""
-    q = linear(p["q"], x)
-    k = linear(p["k"], x)
-    v = linear(p["v"], x)
+    q, k, v = _qkv_project(p, x)
     if cfg.qk_norm:
         q = _qk_rms_norm(q, p["norm_q"]["w"], cfg)
         k = _qk_rms_norm(k, p["norm_k"]["w"], cfg)
@@ -682,7 +689,10 @@ def _block_decode_fresh(bp: Params, cfg: WanConfig, x: jax.Array,
     e_shift, e_scale, e_gate = e[:, :, 0:1], e[:, :, 1:2], e[:, :, 2:3]
     f_shift, f_scale, f_gate = e[:, :, 3:4], e[:, :, 4:5], e[:, :, 5:6]
 
-    bounded = (cfg.attn_softmax == "bounded" and cfg.attn_quant is None
+    # attn_quant='int8' + the bound routes to the SAFE tile-bounded int8
+    # kernel (per-row within-tile max; no global-m0 truncation cliff) —
+    # the fastest shippable variant (ops/pallas_attention.py)
+    bounded = (cfg.attn_softmax == "bounded"
                and kmax_layer is not None and _bounded_active())
     kn_norm = None
     xn = _modulate(layer_norm(x, cfg.eps), e_shift, e_scale, frame_seqlen)

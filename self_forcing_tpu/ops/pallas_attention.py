@@ -396,7 +396,7 @@ def _decode_fresh_int8_kernel(li_ref, lo_ref, hi_ref, m0_ref, q_ref,
                               scale: float,
                               tq: int, tk: int, tf: int, kv_len: int,
                               kt_cache: int, fresh_len: int,
-                              bounded: bool = False):
+                              bounded=False):
     """int8 variant of :func:`_decode_fresh_kernel` — the demo-config
     speed toggle (reference FP8 linears analog, extended to attention).
 
@@ -424,13 +424,27 @@ def _decode_fresh_int8_kernel(li_ref, lo_ref, hi_ref, m0_ref, q_ref,
     - no running max, no correction multiplies (the caller's m0 bound
       plays the max's stability role, exactly as in the bf16 bounded
       kernel).
-    CAVEAT (sharper than the bf16 kernel's 87-nat cliff): scores more
-    than ln(254) ~ 5.5 nats below m0 quantize to p=0, so the bound's
-    slack directly eats softmax tail mass.  With qk-norm the Cauchy-
-    Schwarz bound is tight when any strong match exists (slack =
-    -ln max cos); the loose-bound regime is near-uniform attention where
-    the tail truncation biases output toward zero.  Accuracy-checked in
-    tests/test_pallas_attention.py against the f32 reference.
+    CAVEAT for ``bounded='global'`` (sharper than the bf16 kernel's
+    87-nat cliff): scores more than ln(254) ~ 5.5 nats below m0 quantize
+    to p=0, so the bound's slack directly eats softmax tail mass.  With
+    qk-norm the Cauchy-Schwarz bound is tight when any strong match
+    exists (slack = -ln max cos); the loose-bound regime is near-uniform
+    attention where the tail truncation biases output toward zero.
+    Accuracy-checked in tests/test_pallas_attention.py against the f32
+    reference.
+
+    ``bounded='tile'`` — the SAFE bounded variant (the production
+    default for attn_quant='int8'): p quantizes against the exact
+    per-row max *within each kv tile* (one VPU max-reduce over the score
+    tile — the only op this adds vs 'global'), and each tile's
+    contribution to l/acc is weighted by exp(m_tile - m0) <= 1.  The
+    quantization step is then always 1/254 of the row's within-tile max:
+    no truncation cliff, int8-noise accuracy for ANY m0 (the bound's
+    only remaining role is keeping exp(m_tile - m0) inside f32 range,
+    |slack| < ~80 nats — same regime as the bf16 bounded kernel).
+    Unlike the online path there is still no cross-tile correction
+    chain: no m_prev read/compare, no l/acc rescale, no broadcast
+    stores of softmax state.
     """
     ki = pl.program_id(1)
     nk = pl.num_programs(1)
@@ -485,6 +499,38 @@ def _decode_fresh_int8_kernel(li_ref, lo_ref, hi_ref, m0_ref, q_ref,
         sc_scr[1] = vs
 
     def _accumulate(vis, width):
+        if bounded == "tile":
+            # SAFE bounded mode: quantize p against the exact per-row max
+            # within this tile, weight the tile's contribution by
+            # exp(m_tile - m0) <= 1.  Per-score-element VPU chain is
+            # convert, fma, (mask,) max-reduce, sub+exp, round, convert —
+            # one op more than 'global' (the max) but no min clamp
+            # (p <= 127 by construction) and still no cross-tile
+            # correction chain.
+            qq = qq_scr[pl.ds(row, tq), :]
+            s_i32 = jax.lax.dot_general(
+                qq, kq_scr[pl.ds(0, width), :], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            a = qs_scr[qi] * (sc_scr[0] * scale)
+            s = s_i32.astype(jnp.float32) * a
+            if vis is not None:
+                s = jnp.where(vis, s, NEG_INF)
+            # live tiles always have >= 1 visible column (the mask is
+            # column-only), so m_t is finite
+            m_t = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - (m_t - LN127))       # in [0, 127] exactly
+            w = jnp.exp(m_t - m0_ref[0])         # <= 1: m0 bounds all s
+            l_scr[pl.ds(row, tq), 0:1] = (
+                l_scr[pl.ds(row, tq), 0:1]
+                + jnp.sum(p, axis=-1, keepdims=True) * w)
+            pq = jnp.round(p).astype(jnp.int8)
+            pv_i32 = jax.lax.dot_general(
+                pq, vq_scr[pl.ds(0, width), :], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            acc_scr[pl.ds(row, tq), :] = (acc_scr[pl.ds(row, tq), :]
+                                          + pv_i32.astype(jnp.float32)
+                                          * (sc_scr[1] * w))
+            return
         if bounded:
             # fused dequant+offset: s_true = s_i32 * (qs*ks*scale); the
             # p-quantization's x127 folds into the exp bias, so the whole
@@ -1009,6 +1055,12 @@ def decode_attention_fresh_pallas(q: jax.Array, k_cache: jax.Array,
     tf = max(gran, -(-_cdiv(Lf, ntf) // gran) * gran)
     li = None if layer_idx is None else jnp.asarray(layer_idx, jnp.int32)
     bounded = fixed_m0 is not None
+    if bounded and quant == "int8":
+        # int8 p-quantization against the global m0 truncates scores
+        # > ln(254) nats below the bound (unshippable cliff); default to
+        # the safe per-tile-max variant, keep 'global' for kernel A/Bs.
+        bounded = ("global" if os.environ.get("SF_TPU_INT8_GLOBAL_M0",
+                                              "0") == "1" else "tile")
     m0 = jnp.asarray(0.0 if fixed_m0 is None else fixed_m0, jnp.float32)
     return _decode_fresh_op(q, k_cache, v_cache, k_new, v_new,
                             jnp.asarray(kv_start, jnp.int32),

@@ -160,13 +160,35 @@ def quantized_ffn(p1: Params, p2: Params, x: jax.Array) -> jax.Array:
     return quantized_linear(p2, gelu_tanh(quantized_linear(p1, x)))
 
 
+def _fuse_qkv(sa: Params) -> Params:
+    """Concatenate the self-attention q/k/v projections into one
+    [in, 3*out] linear under the key ``qkv`` (models/wan/dit.py splits
+    the output).  Per-output-channel weight scales and the per-token
+    activation scale are both preserved exactly, so the fused int8
+    matmul is bit-identical to the three separate ones — it just runs
+    as ONE MXU dispatch with one epilogue pass (the K=1536 shapes are
+    epilogue-amortization-bound; PERF.md)."""
+    q, k, v = sa["q"], sa["k"], sa["v"]
+    if any("lora_A" in p for p in (q, k, v)):
+        raise ValueError("cannot fuse q/k/v with unmerged LoRA params; "
+                         "merge the adapter first")
+    fused = {"w": jnp.concatenate([q["w"], k["w"], v["w"]], axis=-1)}
+    if "b" in q:
+        fused["b"] = jnp.concatenate([q["b"], k["b"], v["b"]], axis=-1)
+    out = {kk: vv for kk, vv in sa.items() if kk not in ("q", "k", "v")}
+    out["qkv"] = fused
+    return out
+
+
 def quantize_dit_params(params: Params, min_dim: int = 512,
-                        mode: str = "w8a8") -> Params:
+                        mode: str = "w8a8",
+                        fuse_qkv: bool = True) -> Params:
     """Quantize every big linear in the DiT block stack (q/k/v/o, ffn).
 
     Embeddings, norms, modulation, and the output head stay bf16 — same
     set the reference's FP8 path touches (filter_fn on nn.Linear,
-    demo.py:281-283).
+    demo.py:281-283).  ``fuse_qkv`` additionally merges the three
+    self-attention projections into one matmul (exact; see _fuse_qkv).
     """
     def walk(node):
         if isinstance(node, dict):
@@ -177,6 +199,11 @@ def quantize_dit_params(params: Params, min_dim: int = 512,
             return {k: walk(v) for k, v in node.items()}
         return node
 
+    blocks = params["blocks"]
+    sa = blocks.get("self_attn", {})
+    if fuse_qkv and all(k in sa for k in ("q", "k", "v")):
+        blocks = dict(blocks)
+        blocks["self_attn"] = _fuse_qkv(sa)
     out = dict(params)
-    out["blocks"] = walk(params["blocks"])
+    out["blocks"] = walk(blocks)
     return out

@@ -181,6 +181,35 @@ def test_quantized_pipeline_inference():
     assert np.isfinite(np.asarray(lat)).all()
 
 
+def test_quantized_qkv_fusion_exact():
+    """fuse_qkv=True merges the q/k/v projections into one matmul with
+    per-channel scales preserved — the pipeline output must match the
+    three-matmul quantized path to float rounding."""
+    import types
+    from self_forcing_tpu.models.wan import dit
+    from self_forcing_tpu.models.wan.configs import WAN_TINY
+    from self_forcing_tpu.ops.quant import quantize_dit_params
+    from self_forcing_tpu.pipelines.causal_inference import (
+        CausalInferencePipeline)
+    args = types.SimpleNamespace(
+        denoising_step_list=[1000, 500], warp_denoising_step=False,
+        num_frame_per_block=2, independent_first_frame=False,
+        context_noise=0, timestep_shift=8.0)
+    params = dit.init_params(jax.random.PRNGKey(0), WAN_TINY, jnp.float32)
+    noise = jax.random.normal(jax.random.PRNGKey(1), (1, 4, 16, 8, 8))
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (1, 8, WAN_TINY.text_dim))
+    lats = []
+    for fuse in (False, True):
+        qp = quantize_dit_params(params, min_dim=64, fuse_qkv=fuse)
+        sa = qp["blocks"]["self_attn"]
+        assert ("qkv" in sa) == fuse
+        assert ("q" in sa) == (not fuse)
+        pipe = CausalInferencePipeline(args, qp, WAN_TINY)
+        _, lat = pipe.inference(noise, context=ctx, return_latents=True)
+        lats.append(np.asarray(lat))
+    np.testing.assert_allclose(lats[0], lats[1], rtol=2e-5, atol=2e-5)
+
+
 def test_runtime_find_recursive(tmp_path):
     """'**/' patterns must recurse (deep checkpoint layouts resolved to
     None before recursive=True)."""

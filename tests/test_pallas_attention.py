@@ -388,15 +388,13 @@ def test_decode_fresh_bounded_matches_xla():
 
 
 def test_decode_fresh_int8_bounded_tight_bound():
-    """quant='int8' + fixed_m0 (both MXU dots int8 AND no online-max
-    chain — the fastest kernel variant, 7.4 vs 8.0 ms bf16-bounded at the
-    full 1.3B window).  Only valid with a TIGHT bound: p quantizes to
-    int8 against m0, so scores more than ln(254) ~ 5.5 nats below the
-    bound truncate to zero.  With slack inside that budget the output
-    stays at int8-quantization tolerance; the production bound (Cauchy-
-    Schwarz over qk-normed rows) is tight exactly when strong matches
-    exist.  dit.py does NOT enable this by default (attn_softmax=bounded
-    guard keeps attn_quant on the online-max kernel)."""
+    """quant='int8' + fixed_m0 with the GLOBAL-m0 variant (opt-in via
+    SF_TPU_INT8_GLOBAL_M0; kept for kernel A/Bs).  Only valid with a
+    TIGHT bound: p quantizes to int8 against m0, so scores more than
+    ln(254) ~ 5.5 nats below the bound truncate to zero.  With slack
+    inside that budget the output stays at int8-quantization
+    tolerance."""
+    import os
     key = jax.random.PRNGKey(30)
     q, kc, vc = _qkv(key, 96, 256)
     kn = jax.random.normal(jax.random.fold_in(key, 1), (B, 96, N, D))
@@ -408,14 +406,53 @@ def test_decode_fresh_int8_bounded_tight_bound():
     sc = jnp.einsum("blnd,bsnd->bnls", q, jnp.concatenate(
         [kc[:, 32:200], kn], axis=1)) * scale
     m0 = float(jnp.max(sc)) + 0.5
-    out = decode_attention_fresh_pallas(q, kc, vc, kn, vn, lo, hi,
-                                        tq=32, tk=64, interpret=True,
-                                        quant="int8", fixed_m0=m0)
+    os.environ["SF_TPU_INT8_GLOBAL_M0"] = "1"
+    try:
+        out = decode_attention_fresh_pallas(q, kc, vc, kn, vn, lo, hi,
+                                            tq=32, tk=64, interpret=True,
+                                            quant="int8", fixed_m0=m0)
+    finally:
+        del os.environ["SF_TPU_INT8_GLOBAL_M0"]
     d = np.abs(np.asarray(out) - np.asarray(ref))
     s = np.abs(np.asarray(ref)).max()
     # each nat of slack multiplies the effective p-quantization step by e
     assert d.max() < 0.10 * max(s, 1.0), (d.max(), s)
     assert d.mean() < 0.02, d.mean()
+
+
+def test_decode_fresh_int8_tile_bounded_loose_bound():
+    """quant='int8' + fixed_m0 default = the SAFE tile-bounded variant:
+    p quantizes against the exact per-row within-tile max and the tile's
+    contribution is weighted by exp(m_tile - m0), so accuracy is
+    int8-noise for ANY bound slack — including the >> ln(254) nats where
+    the global-m0 variant collapses to zero output.  This is the variant
+    dit.py ships when attn_softmax='bounded' + attn_quant='int8'."""
+    key = jax.random.PRNGKey(31)
+    q, kc, vc = _qkv(key, 96, 256)
+    kn = jax.random.normal(jax.random.fold_in(key, 1), (B, 96, N, D))
+    vn = jax.random.normal(jax.random.fold_in(key, 2), (B, 96, N, D))
+    lo, hi = jnp.int32(32), jnp.int32(200)
+    ref = decode_attention_fresh_xla(q, kc, vc, kn, vn, lo, hi)
+    scale = D ** -0.5
+    sc = jnp.einsum("blnd,bsnd->bnls", q, jnp.concatenate(
+        [kc[:, 32:200], kn], axis=1)) * scale
+    for slack in (0.5, 11.0, 40.0):
+        m0 = float(jnp.max(sc)) + slack
+        out = decode_attention_fresh_pallas(q, kc, vc, kn, vn, lo, hi,
+                                            tq=32, tk=64, interpret=True,
+                                            quant="int8", fixed_m0=m0)
+        d = np.abs(np.asarray(out) - np.asarray(ref))
+        s = np.abs(np.asarray(ref)).max()
+        assert d.max() < 0.05 * max(s, 1.0), (slack, d.max(), s)
+        assert d.mean() < 0.01, (slack, d.mean())
+    # empty-cache window + loose bound (the TTFC block-0 shape)
+    ref0 = decode_attention_fresh_xla(q, kc, vc, kn, vn, jnp.int32(0),
+                                      jnp.int32(0))
+    out0 = decode_attention_fresh_pallas(
+        q, kc, vc, kn, vn, jnp.int32(0), jnp.int32(0), tq=32, tk=64,
+        interpret=True, quant="int8", fixed_m0=float(jnp.max(sc)) + 20.0)
+    d0 = np.abs(np.asarray(out0) - np.asarray(ref0))
+    assert d0.max() < 0.05 * max(np.abs(np.asarray(ref0)).max(), 1.0)
 
 
 def test_decode_fresh_bounded_packed_layout():
