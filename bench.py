@@ -38,22 +38,34 @@ def _sync(x):
     return float(x[(0,) * x.ndim])
 
 
-def _tpu_reachable(timeout_s: int = 240) -> bool:
+def _tpu_reachable(timeout_s: int = 180, attempts: int = 3,
+                   retry_wait_s: int = 60) -> bool:
     """Probe the (tunneled) TPU in a subprocess: backend init HANGS when
     the axon tunnel is down (outages of hours observed), which would hang
-    the whole bench — probe out-of-process with a hard timeout."""
+    the whole bench — probe out-of-process with a hard timeout.
+
+    The tunnel also FLAPS on a minutes timescale (observed: probe fails,
+    an identical probe 20 min later succeeds), so retry a few times
+    before demoting the run to the CPU smoke fallback."""
     import subprocess
     import sys
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c",
-             "import jax, jax.numpy as jnp;"
-             "x = jnp.ones((256, 256), jnp.bfloat16);"
-             "print(float(jnp.sum(jax.jit(lambda a: a@a)(x))))"],
-            timeout=timeout_s, capture_output=True)
-        return r.returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
+    for attempt in range(attempts):
+        if attempt:
+            log(f"bench: TPU probe retry {attempt + 1}/{attempts} "
+                f"in {retry_wait_s}s (tunnel may be flapping)...")
+            time.sleep(retry_wait_s)
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp;"
+                 "x = jnp.ones((256, 256), jnp.bfloat16);"
+                 "print(float(jnp.sum(jax.jit(lambda a: a@a)(x))))"],
+                timeout=timeout_s, capture_output=True)
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+    return False
 
 
 def main():
