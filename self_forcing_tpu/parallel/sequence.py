@@ -95,15 +95,28 @@ def _block_sp(bp, cfg: WanConfig, x, e0, cos, sin, ctx_kv_layer,
 
 def forward_train_sp(params, cfg: WanConfig, x: jax.Array, t: jax.Array,
                      context: jax.Array, rope: RopeTables, mesh: Mesh,
-                     axis_name: str = "sp") -> jax.Array:
+                     axis_name: str = "sp",
+                     y: Optional[jax.Array] = None,
+                     clip_fea: Optional[jax.Array] = None) -> jax.Array:
     """Sequence-parallel bidirectional forward (usp_dit_forward,
     xdit_context_parallel.py:66-146): frames sharded over the 'sp' axis.
 
     x: [B, F, C, H, W] with F % sp == 0.  Returns the full flow prediction
     (frames reassembled by shard_map).
+
+    I2V conditioning (the reference's WanI2V runs the same USP patch,
+    wan/image2video.py + xdit_context_parallel.py): ``y`` [B, F, Cy, H, W]
+    is channel-concatenated per frame (local to each shard) and
+    ``clip_fea`` [B, 257, clip_dim] is replicated — its 257 image tokens
+    feed the separate k_img/v_img cross-attention, which is local like the
+    text cross-attention.
     """
     from jax import shard_map
 
+    if y is not None:
+        # channel concat (model.py:679-680) is per-frame, so it commutes
+        # with the frame sharding; do it before the pad/shard
+        x = jnp.concatenate([x, y.astype(x.dtype)], axis=2)
     B, F, C, H, W = x.shape
     sp = mesh.shape[axis_name]
     h, w = H // cfg.patch_size[1], W // cfg.patch_size[2]
@@ -119,7 +132,7 @@ def forward_train_sp(params, cfg: WanConfig, x: jax.Array, t: jax.Array,
             [t, jnp.broadcast_to(t[:, -1:], (B, F_pad - F))], axis=1)
     kv_valid = F * frame_seqlen if F_pad != F else None
 
-    def shard_fn(params, x_loc, t_loc, context):
+    def shard_fn(params, x_loc, t_loc, context, *clip_args):
         from self_forcing_tpu.models.wan.dit import (head_forward, patchify,
                                                      precompute_context,
                                                      time_embed, unpatchify)
@@ -129,26 +142,35 @@ def forward_train_sp(params, cfg: WanConfig, x: jax.Array, t: jax.Array,
         e, e0 = time_embed(params, cfg, t_loc, tokens.dtype)
         # per-rank RoPE slice (xdit_context_parallel.py:52-57)
         cos, sin = rope.angles_for_grid(F_loc, h, w, idx * F_loc)
-        ctx_kv = precompute_context(params, cfg, context)
+        ctx_kv = precompute_context(params, cfg, context,
+                                    clip_args[0] if clip_args else None)
 
         def body(tok, xs):
-            bp, kt, vt = xs
-            tok = _block_sp(bp, cfg, tok, e0, cos, sin,
-                            {"k_txt": kt, "v_txt": vt}, frame_seqlen,
-                            axis_name, kv_valid=kv_valid)
+            bp = xs[0]
+            layer_ctx = {"k_txt": xs[1], "v_txt": xs[2]}
+            if len(xs) > 3:
+                layer_ctx["k_img"], layer_ctx["v_img"] = xs[3], xs[4]
+            tok = _block_sp(bp, cfg, tok, e0, cos, sin, layer_ctx,
+                            frame_seqlen, axis_name, kv_valid=kv_valid)
             return tok, None
 
-        tokens, _ = jax.lax.scan(
-            body, tokens,
-            (params["blocks"], ctx_kv["k_txt"], ctx_kv["v_txt"]))
+        xs = (params["blocks"], ctx_kv["k_txt"], ctx_kv["v_txt"])
+        if "k_img" in ctx_kv:
+            xs = xs + (ctx_kv["k_img"], ctx_kv["v_img"])
+        tokens, _ = jax.lax.scan(body, tokens, xs)
         out_tokens = head_forward(params, cfg, tokens, e, frame_seqlen)
         return unpatchify(cfg, out_tokens, grid)
 
     pspec = P(None, axis_name)  # shard frame dim
+    in_specs = (P(), pspec, pspec, P())
+    args = (params, x, t, context)
+    if clip_fea is not None:
+        in_specs = in_specs + (P(),)
+        args = args + (clip_fea,)
     fn = shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(P(), pspec, pspec, P()),
+        in_specs=in_specs,
         out_specs=pspec,
         )
-    out = fn(params, x, t, context)
+    out = fn(*args)
     return out[:, :F] if F_pad != F else out

@@ -46,13 +46,9 @@ class WanT2V:
 
     def _forward(self, x, t, context, y=None, clip_fea=None):
         if self.mesh is not None and self.mesh.shape.get(self.sp_axis, 1) > 1:
-            if y is not None or clip_fea is not None:
-                raise NotImplementedError(
-                    "sequence-parallel I2V conditioning (y/clip_fea over "
-                    "the sp axis) is not implemented — run WanI2V without "
-                    "a mesh, or extend parallel/sequence.forward_train_sp")
             return forward_train_sp(self.params, self.cfg, x, t, context,
-                                    self.rope, self.mesh, self.sp_axis)
+                                    self.rope, self.mesh, self.sp_axis,
+                                    y=y, clip_fea=clip_fea)
         return dit.forward_train(self.params, self.cfg, x, t, context, None,
                                  self.rope, y=y, clip_fea=clip_fea,
                                  remat=False)
@@ -79,7 +75,8 @@ class WanT2V:
                 [n_prompt or self.negative_prompt])
         solver = make_solver(sample_solver, sampling_steps, shift)
 
-        x = jax.random.normal(rng, (1, F, 16, h, w), jnp.float32)
+        x = jax.random.normal(rng, (1, F, self.cfg.out_dim, h, w),
+                              jnp.float32)
         state = init_solver_state(x.shape, x.dtype)
         for i, t_val in enumerate(solver.timesteps):
             t = jnp.full((1, F), float(t_val), jnp.float32)
@@ -142,7 +139,8 @@ class WanI2V(WanT2V):
         clip_fea, y = self.encode_image_cond(img, F, h, w)
         solver = make_solver(sample_solver, sampling_steps, shift)
 
-        x = jax.random.normal(rng, (1, F, 16, h, w), jnp.float32)
+        x = jax.random.normal(rng, (1, F, self.cfg.out_dim, h, w),
+                              jnp.float32)
         state = init_solver_state(x.shape, x.dtype)
         for i, t_val in enumerate(solver.timesteps):
             t = jnp.full((1, F), float(t_val), jnp.float32)

@@ -59,6 +59,41 @@ def test_forward_train_sp_matches_single_device():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 4, reason="needs >= 4 devices")
+def test_forward_train_sp_i2v_matches_single_device():
+    """SP + I2V: y channel-concat is frame-local and clip_fea cross-attn is
+    replicated, so the sharded forward must match the dense i2v forward
+    (the reference runs WanI2V under the same USP patch,
+    wan/image2video.py + xdit_context_parallel.py)."""
+    import dataclasses
+    cfg = dataclasses.replace(CFG, model_type="i2v", in_dim=36)
+    mesh = create_mesh(dp=1, fsdp=2, sp=4)
+    rope = RopeTables.create(cfg.head_dim)
+    params = dit.init_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    params["head"]["head"]["w"] = 0.02 * jax.random.normal(
+        jax.random.PRNGKey(9), params["head"]["head"]["w"].shape)
+
+    B, F, C, H, W = 1, 8, 16, 8, 8
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, F, C, H, W))
+    y = jax.random.normal(jax.random.PRNGKey(3), (B, F, 20, H, W))
+    t = jnp.full((B, F), 500.0)
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (B, 8, cfg.text_dim))
+    clip_fea = jax.random.normal(jax.random.PRNGKey(4), (B, 257, 1280))
+
+    ref = dit.forward_train(params, cfg, x, t, ctx, None, rope,
+                            y=y, clip_fea=clip_fea, remat=False)
+    out = forward_train_sp(params, cfg, x, t, ctx, rope, mesh,
+                           y=y, clip_fea=clip_fea)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=5e-4, atol=5e-4)
+
+    # conditioning must actually matter: a different image changes the out
+    out2 = forward_train_sp(params, cfg, x, t, ctx, rope, mesh,
+                            y=y * 0.0, clip_fea=clip_fea)
+    assert not np.allclose(np.asarray(out2), np.asarray(out), atol=1e-3)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs >= 4 devices")
 def test_forward_sp_pads_non_divisible_frames():
     """F % sp != 0 (e.g. Wan's 21 frames on a power-of-2 sp axis) pads to
     the sp multiple, masks the pad KV out of the ring, and matches the
