@@ -18,6 +18,11 @@ ASSETS = [
     ("gdhe17/Self-Forcing", "checkpoints/ode_init.pt",
      "checkpoints/ode_init.pt"),
     ("madebyollin/taehv", "taew2_1.pth", "checkpoints/taew2_1.pth"),
+    # CLIP vision tower for i2v/pose image conditioning (the reference
+    # downloader pulls the same file)
+    ("Wan-AI/Wan2.1-I2V-14B-720P",
+     "models_clip_open-clip-xlm-roberta-large-vit-huge-14.pth",
+     "wan_models/models_clip_open-clip-xlm-roberta-large-vit-huge-14.pth"),
 ]
 
 

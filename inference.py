@@ -145,6 +145,26 @@ def main():
     os.makedirs(args.output_folder, exist_ok=True)
 
     F = int(args.num_output_frames)
+    # validate the frame arithmetic up front: the pipelines consume frames
+    # in blocks of num_frame_per_block, with the first frame independent
+    # when independent_first_frame (the reference CLI lets a bad
+    # combination die on a bare assert deep in the pipeline; a 1-frame
+    # i2v initial latent additionally requires independent_first_frame)
+    nb = int(getattr(config, "num_frame_per_block", 1))
+    iff = bool(getattr(config, "independent_first_frame", False))
+    n_gen = F - 1 if args.i2v else (F - 1 if iff else F)
+    if args.i2v and not iff:
+        raise SystemExit(
+            "--i2v encodes the image as one independent first latent "
+            "frame, which requires independent_first_frame: true in the "
+            "config (got false)")
+    if n_gen % nb != 0:
+        raise SystemExit(
+            f"--num_output_frames {F} is not reachable with "
+            f"num_frame_per_block={nb} (independent_first_frame={iff}, "
+            f"i2v={args.i2v}): {n_gen} generated frames must be a "
+            f"multiple of {nb} — try {F - n_gen % nb} or "
+            f"{F + nb - n_gen % nb} output frames")
     # identical for every prompt: one T5 forward, not one per dataset row
     neg = encode([str(getattr(config, "negative_prompt", ""))]) \
         if not few_step else None

@@ -273,8 +273,14 @@ class PoseImageConditioner:
 
         out = {"add_condition": add_condition}
         image_y = None
-        if first_frame is not None and self.clip_params is not None \
-                and self.vae_params is not None:
+        if first_frame is not None:
+            if self.clip_params is None or self.vae_params is None:
+                raise ValueError(
+                    "first_frame conditioning needs clip_params and "
+                    "vae_params on the PoseImageConditioner (the image y "
+                    "is CLIP tokens + a VAE first-frame latent, reference "
+                    "utils/conditioning.py:124-156) — refusing to silently "
+                    "drop the image")
             clip_fea, image_y = self.encode_image(first_frame, num_frames,
                                                   height, width)
             out["clip_fea"] = clip_fea
@@ -290,6 +296,14 @@ class PoseImageConditioner:
         y = image_y
         if y is not None and randomref is not None:
             y = y + randomref[:, None]                  # broadcast frames
+        elif randomref is not None:
+            # no image: the 20-ch randomref alone, repeated per frame
+            # (same contract as the inference pipeline,
+            # pipelines/causal_diffusion_inference.py randomref-only path)
+            y = jnp.broadcast_to(
+                randomref[:, None],
+                (B, num_frames) + randomref.shape[1:]).astype(
+                    randomref.dtype)
 
         if drop > 0 and rng is not None:
             keep = jax.random.bernoulli(rng, 1.0 - drop, (B,))
@@ -297,8 +311,10 @@ class PoseImageConditioner:
                 keep[:, None, None], out["add_condition"],
                 jnp.zeros_like(out["add_condition"]))
             if y is not None:
-                # dropped samples keep the bare image y (reference :175-176)
-                y = jnp.where(keep[:, None, None, None, None], y, image_y)
+                # dropped samples keep the bare image y (reference
+                # :175-176); with no image that means zeros
+                base = image_y if image_y is not None else jnp.zeros_like(y)
+                y = jnp.where(keep[:, None, None, None, None], y, base)
 
         if y is not None:
             out["y"] = y

@@ -182,6 +182,31 @@ class CausalDiffusionInferencePipeline:
         nb = self.num_frame_per_block
         fs = (H // self.cfg.patch_size[1]) * (W // self.cfg.patch_size[2])
 
+        # block-schedule divisibility: the schedule below would otherwise
+        # silently TRUNCATE the remainder frames / never prime a
+        # non-divisible initial latent into the cache (causal_inference.py
+        # asserts the same invariant)
+        n_gen = F - (1 if (self.independent_first_frame
+                           and initial_latent is None) else 0)
+        if n_gen % nb != 0:
+            raise ValueError(
+                f"noise frame count {F} is not consumable by "
+                f"num_frame_per_block={nb} (independent_first_frame="
+                f"{self.independent_first_frame}, initial_latent="
+                f"{initial_latent is not None}): {n_gen % nb} frames "
+                "would be silently dropped")
+        if initial_latent is not None:
+            n_prime = initial_latent.shape[1] - (
+                1 if self.independent_first_frame else 0)
+            if n_prime % nb != 0:
+                raise ValueError(
+                    f"initial_latent frame count {initial_latent.shape[1]} "
+                    f"is not consumable by num_frame_per_block={nb} "
+                    f"(independent_first_frame="
+                    f"{self.independent_first_frame}): the last "
+                    f"{n_prime % nb} context frames would never be primed "
+                    "into the KV cache")
+
         if context is None:
             context = self.text_encoder(text_prompts)
         if neg_context is None:

@@ -137,12 +137,19 @@ class QwenPromptExpander(PromptExpander):
     def extend(self, prompt: str, system_prompt: Optional[str] = None,
                seed: int = -1) -> PromptOutput:
         system_prompt = system_prompt or LM_EN_SYS_PROMPT
-        if not self.is_vl and self._load():
+        if self._load():
+            # a VL expander handles text-only prompts through the model
+            # too (the reference's VL expander chats text-only when no
+            # image is given) — only fall to the template when the model
+            # itself is unavailable
             messages = [{"role": "system", "content": system_prompt},
                         {"role": "user", "content": prompt}]
             text = self._tokenizer.apply_chat_template(
                 messages, tokenize=False, add_generation_prompt=True)
-            inputs = self._tokenizer([text], return_tensors="pt")
+            if self.is_vl:  # AutoProcessor wants the text= kwarg
+                inputs = self._tokenizer(text=[text], return_tensors="pt")
+            else:
+                inputs = self._tokenizer([text], return_tensors="pt")
             out = self._model.generate(**inputs, max_new_tokens=256,
                                        do_sample=seed != -1)
             new = self._tokenizer.decode(

@@ -150,3 +150,23 @@ def load_wan_models(model_dir: str, causal: bool = True,
                      t5_params=t5_params, t5_cfg=t5_cfg,
                      vae_params=vae_params, vae_cfg=vae_cfg,
                      tokenizer=tokenizer)
+
+
+def load_clip_vision(model_dir: str, dtype=jnp.float32):
+    """Locate + convert the CLIP vision tower used for i2v/pose image
+    conditioning (reference wan/modules/clip.py:501-542, weights file
+    models_clip_open-clip-xlm-roberta-large-vit-huge-14.pth).
+
+    Returns (clip_params, clip_cfg) or (None, None) when the file is
+    absent (tests construct tiny random towers instead)."""
+    from self_forcing_tpu.models import clip as clip_mod
+    path = _find(model_dir,
+                 "models_clip_open-clip-xlm-roberta-large-vit-huge-14.pth",
+                 "**/models_clip_open-clip-xlm-roberta-large-vit-huge-14"
+                 ".pth")
+    if path is None:
+        return None, None
+    cfg = clip_mod.CLIP_XLM_ROBERTA_VIT_H_14
+    params = clip_mod.convert_clip_vision_state_dict(
+        ckpt.load_torch_state_dict(path), cfg, dtype)
+    return params, cfg

@@ -84,6 +84,19 @@ def sample_timestep_per_block(rng: jax.Array, min_t: int, max_t: int,
                             ).reshape(batch, num_frame)
 
 
+def align_cond_window(cond: Optional[dict], f_roll: int, f_pred: int
+                      ) -> Optional[dict]:
+    """Align cond['y'] with a (possibly trimmed) rollout.  The rollout
+    consumed y[:, :f_roll]; trim_rollout keeps the LAST ``f_pred`` frames
+    (the boundary re-encode sits at rollout position f_roll - f_pred), so
+    the score models must see that TRAILING window of the conditioning —
+    slicing the leading frames would pair frames f_roll-21..f_roll-1 of
+    content with y built for frames 0..20."""
+    if not cond or cond.get("y") is None:
+        return cond
+    return dict(cond, y=cond["y"][:, :f_roll][:, f_roll - f_pred:])
+
+
 def model_cond(cfg: WanConfig, cond: Optional[dict]):
     """Select the conditioning entries a given model can consume (the
     reference passes the whole conditional_dict everywhere and gates

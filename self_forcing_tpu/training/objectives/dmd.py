@@ -59,7 +59,9 @@ def distribution_matching_loss(bundle: ModelBundle, obj: ObjectiveConfig,
     """model/dmd.py:128-194. ``pred`` carries generator gradient."""
     B, F = pred.shape[:2]
     if cond and cond.get("y") is not None:
-        # score models see the (possibly shorter) rollout window
+        # production callers pre-align via align_cond_window (trailing
+        # window for trimmed rollouts); this slice is a no-op then and
+        # covers direct short-rollout callers
         cond = dict(cond, y=cond["y"][:, :F])
     min_t = t_to if (obj.ts_schedule and t_to is not None) \
         else obj.min_score_timestep
@@ -97,6 +99,8 @@ def generator_loss(bundle: ModelBundle, obj: ObjectiveConfig,
         gen_params, noise, ctx_kv_g, exit_idx, rng_roll, cond=cond)
     if gradient_mask is None:
         gradient_mask = roll_mask  # long-rollout first-block mask
+    from self_forcing_tpu.training.objectives.base import align_cond_window
+    cond = align_cond_window(cond, noise.shape[1], pred.shape[1])
     loss, log = distribution_matching_loss(
         bundle, obj, fake_params, real_params, pred, context, neg_context,
         rng_dmd, t_from, t_to, gradient_mask, cond)
@@ -124,10 +128,9 @@ def critic_loss(bundle: ModelBundle, obj: ObjectiveConfig,
     critic_noise = jax.random.normal(rng_n, pred.shape, pred.dtype)
     noisy = _add_noise_bf(bundle.scheduler, pred, critic_noise, t)
 
-    from self_forcing_tpu.training.objectives.base import (model_cond,
-                                                           score_x0)
-    if cond and cond.get("y") is not None:
-        cond = dict(cond, y=cond["y"][:, :F])
+    from self_forcing_tpu.training.objectives.base import (
+        align_cond_window, model_cond, score_x0)
+    cond = align_cond_window(cond, noise.shape[1], F)
     y_c, clip_c = model_cond(bundle.critic_cfg, cond)
     pred_fake = score_x0(fake_params, bundle.critic_cfg, bundle.rope_c,
                          bundle.scheduler, noisy, t, context,

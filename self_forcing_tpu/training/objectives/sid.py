@@ -28,6 +28,7 @@ def distribution_matching_loss(bundle: ModelBundle, obj: ObjectiveConfig,
                                gradient_mask=None, cond=None):
     B, F = pred.shape[:2]
     if cond and cond.get("y") is not None:
+        # production callers pre-align via align_cond_window (see dmd.py)
         cond = dict(cond, y=cond["y"][:, :F])
     min_t = t_to if (obj.ts_schedule and t_to is not None) \
         else obj.min_score_timestep
@@ -77,6 +78,8 @@ def generator_loss(bundle: ModelBundle, obj: ObjectiveConfig,
         gen_params, noise, ctx_kv_g, exit_idx, rng_roll, cond=cond)
     if gradient_mask is None:
         gradient_mask = roll_mask  # long-rollout first-block mask
+    from self_forcing_tpu.training.objectives.base import align_cond_window
+    cond = align_cond_window(cond, noise.shape[1], pred.shape[1])
     return distribution_matching_loss(
         bundle, obj, fake_params, real_params, pred, context, neg_context,
         rng_sid, t_from, t_to, gradient_mask, cond)

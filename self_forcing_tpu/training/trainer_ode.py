@@ -23,8 +23,10 @@ from self_forcing_tpu.training.optim import make_optimizer
 
 
 class ODETrainer:
-    def __init__(self, config, generator_params, generator_cfg: WanConfig):
+    def __init__(self, config, generator_params, generator_cfg: WanConfig,
+                 visualize: bool = True):
         self.config = config
+        self.visualize = bool(visualize)
         self.cfg = dataclasses.replace(
             generator_cfg,
             num_frame_per_block=int(getattr(config, "num_frame_per_block", 1)))
@@ -60,6 +62,7 @@ class ODETrainer:
         nb = self.cfg.num_frame_per_block
         optimizer = self.optimizer
         i2v = bool(getattr(self.config, "i2v", False))
+        visualize = self.visualize
 
         @jax.jit
         def step_fn(params, opt_state, ode_latent, context, rng):
@@ -69,6 +72,12 @@ class ODETrainer:
                     nb, rng, i2v)
             (loss, log), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(params)
+            if not visualize:
+                # drop the full-size latent triplet from the jit outputs:
+                # materializing [B,F,C,H,W] tensors every step for data
+                # that is never read costs HBM traffic + two live buffers
+                log.pop("input", None)
+                log.pop("output", None)
             import optax
             gnorm = optax.global_norm(grads)
             updates, opt_state = optimizer.update(grads, opt_state, params)
@@ -94,9 +103,10 @@ class ODETrainer:
         # latent triplet for visualization (trainer/ode.py:190-209) —
         # stashed as device arrays; nothing is fetched unless a
         # visualization step reads them
-        self.last_visual = {"input": log.pop("input"),
-                            "output": log.pop("output"),
-                            "ground_truth": batch["ode_latent"][:, -1]}
+        if self.visualize:
+            self.last_visual = {"input": log.pop("input"),
+                                "output": log.pop("output"),
+                                "ground_truth": batch["ode_latent"][:, -1]}
         # timestep-bucket loss breakdown (trainer/ode.py:173-182)
         out = {k: np.asarray(v) for k, v in log.items()}
         t = out.pop("timestep", None)

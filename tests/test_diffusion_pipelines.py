@@ -77,6 +77,23 @@ def test_causal_diffusion_video_extension(gen_params, contexts):
     np.testing.assert_allclose(np.asarray(latents[:, :2]), np.asarray(init))
 
 
+def test_non_divisible_frames_raise(gen_params, contexts):
+    """The block schedule would silently truncate remainder frames / never
+    prime a non-divisible initial latent — both must raise instead."""
+    ctx, neg = contexts
+    pipe = CausalDiffusionInferencePipeline(
+        _args(), gen_params, WAN_TINY)  # num_frame_per_block=2
+    noise_odd = jax.random.normal(jax.random.PRNGKey(6), (B, 3, C, H, W))
+    with pytest.raises(ValueError, match="not consumable"):
+        pipe.inference(noise_odd, context=ctx, neg_context=neg,
+                       return_latents=True)
+    noise = jax.random.normal(jax.random.PRNGKey(7), (B, 2, C, H, W))
+    init_odd = jax.random.normal(jax.random.PRNGKey(8), (B, 1, C, H, W))
+    with pytest.raises(ValueError, match="never be primed"):
+        pipe.inference(noise, context=ctx, neg_context=neg,
+                       initial_latent=init_odd, return_latents=True)
+
+
 def test_input_image_without_encoder_raises(gen_params, contexts):
     """input_image must never be silently ignored (VERDICT r1 weak #5)."""
     ctx, neg = contexts

@@ -124,6 +124,63 @@ def test_y_conditioning_reaches_generator():
     assert np.isfinite(la) and np.isfinite(lb) and la != lb
 
 
+def test_align_cond_window_trailing():
+    """Trimmed long rollouts keep the LAST frames (boundary re-encode at
+    f_roll - f_pred), so the score models must see the trailing y window
+    — not the leading frames (objectives/base.py align_cond_window)."""
+    from self_forcing_tpu.training.objectives.base import align_cond_window
+    y = jnp.arange(25, dtype=jnp.float32).reshape(1, 25, 1, 1, 1)
+    out = align_cond_window({"y": y}, f_roll=23, f_pred=21)["y"]
+    np.testing.assert_array_equal(
+        np.asarray(out)[0, :, 0, 0, 0], np.arange(2, 23))
+    # untrimmed rollout: window is the rollout itself
+    out2 = align_cond_window({"y": y}, f_roll=21, f_pred=21)["y"]
+    np.testing.assert_array_equal(
+        np.asarray(out2)[0, :, 0, 0, 0], np.arange(21))
+    assert align_cond_window(None, 21, 21) is None
+    assert align_cond_window({"add_condition": y}, 21, 21) == {
+        "add_condition": y}
+
+
+def test_randomref_only_builds_y():
+    """random_ref_dwpose without a first_frame still produces the 20-ch
+    randomref y repeated per frame (same contract as the inference
+    pipeline's randomref-only path), and dropout zeroes it."""
+    conditioner = cond_mod.PoseImageConditioner(
+        cond_mod.init_dwpose_params(jax.random.PRNGKey(42)),
+        cond_mod.init_randomref_params(jax.random.PRNGKey(43)))
+    dw = jnp.asarray(np.random.default_rng(0).integers(
+        0, 255, (B, 3, F_PX, H_PX, W_PX), np.uint8))
+    ref = jnp.asarray(np.random.default_rng(1).integers(
+        0, 255, (B, H_PX, W_PX, 3), np.uint8))
+    cond = conditioner.build_conditioning(
+        dw, random_ref_dwpose=ref, num_frames=F, height=H_PX, width=W_PX)
+    assert cond["y"].shape[:2] == (B, F)
+    assert cond["y"].shape[2] == 20
+    assert float(jnp.abs(cond["y"]).max()) > 0
+    # per-frame repeat: every frame carries the same randomref embedding
+    np.testing.assert_array_equal(np.asarray(cond["y"][:, 0]),
+                                  np.asarray(cond["y"][:, -1]))
+    dropped = conditioner.build_conditioning(
+        dw, random_ref_dwpose=ref, num_frames=F, height=H_PX, width=W_PX,
+        rng=jax.random.PRNGKey(0), pose_drop_prob=1.0)
+    assert float(jnp.abs(dropped["y"]).max()) == 0
+
+
+def test_first_frame_without_encoders_raises():
+    """first_frame must never be silently dropped when the conditioner has
+    no CLIP/VAE to encode it with."""
+    conditioner = cond_mod.PoseImageConditioner(
+        cond_mod.init_dwpose_params(jax.random.PRNGKey(42)))
+    dw = jnp.asarray(np.random.default_rng(0).integers(
+        0, 255, (B, 3, F_PX, H_PX, W_PX), np.uint8))
+    ff = jnp.asarray(np.random.default_rng(1).integers(
+        0, 255, (B, H_PX, W_PX, 3), np.uint8))
+    with pytest.raises(ValueError, match="first_frame"):
+        conditioner.build_conditioning(
+            dw, first_frame=ff, num_frames=F, height=H_PX, width=W_PX)
+
+
 def test_critic_loss_accepts_cond():
     bundle, obj, gen, fake, real, noise, ctx, neg = _setup()
     loss, log = jax.jit(lambda cond: dmd.critic_loss(

@@ -229,14 +229,36 @@ def main():
         from self_forcing_tpu.training.trainer_distillation import (
             ScoreDistillationTrainer)
         neg = context_fn([str(getattr(config, "negative_prompt", ""))] * B)
+        # image conditioning inside the conditioner (first_frame -> CLIP
+        # tokens + masked VAE latent y) and >21-frame rollout re-encodes
+        # need the VAE and CLIP towers (reference trainer/distillation.py:
+        # 106-122 passes self.vae + image encoder into the conditioner)
+        pose_extra = {}
+        if getattr(config, "use_pose_conditioning", False):
+            model_dir = getattr(config, "model_dir", "wan_models")
+            from self_forcing_tpu.runtime import (load_clip_vision,
+                                                  load_wan_models)
+            m = load_wan_models(model_dir, load_t5=False, load_dit=False)
+            clip_params, clip_cfg = load_clip_vision(model_dir)
+            pose_extra = dict(vae_params=m.vae_params, vae_cfg=m.vae_cfg,
+                              clip_params=clip_params, clip_cfg=clip_cfg)
+            if is_main and (m.vae_params is None or clip_params is None):
+                print("[train] pose conditioning without "
+                      f"{'VAE' if m.vae_params is None else ''}"
+                      f"{'/' if m.vae_params is None and clip_params is None else ''}"
+                      f"{'CLIP' if clip_params is None else ''} weights: "
+                      "first_frame image conditioning will raise if the "
+                      "dataset provides images")
         trainer = ScoreDistillationTrainer(
-            config, generator, fake, real, cfg, cfg, cfg, neg, mesh=mesh)
+            config, generator, fake, real, cfg, cfg, cfg, neg, mesh=mesh,
+            **pose_extra)
     elif trainer_kind == "gan":
         from self_forcing_tpu.training.trainer_gan import GANTrainer
         trainer = GANTrainer(config, generator, fake, cfg, cfg, mesh=mesh)
     elif trainer_kind == "ode":
         from self_forcing_tpu.training.trainer_ode import ODETrainer
-        trainer = ODETrainer(config, generator, cfg)
+        trainer = ODETrainer(config, generator, cfg,
+                             visualize=not args.no_visualize)
     elif trainer_kind == "diffusion":
         from self_forcing_tpu.training.trainer_diffusion import (
             DiffusionTrainer)
