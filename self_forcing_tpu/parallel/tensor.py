@@ -282,3 +282,60 @@ def refresh_block_tp(params: dict, cfg: WanConfig, rope: RopeTables,
                    out_specs=cspec, check_vma=False)
     return fi(params, ctx_kv, cache, x0, rng,
               jnp.asarray(start_frame, jnp.int32))
+
+
+def prime_block_tp(params: dict, cfg: WanConfig, rope: RopeTables,
+                   ctx_kv: dict, cache: dit.KVCache, latents: jax.Array,
+                   start_frame: jax.Array, mesh: Mesh,
+                   axis: str = AXIS) -> dit.KVCache:
+    """Tensor-parallel context priming (matches prime_block — i2v /
+    video-extension clean-latent writes, causal_inference.py:136-169)."""
+    from self_forcing_tpu.pipelines.causal_inference import prime_block
+    tp = mesh.shape[axis]
+    cfg_l = tp_local_config(cfg, tp, axis)
+    cspec = _cache_specs(axis)
+
+    def fn(p, ckv, cache_, lat, s):
+        c = prime_block(p, cfg_l, rope, ckv, cache_, lat, s)
+        return dataclasses.replace(c, kmax=jax.lax.pmax(c.kmax, axis))
+
+    fi = shard_map(fn, mesh=mesh,
+                   in_specs=(tp_param_specs(params, axis),
+                             _ctx_specs(ctx_kv, axis), cspec, P(), P()),
+                   out_specs=cspec, check_vma=False)
+    return fi(params, ctx_kv, cache, latents,
+              jnp.asarray(start_frame, jnp.int32))
+
+
+def generate_blocks_tp(params: dict, cfg: WanConfig, scheduler,
+                       rope: RopeTables, ctx_kv: dict, cache: dit.KVCache,
+                       noise: jax.Array, rng: jax.Array,
+                       steps: tuple[float, ...], context_noise: float,
+                       num_blocks: int, start_frame0: jax.Array,
+                       mesh: Mesh, axis: str = AXIS):
+    """Tensor-parallel whole-video block scan (matches generate_blocks:
+    one jitted lax.scan over blocks, denoise + cache-refresh per block).
+
+    The entire scan runs inside one shard_map: per-shard kmax is a valid
+    bound for that shard's own heads at every step, so the pmax that
+    makes it a replicated global bound only happens once at the end (for
+    the P() out-spec), not per block.  RNG keys are replicated, so every
+    shard draws identical re-noising eps — bit-identical control flow to
+    the single-chip scan."""
+    from self_forcing_tpu.pipelines.causal_inference import generate_blocks
+    tp = mesh.shape[axis]
+    cfg_l = tp_local_config(cfg, tp, axis)
+    cspec = _cache_specs(axis)
+
+    def fn(p, ckv, cache_, nz, r, s):
+        out, c = generate_blocks(p, cfg_l, scheduler, rope, ckv, cache_,
+                                 nz, r, steps, context_noise, num_blocks, s)
+        return out, dataclasses.replace(c, kmax=jax.lax.pmax(c.kmax, axis))
+
+    fi = shard_map(fn, mesh=mesh,
+                   in_specs=(tp_param_specs(params, axis),
+                             _ctx_specs(ctx_kv, axis), cspec, P(), P(),
+                             P()),
+                   out_specs=(P(), cspec), check_vma=False)
+    return fi(params, ctx_kv, cache, noise, rng,
+              jnp.asarray(start_frame0, jnp.int32))

@@ -184,9 +184,17 @@ class CausalInferencePipeline:
     def __init__(self, args, generator_params, model_cfg: WanConfig,
                  text_encoder=None, vae_params=None,
                  vae_cfg: vae_mod.VAEConfig = vae_mod.WAN_VAE,
-                 scheduler: FlowMatchScheduler | None = None):
+                 scheduler: FlowMatchScheduler | None = None,
+                 mesh=None, tp_axis: str = "tp"):
+        """``mesh``: optional ('tp',) Mesh — the whole sampler then runs
+        tensor-parallel over it (Megatron-style head/ffn sharding,
+        parallel/tensor.py; the Wan-14B single-host streaming path).
+        ``generator_params`` must already be sharded with
+        parallel.tensor.shard_params_tp; batch size is limited to 1."""
         self.args = args
         self.params = generator_params
+        self.mesh = mesh
+        self.tp_axis = tp_axis
         self.cfg = dataclasses.replace(
             model_cfg,
             num_frame_per_block=int(getattr(args, "num_frame_per_block", 1)),
@@ -226,12 +234,73 @@ class CausalInferencePipeline:
         if getattr(self, "_cache_sig", None) == sig and                 getattr(self, "_cache", None) is not None:
             return dit.reset_kv_cache(self._cache)
         self._cache_sig = sig
+        if self.mesh is not None:
+            from self_forcing_tpu.parallel import tensor as tpmod
+            return tpmod.init_kv_cache_tp(self.cfg, self.mesh, batch, fs,
+                                          num_frames, dtype,
+                                          axis=self.tp_axis)
         return dit.init_kv_cache(self.cfg, batch, fs, num_frames, dtype)
 
     def encode_text(self, text_prompts: List[str]) -> jax.Array:
         assert self.text_encoder is not None, \
             "pass precomputed `context` or construct with a text encoder"
         return self.text_encoder(text_prompts)
+
+    # TP-dispatching seams: single-chip jitted ops, or their shard_map'd
+    # tensor-parallel twins when a ('tp',) mesh was given (the numbers
+    # match up to psum reassociation — tests/test_tensor_parallel.py)
+    def _precompute_context(self, context):
+        if self.mesh is not None:
+            from self_forcing_tpu.parallel import tensor as tpmod
+            return tpmod.precompute_context_tp(self.params, self.cfg,
+                                               context, self.mesh,
+                                               axis=self.tp_axis)
+        return dit.precompute_context(self.params, self.cfg, context)
+
+    def _prime(self, ctx_kv, cache, latents, start):
+        if self.mesh is not None:
+            from self_forcing_tpu.parallel import tensor as tpmod
+            return tpmod.prime_block_tp(self.params, self.cfg, self.rope,
+                                        ctx_kv, cache, latents, start,
+                                        self.mesh, axis=self.tp_axis)
+        return prime_block(self.params, self.cfg, self.rope, ctx_kv, cache,
+                           latents, start)
+
+    def _generate(self, ctx_kv, cache, noise, rng, num_blocks, start):
+        if self.mesh is not None:
+            from self_forcing_tpu.parallel import tensor as tpmod
+            return tpmod.generate_blocks_tp(
+                self.params, self.cfg, self.scheduler, self.rope, ctx_kv,
+                cache, noise, rng, self.denoising_step_list,
+                self.context_noise, num_blocks, start, self.mesh,
+                axis=self.tp_axis)
+        return generate_blocks(
+            self.params, self.cfg, self.scheduler, self.rope, ctx_kv, cache,
+            noise, rng, self.denoising_step_list, self.context_noise,
+            num_blocks, start)
+
+    def _denoise(self, ctx_kv, cache, noise_blk, rng, start, hint):
+        if self.mesh is not None:
+            from self_forcing_tpu.parallel import tensor as tpmod
+            return tpmod.denoise_block_tp(
+                self.params, self.cfg, self.scheduler, self.rope, ctx_kv,
+                cache, noise_blk, rng, self.denoising_step_list, start,
+                self.mesh, axis=self.tp_axis, static_kv_hi=hint)
+        return denoise_block(self.params, self.cfg, self.scheduler,
+                             self.rope, ctx_kv, cache, noise_blk, rng,
+                             self.denoising_step_list, start,
+                             static_kv_hi=hint)
+
+    def _refresh(self, ctx_kv, cache, blk, rng, start, hint):
+        if self.mesh is not None:
+            from self_forcing_tpu.parallel import tensor as tpmod
+            return tpmod.refresh_block_tp(
+                self.params, self.cfg, self.rope, ctx_kv, cache, blk, rng,
+                self.context_noise, start, self.mesh, axis=self.tp_axis,
+                static_kv_hi=hint)
+        return refresh_block(self.params, self.cfg, self.rope, ctx_kv,
+                             cache, blk, rng, self.context_noise, start,
+                             static_kv_hi=hint)
 
     # --------------------------------------------------------- inference
     def inference(self, noise: jax.Array,
@@ -257,9 +326,11 @@ class CausalInferencePipeline:
 
         if context is None:
             context = self.encode_text(text_prompts)
+        assert self.mesh is None or B == 1, \
+            "tensor-parallel sampling requires batch 1 (parallel/tensor.py)"
 
         t0 = time.perf_counter()
-        ctx_kv = dit.precompute_context(self.params, self.cfg, context)
+        ctx_kv = self._precompute_context(context)
 
         num_input_frames = (initial_latent.shape[1]
                             if initial_latent is not None else 0)
@@ -271,8 +342,8 @@ class CausalInferencePipeline:
         if initial_latent is not None:
             outputs.append(initial_latent)
             if self.cfg.independent_first_frame:
-                cache = prime_block(self.params, self.cfg, self.rope, ctx_kv,
-                                    cache, initial_latent[:, :1], start)
+                cache = self._prime(ctx_kv, cache, initial_latent[:, :1],
+                                    start)
                 start = start + 1
                 rest = initial_latent[:, 1:]
             else:
@@ -282,8 +353,8 @@ class CausalInferencePipeline:
             # silently dropping frames would prime a shifted cache
             assert nf % nb == 0, (nf, nb)
             for b in range(nf // nb):
-                cache = prime_block(self.params, self.cfg, self.rope, ctx_kv,
-                                    cache, rest[:, b * nb:(b + 1) * nb], start)
+                cache = self._prime(ctx_kv, cache,
+                                    rest[:, b * nb:(b + 1) * nb], start)
                 start = start + nb
         jax.block_until_ready(cache.k)
         t_init = time.perf_counter() - t0
@@ -293,20 +364,16 @@ class CausalInferencePipeline:
         gen_noise = noise
         if self.cfg.independent_first_frame and initial_latent is None:
             rng, k = jax.random.split(rng)
-            first, cache = generate_blocks(
-                self.params, self.cfg, self.scheduler, self.rope, ctx_kv,
-                cache, noise[:, :1], k, self.denoising_step_list,
-                self.context_noise, 1, start)
+            first, cache = self._generate(ctx_kv, cache, noise[:, :1], k,
+                                          1, start)
             outputs.append(first)
             start = start + 1
             gen_noise = noise[:, 1:]
 
         num_blocks = gen_noise.shape[1] // nb
         rng, k = jax.random.split(rng)
-        out, cache = generate_blocks(
-            self.params, self.cfg, self.scheduler, self.rope, ctx_kv, cache,
-            gen_noise, k, self.denoising_step_list, self.context_noise,
-            num_blocks, start)
+        out, cache = self._generate(ctx_kv, cache, gen_noise, k,
+                                    num_blocks, start)
         outputs.append(out)
         latents = jnp.concatenate(outputs, axis=1)
         jax.block_until_ready(latents)
@@ -351,8 +418,10 @@ class CausalInferencePipeline:
         nb = self.num_frame_per_block
         fs = (H // self.cfg.patch_size[1]) * (W // self.cfg.patch_size[2])
         rng = rng if rng is not None else jax.random.PRNGKey(0)
+        assert self.mesh is None or B == 1, \
+            "tensor-parallel sampling requires batch 1 (parallel/tensor.py)"
 
-        ctx_kv = dit.precompute_context(self.params, self.cfg, context)
+        ctx_kv = self._precompute_context(context)
         cache = self._init_cache(B, fs, max(F, 21), noise.dtype)
         # the per-block calls donate the cache: the buffers self._cache
         # aliased are dead from here on, so invalidate the reuse signature
@@ -373,10 +442,8 @@ class CausalInferencePipeline:
             # python loop => the cached-token count is static: size the
             # attention kernel grid to the live window (global path only)
             hint = lo * fs if self.cfg.local_attn_size == -1 else None
-            blk, cache = denoise_block(
-                self.params, self.cfg, self.scheduler, self.rope,
-                ctx_kv, cache, noise[:, lo:lo + n], k1,
-                self.denoising_step_list, start, static_kv_hi=hint)
+            blk, cache = self._denoise(ctx_kv, cache, noise[:, lo:lo + n],
+                                       k1, start, hint)
             # hand the chunk to the caller BEFORE the cache refresh:
             # the decode dispatch precedes the refresh program, cutting
             # time-to-first-chunk; the refresh is skipped entirely on
@@ -384,10 +451,7 @@ class CausalInferencePipeline:
             yield blk
             if i < len(blocks) - 1:
                 rng, k2 = jax.random.split(rng)
-                cache = refresh_block(
-                    self.params, self.cfg, self.rope, ctx_kv, cache,
-                    blk, k2, self.context_noise, start,
-                    static_kv_hi=hint)
+                cache = self._refresh(ctx_kv, cache, blk, k2, start, hint)
             start = start + n
         self._cache = cache
         self._cache_sig = (B, fs, max(F, 21), noise.dtype)

@@ -175,3 +175,46 @@ def test_tp_rejects_quantized_params():
     qp = quantize_dit_params(params, min_dim=1, mode="w8a8")
     with pytest.raises(ValueError, match="quantized"):
         tp.tp_param_specs(qp)
+
+
+@needs4
+def test_causal_pipeline_tp_matches_single():
+    """The full CausalInferencePipeline under a ('tp',) mesh — context
+    precompute, i2v priming, the whole-video block scan, and the
+    streaming generator — matches the single-device pipeline."""
+    import types
+
+    from self_forcing_tpu.pipelines.causal_inference import (
+        CausalInferencePipeline)
+
+    params, rope, ctx = _setup(6)
+    mesh = tp.tp_mesh(4)
+    params_tp = tp.shard_params_tp(params, mesh)
+    args = types.SimpleNamespace(
+        denoising_step_list=[1000, 500], num_frame_per_block=2,
+        independent_first_frame=False, context_noise=0.0,
+        timestep_shift=8.0)
+
+    B, F, C, H, W = 1, 4, 16, 8, 8
+    noise = jax.random.normal(jax.random.PRNGKey(12), (B, F, C, H, W),
+                              jnp.float32)
+    init = 0.1 * jax.random.normal(jax.random.PRNGKey(13),
+                                   (B, 2, C, H, W), jnp.float32)
+
+    pipe = CausalInferencePipeline(args, params, CFG)
+    pipe_tp = CausalInferencePipeline(args, params_tp, CFG, mesh=mesh)
+
+    _, lat = pipe.inference(noise, context=ctx, initial_latent=init,
+                            return_latents=True)
+    _, lat_tp = pipe_tp.inference(noise, context=ctx, initial_latent=init,
+                                  return_latents=True)
+    assert lat_tp.shape == lat.shape
+    np.testing.assert_allclose(np.asarray(lat_tp), np.asarray(lat),
+                               rtol=5e-4, atol=5e-4)
+
+    chunks = list(pipe.stream(noise, ctx))
+    chunks_tp = list(pipe_tp.stream(noise, ctx))
+    assert len(chunks_tp) == len(chunks) == F // 2
+    for a, b in zip(chunks, chunks_tp):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-4, atol=5e-4)
