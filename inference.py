@@ -39,6 +39,11 @@ def main():
                         help=".npz with dwpose_data [3,F_px,H,W] u8 and "
                              "optional random_ref_dwpose [H,W,3] u8 for "
                              "the pose-conditioned diffusion pipeline")
+    parser.add_argument("--tp", type=int, default=0,
+                        help="tensor-parallel degree for the few-step "
+                             "pipeline (Megatron-style head/ffn sharding "
+                             "over the first N devices; the Wan-14B "
+                             "single-host path — parallel/tensor.py)")
     args = parser.parse_args()
 
     import jax
@@ -106,9 +111,26 @@ def main():
     if few_step:
         from self_forcing_tpu.pipelines.causal_inference import (
             CausalInferencePipeline)
+        mesh = None
+        if args.tp and args.tp > 1:
+            from self_forcing_tpu.parallel import tensor as tpmod
+            if cfg.num_heads % args.tp or cfg.ffn_dim % args.tp:
+                raise SystemExit(
+                    f"--tp {args.tp} does not divide num_heads="
+                    f"{cfg.num_heads} / ffn_dim={cfg.ffn_dim}")
+            if len(jax.devices()) < args.tp:
+                raise SystemExit(
+                    f"--tp {args.tp} needs {args.tp} devices, have "
+                    f"{len(jax.devices())}")
+            mesh = tpmod.tp_mesh(args.tp)
+            params = tpmod.shard_params_tp(params, mesh)
         pipeline = CausalInferencePipeline(
-            config, params, cfg, vae_params=vae_params, vae_cfg=vae_cfg)
+            config, params, cfg, vae_params=vae_params, vae_cfg=vae_cfg,
+            mesh=mesh)
     else:
+        if args.tp and args.tp > 1:
+            raise SystemExit("--tp is supported on the few-step pipeline "
+                             "(configs with denoising_step_list)")
         from self_forcing_tpu.pipelines.causal_diffusion_inference import (
             CausalDiffusionInferencePipeline)
         dwpose_params = randomref_params = None

@@ -82,3 +82,23 @@ def test_pose_diffusion_cli(tmp_path, monkeypatch):
         "--dwpose_path", str(tmp_path / "pose.npz"), "--save_with_index"])
     inf.main()
     assert any(f.endswith(".mp4") for f in os.listdir(out))
+
+
+def test_tp_cli_writes_video(tmp_path, monkeypatch):
+    """--tp 2 shards the tiny model over two CPU devices and the few-step
+    pipeline runs tensor-parallel end to end (WAN_TINY has 2 heads)."""
+    import jax
+    if len(jax.devices()) < 2:
+        import pytest
+        pytest.skip("needs >= 2 devices")
+    import inference as inf
+    out = tmp_path / "out"
+    prompts = tmp_path / "p.txt"
+    prompts.write_text("a tiny tensor-parallel test video\n")
+    monkeypatch.setattr(sys, "argv", [
+        "inference.py", "--config_path", CONFIG,
+        "--data_path", str(prompts), "--output_folder", str(out),
+        "--num_output_frames", "3", "--tp", "2", "--save_with_index"])
+    inf.main()
+    files = os.listdir(out)
+    assert files == ["output_000.mp4"]
