@@ -303,3 +303,127 @@ def restore_pytree(path: str, like=None):
     if like is not None:
         return ckptr.restore(path, like)
     return ckptr.restore(path)
+
+
+# =====================================================================
+# Export: dit.py pytree -> reference torch state dict (the inverse of
+# convert_dit_state_dict, so checkpoints trained here load into the
+# reference WanModel/CausalWanModel with strict=True — "train on TPU,
+# deploy on the reference" interchange, SURVEY.md §2.12)
+# =====================================================================
+
+def export_dit_state_dict(params: Params, cfg) -> dict:
+    """dit.py params pytree -> {reference torch name: np.float32 array}.
+
+    Inverts every convert_dit_state_dict transform: linear transposes,
+    the patch-embedding flatten, the RoPE half-layout column permutation
+    on self-attention q/k (+ their norms), and the stacked-blocks layout.
+    LoRA adapters export under the reference lora_A/lora_B names.
+    Quantized (W8A8) params cannot be exported — dequantize/reload the
+    float checkpoint instead."""
+    def arr(x):
+        a = np.asarray(jax.device_get(x))
+        if a.dtype not in (np.float32, np.float16):
+            a = a.astype(np.float32)
+        return a
+
+    def put_lin(out, name, p):
+        if "w_int8" in p or "scale" in p:
+            raise ValueError(f"{name}: quantized linear cannot be "
+                             "exported to the reference layout")
+        out[name + ".weight"] = arr(p["w"]).T.copy()
+        if "b" in p:
+            out[name + ".bias"] = arr(p["b"])
+        if "lora_A" in p:
+            out[name + ".lora_A.weight"] = arr(p["lora_A"]).T.copy()
+            out[name + ".lora_B.weight"] = arr(p["lora_B"]).T.copy()
+
+    from self_forcing_tpu.models.wan.rope import qk_half_perm
+    inv_perm = np.argsort(qk_half_perm(cfg.head_dim, cfg.num_heads))
+
+    sd: dict = {}
+    pe = arr(params["patch_embedding"]["w"])       # [patch_in, D]
+    pf, ph, pw = cfg.patch_size
+    sd["patch_embedding.weight"] = pe.T.reshape(
+        cfg.dim, cfg.in_dim, pf, ph, pw).copy()
+    sd["patch_embedding.bias"] = arr(params["patch_embedding"]["b"])
+    put_lin(sd, "text_embedding.0", params["text_embedding"]["fc1"])
+    put_lin(sd, "text_embedding.2", params["text_embedding"]["fc2"])
+    put_lin(sd, "time_embedding.0", params["time_embedding"]["fc1"])
+    put_lin(sd, "time_embedding.2", params["time_embedding"]["fc2"])
+    put_lin(sd, "time_projection.1", params["time_projection"]["fc"])
+    put_lin(sd, "head.head", params["head"]["head"])
+    sd["head.modulation"] = arr(params["head"]["modulation"])
+
+    def put_attn(out, prefix, p, cross):
+        q, k = dict(p["q"]), dict(p["k"])
+        nq = dict(p["norm_q"]) if "norm_q" in p else None
+        nk = dict(p["norm_k"]) if "norm_k" in p else None
+        if not cross:  # undo the RoPE half-layout column permutation
+            q["w"] = q["w"][:, inv_perm]
+            k["w"] = k["w"][:, inv_perm]
+            if "b" in q:
+                q["b"] = q["b"][inv_perm]
+            if "b" in k:
+                k["b"] = k["b"][inv_perm]
+            if nq is not None:
+                nq["w"] = nq["w"][inv_perm]
+            if nk is not None:
+                nk["w"] = nk["w"][inv_perm]
+        put_lin(out, prefix + ".q", q)
+        put_lin(out, prefix + ".k", k)
+        put_lin(out, prefix + ".v", p["v"])
+        put_lin(out, prefix + ".o", p["o"])
+        if nq is not None:
+            out[prefix + ".norm_q.weight"] = arr(nq["w"])
+            out[prefix + ".norm_k.weight"] = arr(nk["w"])
+        if cross and "k_img" in p:
+            put_lin(out, prefix + ".k_img", p["k_img"])
+            put_lin(out, prefix + ".v_img", p["v_img"])
+            if "norm_k_img" in p:
+                out[prefix + ".norm_k_img.weight"] = arr(
+                    p["norm_k_img"]["w"])
+
+    blocks = params["blocks"]
+    num_layers = int(jax.tree.leaves(blocks)[0].shape[0])
+    for i in range(num_layers):
+        bp = jax.tree.map(lambda x: x[i], blocks)
+        pre = f"blocks.{i}"
+        put_attn(sd, pre + ".self_attn", bp["self_attn"], cross=False)
+        put_attn(sd, pre + ".cross_attn", bp["cross_attn"], cross=True)
+        put_lin(sd, pre + ".ffn.0", bp["ffn"]["fc1"])
+        put_lin(sd, pre + ".ffn.2", bp["ffn"]["fc2"])
+        sd[pre + ".modulation"] = arr(bp["modulation"])
+        if "norm3" in bp:
+            sd[pre + ".norm3.weight"] = arr(bp["norm3"]["w"])
+            sd[pre + ".norm3.bias"] = arr(bp["norm3"]["b"])
+
+    if "pose_proj" in params:
+        put_lin(sd, "pose_proj", params["pose_proj"])
+    if "img_emb" in params:
+        ie = params["img_emb"]
+        sd["img_emb.proj.0.weight"] = arr(ie["norm1"]["w"])
+        sd["img_emb.proj.0.bias"] = arr(ie["norm1"]["b"])
+        put_lin(sd, "img_emb.proj.1", ie["fc1"])
+        put_lin(sd, "img_emb.proj.3", ie["fc2"])
+        sd["img_emb.proj.4.weight"] = arr(ie["norm2"]["w"])
+        sd["img_emb.proj.4.bias"] = arr(ie["norm2"]["b"])
+    return sd
+
+
+def save_reference_checkpoint(path: str, trees: Mapping[str, Params],
+                              cfg, dtype=None) -> None:
+    """torch.save a reference-layout checkpoint, e.g.
+    {'generator': ..., 'generator_ema': ..., 'critic': ...} — the
+    self_forcing_dmd.pt contract (reference trainer/distillation.py:
+    203-228, inference.py:70-71)."""
+    import torch
+    out = {}
+    for key, params in trees.items():
+        sd = export_dit_state_dict(params, cfg)
+        tsd = {k: torch.from_numpy(np.ascontiguousarray(v))
+               for k, v in sd.items()}
+        if dtype is not None:
+            tsd = {k: v.to(dtype) for k, v in tsd.items()}
+        out[key] = tsd
+    torch.save(out, path)
