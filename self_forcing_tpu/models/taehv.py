@@ -82,6 +82,60 @@ _DECODER_SPEC = (
 
 FRAMES_TO_TRIM = 3  # 2**2 - 1 (taehv.py:180)
 
+# encoder stack (taehv.py:175-181): conv(3,64) -> [TPool(2), conv s2,
+# 3x MemBlock] x2 -> [TPool(1), conv s2, 3x MemBlock] -> conv(64,16).
+# Temporal downsample 4x, spatial 8x.
+_ENCODER_SPEC = (
+    ("conv", "enc_in", None),          # 3 -> 64
+    ("relu", None, None),
+    ("tpool", "tpool0", 2), ("conv_s2", "enc_conv0", None),
+    ("mem", "emem0_0", None), ("mem", "emem0_1", None), ("mem", "emem0_2", None),
+    ("tpool", "tpool1", 2), ("conv_s2", "enc_conv1", None),
+    ("mem", "emem1_0", None), ("mem", "emem1_1", None), ("mem", "emem1_2", None),
+    ("tpool", "tpool2", 1), ("conv_s2", "enc_conv2", None),
+    ("mem", "emem2_0", None), ("mem", "emem2_1", None), ("mem", "emem2_2", None),
+    ("conv", "enc_out", None),         # 64 -> 16
+)
+
+
+def encode_video(params: Params, x: jax.Array) -> jax.Array:
+    """RGB [N, T, 3, H, W] in ~[0,1] -> latents [N, T/4, 16, H/8, W/8]
+    (taehv.py:210-220 encode_video, parallel path).  T must be divisible
+    by 4 (the reference's parallel reshape has the same requirement)."""
+    N, T, C, H, W = x.shape
+    if T % 4:
+        raise ValueError(f"TAEHV encode needs T divisible by 4, got {T}")
+    h = x.transpose(0, 1, 3, 4, 2)  # channels last [N, T, H, W, C]
+
+    for kind, key, extra in _ENCODER_SPEC:
+        if kind == "relu":
+            h = jax.nn.relu(h)
+        elif kind in ("conv", "conv_s2"):
+            N_, T_ = h.shape[:2]
+            flat = h.reshape((N_ * T_,) + h.shape[2:])
+            flat = _conv(params[key], flat, stride=2 if kind == "conv_s2" else 1)
+            h = flat.reshape((N_, T_) + flat.shape[1:])
+        elif kind == "mem":
+            N_, T_ = h.shape[:2]
+            mem = _shift_mem(h)
+            flat = h.reshape((N_ * T_,) + h.shape[2:])
+            mflat = mem.reshape(flat.shape)
+            flat = _memblock(params[key], flat, mflat)
+            h = flat.reshape((N_, T_) + flat.shape[1:])
+        elif kind == "tpool":
+            # torch TPool (taehv.py:37-45): [NT, C, H, W] ->
+            # [NT/stride, stride*C, H, W] 1x1 conv -> C; frame t of each
+            # group lands in channel slot t (reshape groups consecutive
+            # frames along channels).
+            s = extra
+            N_, T_, Hh, Ww, C_ = h.shape
+            g = h.reshape(N_, T_ // s, s, Hh, Ww, C_)
+            g = g.transpose(0, 1, 3, 4, 2, 5).reshape(N_, T_ // s, Hh, Ww, s * C_)
+            flat = g.reshape((N_ * (T_ // s),) + g.shape[2:])
+            flat = _conv1x1(params[key], flat)
+            h = flat.reshape((N_, T_ // s) + flat.shape[1:])
+    return h.transpose(0, 1, 4, 2, 3)
+
 
 def decode_video(params: Params, x: jax.Array,
                  trim: bool = True) -> jax.Array:
@@ -192,6 +246,23 @@ def init_decoder_params(key: jax.Array, dtype=jnp.float32) -> Params:
     return p
 
 
+def init_encoder_params(key: jax.Array, dtype=jnp.float32) -> Params:
+    ks = iter(jax.random.split(key, 64))
+    p: Params = {"enc_in": _conv_init(next(ks), IMAGE_CHANNELS, 64, 3, dtype)}
+    for s, stride in enumerate((2, 2, 1)):
+        p[f"tpool{s}"] = {"w": jax.random.normal(
+            next(ks), (1, 1, 64 * stride, 64)).astype(dtype) * 0.02}
+        p[f"enc_conv{s}"] = _conv_init(next(ks), 64, 64, 3, dtype, bias=False)
+        for m in range(3):
+            p[f"emem{s}_{m}"] = {
+                "conv0": _conv_init(next(ks), 128, 64, 3, dtype),
+                "conv1": _conv_init(next(ks), 64, 64, 3, dtype),
+                "conv2": _conv_init(next(ks), 64, 64, 3, dtype),
+            }
+    p["enc_out"] = _conv_init(next(ks), 64, LATENT_CHANNELS, 3, dtype)
+    return p
+
+
 # ---------------------------------------------------------------- convert
 
 def convert_taehv_state_dict(sd: Mapping[str, Any],
@@ -235,7 +306,7 @@ def convert_taehv_state_dict(sd: Mapping[str, Any],
             w = w[-want:]
         return {"w": jnp.asarray(w.transpose(2, 3, 1, 0), dtype)}
 
-    return {
+    out = {
         "conv_in": conv_p(1),
         "mem0_0": mem_p(3), "mem0_1": mem_p(4), "mem0_2": mem_p(5),
         "tgrow0": tgrow_p(7, 1, N_F[0]), "conv0": conv_p(8, bias=False),
@@ -244,4 +315,51 @@ def convert_taehv_state_dict(sd: Mapping[str, Any],
         "mem2_0": mem_p(15), "mem2_1": mem_p(16), "mem2_2": mem_p(17),
         "tgrow2": tgrow_p(19, 2, N_F[2]), "conv2": conv_p(20, bias=False),
         "conv_out": conv_p(22),
+    }
+    if "encoder.0.weight" in sd:
+        out.update(convert_taehv_encoder_state_dict(sd, dtype))
+    return out
+
+
+def convert_taehv_encoder_state_dict(sd: Mapping[str, Any],
+                                     dtype=jnp.float32) -> Params:
+    """taew2_1.pth encoder subtree -> pytree (keys encoder.{i}.*; layer
+    indices from taehv.py:175-181)."""
+    def _np(t):
+        return t if isinstance(t, np.ndarray) else \
+            t.detach().to("cpu").float().numpy()
+
+    def conv_p(i, bias=True):
+        p = {"w": jnp.asarray(
+            _np(sd[f"encoder.{i}.weight"]).transpose(2, 3, 1, 0), dtype)}
+        if bias and f"encoder.{i}.bias" in sd:
+            p["b"] = jnp.asarray(_np(sd[f"encoder.{i}.bias"]), dtype)
+        return p
+
+    def mem_p(i):
+        base = f"encoder.{i}"
+        p = {}
+        for j, name in ((0, "conv0"), (2, "conv1"), (4, "conv2")):
+            p[name] = {
+                "w": jnp.asarray(_np(sd[f"{base}.conv.{j}.weight"])
+                                 .transpose(2, 3, 1, 0), dtype),
+                "b": jnp.asarray(_np(sd[f"{base}.conv.{j}.bias"]), dtype)}
+        if base + ".skip.weight" in sd:
+            p["skip"] = {"w": jnp.asarray(
+                _np(sd[base + ".skip.weight"]).transpose(2, 3, 1, 0), dtype)}
+        return p
+
+    def tpool_p(i):
+        return {"w": jnp.asarray(
+            _np(sd[f"encoder.{i}.conv.weight"]).transpose(2, 3, 1, 0), dtype)}
+
+    return {
+        "enc_in": conv_p(0),
+        "tpool0": tpool_p(2), "enc_conv0": conv_p(3, bias=False),
+        "emem0_0": mem_p(4), "emem0_1": mem_p(5), "emem0_2": mem_p(6),
+        "tpool1": tpool_p(7), "enc_conv1": conv_p(8, bias=False),
+        "emem1_0": mem_p(9), "emem1_1": mem_p(10), "emem1_2": mem_p(11),
+        "tpool2": tpool_p(12), "enc_conv2": conv_p(13, bias=False),
+        "emem2_0": mem_p(14), "emem2_1": mem_p(15), "emem2_2": mem_p(16),
+        "enc_out": conv_p(17),
     }

@@ -97,10 +97,13 @@ def test_exported_checkpoint_loads_into_reference():
     # pytree init when dim == 5120; ours has it for dim != 5120
     tsd = {k: torch.from_numpy(np.ascontiguousarray(v))
            for k, v in sd.items()}
-    missing, unexpected = model.load_state_dict(tsd, strict=False)
-    assert not unexpected, unexpected
-    # only non-parameter buffers (freqs) may be missing
-    assert all("freqs" in k for k in missing), missing
+    # the only keys an export can't produce are the model's own
+    # non-parameter `freqs` RoPE buffers — inject them from the reference
+    # model itself so the load is literally strict (ADVICE r2)
+    for k, v in model.state_dict().items():
+        if "freqs" in k:
+            tsd[k] = v
+    model.load_state_dict(tsd, strict=True)
 
     B, F, C, H, W = 1, 2, 16, 8, 8
     FS = (H // 2) * (W // 2)

@@ -46,6 +46,34 @@ def test_taehv_decode_matches_torch(ref_taehv):
     np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-4)
 
 
+def test_taehv_encode_matches_torch(ref_taehv):
+    import torch
+    mod, model = ref_taehv
+    params = _torch_params_to_jax(model)
+    rng = np.random.default_rng(7)
+    x = rng.uniform(size=(1, 8, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        ref = model.encode_video(torch.from_numpy(x), parallel=True,
+                                 show_progress_bar=False).numpy()
+    out = taehv_mod.encode_video(params, jnp.asarray(x))
+    assert out.shape == ref.shape  # [1, 2, 16, 8, 8]
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-4)
+
+
+def test_taehv_encode_decode_round_trip(ref_taehv):
+    # encode -> decode round-trips through the latent space without
+    # blowing up (shape contract: T px -> T/4 latents -> T-3 px).
+    _, model = ref_taehv
+    params = _torch_params_to_jax(model)
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.uniform(size=(1, 8, 3, 64, 64)).astype(np.float32))
+    lat = taehv_mod.encode_video(params, x)
+    assert lat.shape == (1, 2, 16, 8, 8)
+    px = taehv_mod.decode_video(params, lat, trim=True)
+    assert px.shape == (1, 2 * 4 - taehv_mod.FRAMES_TO_TRIM, 3, 64, 64)
+    assert np.isfinite(np.asarray(px)).all()
+
+
 def test_taehv_streamer_matches_full_decode(ref_taehv):
     _, model = ref_taehv
     params = _torch_params_to_jax(model)
