@@ -84,60 +84,75 @@ def main():
         encode = models.encode_text
         H, W, F = LATENT_HEIGHT, LATENT_WIDTH, 21
 
-    if args.quantize:
-        from self_forcing_tpu.ops.quant import quantize_dit_params
-        params = quantize_dit_params(params, mode=args.quantize_mode)
-        print(f"[demo] int8 linears enabled ({args.quantize_mode})")
-
     pipeline = CausalInferencePipeline(config, params, cfg)
 
-    # ---- chunk decoder: TAEHV or streaming Wan VAE
-    if args.taehv and os.path.exists(args.taehv_checkpoint):
+    # int8 param tree built lazily on the first quantized request
+    # (per-request toggle, reference demo.py:581-584 enable_fp8)
+    def quantized_params_fn():
+        from self_forcing_tpu.ops.quant import quantize_dit_params
+        min_dim = 64 if size == "tiny" else 512
+        print(f"[demo] quantizing DiT linears ({args.quantize_mode})")
+        return quantize_dit_params(params, mode=args.quantize_mode,
+                                   min_dim=min_dim)
+
+    # ---- chunk decoders: streaming Wan VAE always; TAEHV when available
+    state = {"cache": None}
+
+    def reset_decoder():
+        state["cache"] = None
+
+    def decode_chunk(latents):
+        z = latents.astype(jnp.float32).transpose(0, 1, 3, 4, 2)
+        if state["cache"] is None:
+            state["cache"] = vae_mod.init_decoder_cache(
+                vae_params, vae_cfg, z.shape[0], z.shape[2], z.shape[3],
+                jnp.float32)
+            out0, state["cache"] = vae_mod.decode_frame(
+                vae_params, vae_cfg, z[:, :1], state["cache"], True)
+            outs = [out0]
+            rest = range(1, z.shape[1])
+        else:
+            outs, rest = [], range(z.shape[1])
+        for i in rest:
+            y, state["cache"] = vae_mod.decode_frame(
+                vae_params, vae_cfg, z[:, i:i + 1], state["cache"],
+                False)
+            outs.append(y)
+        px = jnp.clip(jnp.concatenate(outs, axis=1) * 0.5 + 0.5, 0, 1)
+        # device-side u8; DemoApp fetches after dispatching the next
+        # block (see demo_server._generate lookahead)
+        return (px[0] * 255).astype(jnp.uint8)
+
+    taehv_decoder = None
+    tae_params = None
+    if os.path.exists(args.taehv_checkpoint):
         from self_forcing_tpu.models import taehv as taehv_mod
         from self_forcing_tpu.utils.checkpoints import load_torch_state_dict
         tae_params = taehv_mod.convert_taehv_state_dict(
             load_torch_state_dict(args.taehv_checkpoint))
+    elif size == "tiny":  # CPU smoke: random-init fast decoder
+        from self_forcing_tpu.models import taehv as taehv_mod
+        tae_params = taehv_mod.init_decoder_params(jax.random.PRNGKey(2))
+    if tae_params is not None:
         streamer = taehv_mod.TAEHVStreamer(tae_params, overlap=3)
-        reset_decoder = streamer.reset
 
-        def decode_chunk(latents):
+        def decode_chunk_tae(latents):
             px = streamer.decode_chunk(latents.astype(jnp.float32))
             # u8 cast ON DEVICE and no fetch here: DemoApp pulls the pixels
             # one block later (lookahead), and u8 is 4x fewer bytes through
             # the device transport than f32
             return (jnp.clip(px[0].transpose(0, 2, 3, 1), 0, 1)
                     * 255).astype(jnp.uint8)
-    else:
-        state = {"cache": None}
 
-        def reset_decoder():
-            state["cache"] = None
-
-        def decode_chunk(latents):
-            z = latents.astype(jnp.float32).transpose(0, 1, 3, 4, 2)
-            if state["cache"] is None:
-                state["cache"] = vae_mod.init_decoder_cache(
-                    vae_params, vae_cfg, z.shape[0], z.shape[2], z.shape[3],
-                    jnp.float32)
-                out0, state["cache"] = vae_mod.decode_frame(
-                    vae_params, vae_cfg, z[:, :1], state["cache"], True)
-                outs = [out0]
-                rest = range(1, z.shape[1])
-            else:
-                outs, rest = [], range(z.shape[1])
-            for i in rest:
-                y, state["cache"] = vae_mod.decode_frame(
-                    vae_params, vae_cfg, z[:, i:i + 1], state["cache"],
-                    False)
-                outs.append(y)
-            px = jnp.clip(jnp.concatenate(outs, axis=1) * 0.5 + 0.5, 0, 1)
-            # device-side u8; DemoApp fetches after dispatching the next
-            # block (see demo_server._generate lookahead)
-            return (px[0] * 255).astype(jnp.uint8)
+        taehv_decoder = (decode_chunk_tae, streamer.reset)
 
     app = DemoApp(pipeline, encode, decode_chunk,
                   latent_shape=(1, F, 16, H, W), fps=args.fps,
-                  reset_decoder_fn=reset_decoder)
+                  reset_decoder_fn=reset_decoder,
+                  taehv_decoder=taehv_decoder,
+                  quantized_params_fn=quantized_params_fn,
+                  default_taehv=args.taehv,
+                  default_quantize=args.quantize)
     app.serve(args.host, args.port)
 
 

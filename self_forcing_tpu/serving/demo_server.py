@@ -43,7 +43,15 @@ class DemoApp:
 
     def __init__(self, pipeline, encode_text_fn, decode_chunk_fn,
                  latent_shape=(1, 21, 16, 60, 104), fps: float = 6.0,
-                 reset_decoder_fn=None):
+                 reset_decoder_fn=None, taehv_decoder=None,
+                 quantized_params_fn=None, default_taehv: bool = False,
+                 default_quantize: bool = False):
+        """``taehv_decoder``: optional (decode_fn, reset_fn) pair for the
+        fast-VAE mode; ``quantized_params_fn``: lazy builder of the int8
+        DiT param tree.  Both make the speed modes per-request toggles
+        read out of each start_generation payload, like the reference
+        (demo.py:581-584 enable_fp8 / use_taehv); the CLI flags become
+        the defaults for requests that don't specify."""
         self.pipeline = pipeline
         self.encode_text = encode_text_fn
         self.decode_chunk = decode_chunk_fn  # latents [B,nb,C,h,w] -> u8 px
@@ -51,12 +59,50 @@ class DemoApp:
         # carry temporal caches (VAE feat cache / TAEHV tail) that must
         # not leak the previous video's state into the next one
         self.reset_decoder = reset_decoder_fn
+        self._decoders = {"wan": (decode_chunk_fn, reset_decoder_fn)}
+        if taehv_decoder is not None:
+            self._decoders["taehv"] = tuple(taehv_decoder)
+        self._quantized_params_fn = quantized_params_fn
+        self._base_params = getattr(pipeline, "params", None)
+        self._quantized_params = None
+        self.default_taehv = bool(default_taehv)
+        self.default_quantize = bool(default_quantize)
+        self.active_taehv = self.default_taehv and "taehv" in self._decoders
+        self.active_quantize = (self.default_quantize
+                                and quantized_params_fn is not None)
         self.latent_shape = tuple(latent_shape)
         self.fps = fps
         self.stop_event = threading.Event()
         self.busy = False
         self._busy_lock = threading.Lock()
         self._owner_conn = None  # connection that started the active run
+
+    def _apply_toggles(self, data: dict):
+        """Per-request speed modes (reference demo.py:581-584): accepts
+        both our key names (taehv/quantize) and the reference frontend's
+        (use_taehv/enable_fp8).  Runs between generations only — the
+        caller holds the busy claim."""
+        want_taehv = bool(data.get(
+            "taehv", data.get("use_taehv", self.default_taehv)))
+        if want_taehv and "taehv" not in self._decoders:
+            want_taehv = False  # no checkpoint loaded at server start
+        self.decode_chunk, self.reset_decoder = \
+            self._decoders["taehv" if want_taehv else "wan"]
+        self.active_taehv = want_taehv
+
+        want_quant = bool(data.get(
+            "quantize", data.get("enable_fp8", self.default_quantize)))
+        if want_quant and self._quantized_params_fn is None \
+                and self._quantized_params is None:
+            want_quant = False
+        if self._base_params is not None:
+            if want_quant:
+                if self._quantized_params is None:
+                    self._quantized_params = self._quantized_params_fn()
+                self.pipeline.params = self._quantized_params
+            else:
+                self.pipeline.params = self._base_params
+        self.active_quantize = want_quant
 
     # --------------------------------------------------------- generation
     def _generate(self, conn: WebSocketConnection, prompt: str, seed: int):
@@ -117,15 +163,20 @@ class DemoApp:
         # only synchronization point.
         pending = None
 
+        t_block = [time.time()]
+
         def flush_pending():
             nonlocal pending, n_blocks
             if pending is None:
                 return
             frames, pending = np.asarray(pending), None
             n_blocks += 1
+            now = time.time()
             conn.send_event("block_ready", {
                 "block": n_blocks,
-                "elapsed_s": round(time.time() - t_start, 3)})
+                "block_s": round(now - t_block[0], 3),
+                "elapsed_s": round(now - t_start, 3)})
+            t_block[0] = now
             for f in frames:
                 if not put_frame(f):
                     break
@@ -135,6 +186,7 @@ class DemoApp:
             rng = jax.random.PRNGKey(seed)
             noise = jax.random.normal(rng, self.latent_shape, jnp.bfloat16)
             t_start = time.time()
+            t_block[0] = t_start
             gen = self.pipeline.stream(noise, context, rng=rng)
             while not self.stop_event.is_set():
                 blk = next(gen, None)
@@ -186,6 +238,7 @@ class DemoApp:
                     conn.send_event("error", {"message": "busy"})
                     continue
                 self._owner_conn = conn
+                self._apply_toggles(data)
                 t = threading.Thread(
                     target=self._generate,
                     args=(conn, data.get("prompt", ""),
@@ -206,6 +259,11 @@ class DemoApp:
         body = json.dumps({
             "busy": self.busy,
             "fps": self.fps,
+            "taehv": self.active_taehv,
+            "quantize": self.active_quantize,
+            "taehv_available": "taehv" in self._decoders,
+            "quantize_available": (self._quantized_params_fn is not None
+                                   or self._quantized_params is not None),
             "hbm_free_gb": round(
                 (hbm["bytes_limit"] - hbm["bytes_in_use"]) / 1024 ** 3, 2),
             "hbm_in_use_gb": round(hbm["bytes_in_use"] / 1024 ** 3, 2),

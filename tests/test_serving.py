@@ -394,6 +394,74 @@ def test_demo_app_lookahead_flushes_pending_on_error():
     assert "device poof" in err["message"]
 
 
+def test_demo_app_per_request_toggles():
+    """Flipping taehv/quantize between two generations in one server
+    lifetime swaps the decoder and the pipeline param tree per request
+    (reference demo.py:581-584 reads enable_fp8/use_taehv out of each
+    start_generation payload)."""
+    import time as _time
+    from self_forcing_tpu.serving.demo_server import DemoApp
+    from self_forcing_tpu.serving.websocket import make_server
+
+    used = []
+
+    class FakePipe:
+        params = "base"
+
+        def stream(self, noise, context, rng=None):
+            used.append(("params", self.params))
+            yield np.zeros((1, 1, 16, 4, 4), np.float32)
+
+    def wan_decode(blk):
+        used.append(("decoder", "wan"))
+        return np.zeros((1, 8, 8, 3), np.uint8)
+
+    def tae_decode(blk):
+        used.append(("decoder", "taehv"))
+        return np.zeros((1, 8, 8, 3), np.uint8)
+
+    app = DemoApp(FakePipe(), encode_text_fn=lambda p: np.zeros((1, 4, 8)),
+                  decode_chunk_fn=wan_decode,
+                  latent_shape=(1, 1, 16, 4, 4), fps=100.0,
+                  taehv_decoder=(tae_decode, lambda: None),
+                  quantized_params_fn=lambda: "int8")
+    server = make_server("127.0.0.1", 0, {"/api/status": app.status},
+                         app.ws_handler)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        s = _client_handshake(port)
+
+        def run_one(payload):
+            _client_send(s, "start_generation", dict(payload, prompt="p",
+                                                     seed=0))
+            deadline = _time.time() + 20
+            while _time.time() < deadline:
+                if _client_recv(s)["event"] == "generation_complete":
+                    break
+            for _ in range(100):
+                if not app.busy:
+                    return
+                _time.sleep(0.05)
+
+        run_one({})                                   # defaults: wan + base
+        run_one({"taehv": True, "quantize": True})    # both speed modes
+        run_one({"use_taehv": False, "enable_fp8": False})  # ref key names
+        assert used == [
+            ("params", "base"), ("decoder", "wan"),
+            ("params", "int8"), ("decoder", "taehv"),
+            ("params", "base"), ("decoder", "wan")]
+
+        import urllib.request
+        status = json.loads(urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/api/status", timeout=5).read())
+        assert status["taehv_available"] and status["quantize_available"]
+        assert status["taehv"] is False and status["quantize"] is False
+        s.close()
+    finally:
+        server.shutdown()
+
+
 def test_taehv_streamer_short_first_chunk(ref_taehv):
     """A first chunk shorter than the overlap (independent first frame)
     must not drop fresh pixel frames: frame counts stay 4*T_new per chunk
