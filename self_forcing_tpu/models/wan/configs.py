@@ -35,7 +35,18 @@ class WanConfig:
     # matmuls on the MXU int8 path (the attention analog of the reference
     # demo's FP8 linears, demo.py:277-283); None = full-precision parity
     attn_quant: str | None = None
-    # Attention softmax mode: 'bounded' replaces the online running max
+    # Attention softmax mode (decode path; TPU kernels only):
+    # 'free' (default) — offset-free base-2 softmax: scale*log2(e) is
+    #   folded into the q-norm gain and the kernel computes p = 2^s with
+    #   no stability offset at all (softmax needs a max only for range
+    #   control, and qk-normed scores sit ~±11 nats — far inside exp2's
+    #   ±126).  A one-op in-kernel clamp at 80 log2-units makes it
+    #   overflow-proof for arbitrary data: exact below the clamp, and
+    #   past it the top scores flatten instead of producing inf/NaN.
+    #   The training flash kernel has the same mode (backward exact via
+    #   the base-e lse at scale=ln2); the int8 decode kernels fall back
+    #   to 'bounded' (they need the m0 quantization bound).
+    # 'bounded' replaces the online running max
     # with a per-layer score upper bound (exact softmax, ~12% faster
     # kernel on v5e — ops/pallas_attention.py); 'online' = flash-attention
     # running max (bit-matches the historical kernel).  CAVEAT: 'bounded'

@@ -41,6 +41,8 @@ from self_forcing_tpu.ops.masks import IntervalMask
 
 Params = dict  # nested dict pytree of jnp arrays
 
+LOG2E = 1.4426950408889634  # offset-free softmax works in base 2
+
 
 # =====================================================================
 # primitives
@@ -291,11 +293,17 @@ def _heads(cfg: WanConfig, x: jax.Array) -> jax.Array:
     return x.reshape(B, L, cfg.num_heads, cfg.head_dim)
 
 
-def _qkv(p: Params, cfg: WanConfig, x: jax.Array):
+def _qkv(p: Params, cfg: WanConfig, x: jax.Array,
+         q_gain: float | None = None):
     q, k, v = _qkv_project(p, x)
     if cfg.qk_norm:
-        q = _qk_rms_norm(q, p["norm_q"]["w"], cfg)
+        wq = p["norm_q"]["w"]
+        if q_gain is not None:
+            wq = wq * jnp.asarray(q_gain, wq.dtype)
+        q = _qk_rms_norm(q, wq, cfg)
         k = _qk_rms_norm(k, p["norm_k"]["w"], cfg)
+    elif q_gain is not None:
+        q = q * jnp.asarray(q_gain, q.dtype)
     return _heads(cfg, q), _heads(cfg, k), _heads(cfg, v)
 
 
@@ -374,15 +382,26 @@ def _qkv_project(p: Params, x: jax.Array):
 
 
 def _qkv_rope_packed(p: Params, cfg: WanConfig, x: jax.Array,
-                     cos: jax.Array, sin: jax.Array):
+                     cos: jax.Array, sin: jax.Array,
+                     q_gain: float | None = None):
     """q/k/v in the natural [B, L, N*D] layout with RoPE applied through a
     bitcast head view — zero transposes (pairs with the attention
     kernels' ``heads_packed`` column slicing; the [BN, L, D] fold costs
-    two f32 layout copies per tensor at 1.3B geometry)."""
+    two f32 layout copies per tensor at 1.3B geometry).
+
+    ``q_gain``: static scalar folded into q (via the qk-norm gain — a
+    free [dim]-vector multiply) for the offset-free softmax kernel,
+    which wants ``head_dim**-0.5 * log2(e)`` pre-applied (RoPE is a
+    per-pair rotation, so the fold commutes with it exactly)."""
     q, k, v = _qkv_project(p, x)
     if cfg.qk_norm:
-        q = _qk_rms_norm(q, p["norm_q"]["w"], cfg)
+        wq = p["norm_q"]["w"]
+        if q_gain is not None:
+            wq = wq * jnp.asarray(q_gain, wq.dtype)
+        q = _qk_rms_norm(q, wq, cfg)
         k = _qk_rms_norm(k, p["norm_k"]["w"], cfg)
+    elif q_gain is not None:
+        q = q * jnp.asarray(q_gain, q.dtype)
     B, L, _ = q.shape
     N, D = cfg.num_heads, cfg.head_dim
 
@@ -394,16 +413,22 @@ def _qkv_rope_packed(p: Params, cfg: WanConfig, x: jax.Array,
 
 
 def _qkv_rope_folded(p: Params, cfg: WanConfig, x: jax.Array,
-                     cos: jax.Array, sin: jax.Array):
+                     cos: jax.Array, sin: jax.Array,
+                     q_gain: float | None = None):
     """q/k/v in the folded [B*N, L, D] layout with RoPE applied (q, k).
 
     Same math as _qkv + _rope_half (causal_model.py:111-117,195-200);
     the fold happens on the bf16 norm output and all rotation arithmetic
-    stays in the kernel layout."""
+    stays in the kernel layout.  ``q_gain``: see _qkv_rope_packed."""
     q, k, v = _qkv_project(p, x)
     if cfg.qk_norm:
-        q = _qk_rms_norm(q, p["norm_q"]["w"], cfg)
+        wq = p["norm_q"]["w"]
+        if q_gain is not None:
+            wq = wq * jnp.asarray(q_gain, wq.dtype)
+        q = _qk_rms_norm(q, wq, cfg)
         k = _qk_rms_norm(k, p["norm_k"]["w"], cfg)
+    elif q_gain is not None:
+        q = q * jnp.asarray(q_gain, q.dtype)
     qf = _rope_half_folded(_fold_heads(cfg, q), cos, sin)
     kf = _rope_half_folded(_fold_heads(cfg, k), cos, sin)
     return qf, kf, _fold_heads(cfg, v)
@@ -621,11 +646,19 @@ def _block_train(bp: Params, cfg: WanConfig, x: jax.Array, e0: jax.Array,
 
     # self attention
     xn = _modulate(layer_norm(x, cfg.eps), e_shift, e_scale, frame_seqlen)
-    q, k, v = _qkv(bp["self_attn"], cfg, xn)
+    free = (attn_fn is None and cfg.attn_softmax == "free"
+            and _bounded_active())
+    q_gain = (cfg.head_dim ** -0.5) * LOG2E if free else None
+    q, k, v = _qkv(bp["self_attn"], cfg, xn, q_gain=q_gain)
     q = _rope_half(q, rope_cos, rope_sin)
     k = _rope_half(k, rope_cos, rope_sin)
     if attn_fn is not None:
         attn = attn_fn(q, k, v)
+    elif free:
+        # offset-free base-2 softmax (scale*log2e folded into q above);
+        # the kernel's backward recomputes p from the base-e lse at
+        # scale=ln(2) — exact (ops/pallas_attention.py)
+        attn = flash_attention(q, k, v, mask, softmax="free")
     else:
         m0 = None
         if cfg.attn_softmax == "bounded" and _bounded_active():
@@ -691,9 +724,20 @@ def _block_decode_fresh(bp: Params, cfg: WanConfig, x: jax.Array,
 
     # attn_quant='int8' + the bound routes to the SAFE tile-bounded int8
     # kernel (per-row within-tile max; no global-m0 truncation cliff) —
-    # the fastest shippable variant (ops/pallas_attention.py)
-    bounded = (cfg.attn_softmax == "bounded"
+    # the fastest shippable int8 variant (ops/pallas_attention.py)
+    mode = cfg.attn_softmax
+    if mode == "free" and cfg.attn_quant is not None:
+        mode = "bounded"  # the int8 kernels need the m0 bound
+    bounded = (mode == "bounded"
                and kmax_layer is not None and _bounded_active())
+    # offset-free base-2 softmax (the bf16 default): scale*log2(e) is
+    # pre-folded into q's norm gain and the kernel computes p = 2^s with
+    # NO stability offset and a one-op overflow clamp — exact softmax for
+    # any scores < 80 log2-units (ops/pallas_attention.py).
+    free = mode == "free" and _bounded_active()
+    q_gain = (cfg.head_dim ** -0.5) * LOG2E if free else None
+    sm = "free" if free else None
+    sc = 1.0 if free else None
     kn_norm = None
     xn = _modulate(layer_norm(x, cfg.eps), e_shift, e_scale, frame_seqlen)
     if _packed_ok(cfg):
@@ -701,7 +745,7 @@ def _block_decode_fresh(bp: Params, cfg: WanConfig, x: jax.Array,
         # kernel slices head blocks out of the lane dimension
         # (heads_packed), so no transpose exists on the denoise hot path
         qp, kp, vp = _qkv_rope_packed(bp["self_attn"], cfg, xn,
-                                      rope_cos, rope_sin)
+                                      rope_cos, rope_sin, q_gain=q_gain)
         m0 = None
         if bounded:
             # score bound s <= scale * max|q_row| * max|k_row| over the
@@ -711,11 +755,12 @@ def _block_decode_fresh(bp: Params, cfg: WanConfig, x: jax.Array,
                 * jnp.maximum(kmax_layer, kn_norm)
         attn = decode_attention_fresh(qp, k_layer, v_layer, kp, vp,
                                       attn_lo, cache_hi,
+                                      scale=sc,
                                       static_hi=static_kv_hi,
                                       quant=cfg.attn_quant,
                                       layer_idx=layer_idx,
                                       heads_packed=cfg.num_heads,
-                                      fixed_m0=m0)
+                                      fixed_m0=m0, softmax=sm)
         y = _out_linear(bp["self_attn"]["o"], attn, cfg)
         kf = vf = None  # folded on demand below
     else:
@@ -723,7 +768,7 @@ def _block_decode_fresh(bp: Params, cfg: WanConfig, x: jax.Array,
         # a head, use the folded layout
         qp, kp, vp = None, None, None
         qf, kf, vf = _qkv_rope_folded(bp["self_attn"], cfg, xn,
-                                      rope_cos, rope_sin)
+                                      rope_cos, rope_sin, q_gain=q_gain)
         m0 = None
         if bounded:
             kn_norm = _max_row_norm(kf, None)
@@ -731,10 +776,11 @@ def _block_decode_fresh(bp: Params, cfg: WanConfig, x: jax.Array,
                 * jnp.maximum(kmax_layer, kn_norm)
         attn = decode_attention_fresh(qf, k_layer, v_layer, kf, vf,
                                       attn_lo, cache_hi,
+                                      scale=sc,
                                       static_hi=static_kv_hi,
                                       quant=cfg.attn_quant,
                                       layer_idx=layer_idx,
-                                      fixed_m0=m0)
+                                      fixed_m0=m0, softmax=sm)
         y = _out_linear(bp["self_attn"]["o"], _unfold_heads(cfg, attn),
                         cfg)
     x = x + _gate(y, e_gate, frame_seqlen)

@@ -22,6 +22,7 @@ fallback, dispatch is via ``use_pallas``.
 """
 from __future__ import annotations
 
+import math
 from functools import partial
 
 import jax
@@ -146,18 +147,24 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                     mask: IntervalMask | None = None,
                     scale: float | None = None,
                     kv_chunk: int = 1024,
-                    fixed_m0: jax.Array | None = None) -> jax.Array:
+                    fixed_m0: jax.Array | None = None,
+                    softmax: str | None = None) -> jax.Array:
     """Masked long-sequence attention; dispatches to the Pallas kernel on
     TPU, the XLA chunked online-softmax reference elsewhere.
 
     ``fixed_m0``: optional f32 score upper bound enabling the Pallas
     kernel's bounded-offset softmax (exact; skips the running-max chain —
-    see pallas_attention._flash_kernel).  Ignored by the XLA path."""
+    see pallas_attention._flash_kernel).  Ignored by the XLA path.
+    ``softmax='free'``: offset-free base-2 softmax; the caller pre-folded
+    head_dim**-0.5 * log2(e) into q.  The XLA fallback recovers base-e
+    exactness at scale=ln(2)."""
     if _use_pallas():
         from self_forcing_tpu.ops.pallas_attention import (
             flash_attention_pallas)
         return flash_attention_pallas(q, k, v, mask, scale=scale,
-                                      fixed_m0=fixed_m0)
+                                      fixed_m0=fixed_m0, softmax=softmax)
+    if softmax == "free":
+        scale = math.log(2.0)
     return flash_attention_xla(q, k, v, mask, scale=scale,
                                kv_chunk=kv_chunk)
 
@@ -240,7 +247,8 @@ def decode_attention_fresh(q: jax.Array, k_cache: jax.Array,
                            quant: str | None = None,
                            layer_idx: jax.Array | None = None,
                            heads_packed: int | None = None,
-                           fixed_m0: float | None = None) -> jax.Array:
+                           fixed_m0: float | None = None,
+                           softmax: str | None = None) -> jax.Array:
     """KV-cache attention where the *current block's* K/V have not been
     written into the cache yet: queries see cache[kv_start:kv_end) plus all
     of k_new/v_new.
@@ -268,6 +276,12 @@ def decode_attention_fresh(q: jax.Array, k_cache: jax.Array,
     head blocks out of the lane dimension, so no transpose exists around
     the call (the [BN, L, D] fold costs ~8 ms/forward in f32 layout
     copies at 1.3B geometry).
+
+    ``softmax='free'``: offset-free base-2 softmax — the caller has
+    pre-folded ``head_dim**-0.5 * log2(e)`` into q and verified the
+    static qk-norm weight bound (models/wan/dit.py
+    free_softmax_score_bound); pass ``scale=1.0``.  The XLA fallback
+    recovers exactness by running base-e softmax at scale*ln(2).
     """
     if _use_pallas():
         from self_forcing_tpu.ops.pallas_attention import (
@@ -279,7 +293,11 @@ def decode_attention_fresh(q: jax.Array, k_cache: jax.Array,
                                              quant=quant,
                                              layer_idx=layer_idx,
                                              heads_packed=heads_packed,
-                                             fixed_m0=fixed_m0)
+                                             fixed_m0=fixed_m0,
+                                             softmax=softmax)
+    if softmax == "free":
+        # base-2 softmax of (s * scale) == base-e softmax at scale*ln(2)
+        scale = (1.0 if scale is None else scale) * math.log(2.0)
     if k_cache.ndim == 4 and layer_idx is not None:
         k_cache = jax.lax.dynamic_index_in_dim(k_cache, layer_idx, 0,
                                                keepdims=False)

@@ -307,6 +307,38 @@ def _decode_fresh_kernel(li_ref, lo_ref, hi_ref, m0_ref, q_ref, k_ref,
     live = jnp.where(is_cache, (kv_base < hi) & (kv_base + tk > lo), True)
 
     def _accumulate(k, v, vis):
+        if bounded in ("free", "free_noclamp"):
+            # OFFSET-FREE softmax: with qk-norm the scores are bounded by
+            # activation norms that sit ~11 nats at unit gains — far from
+            # exp2's +/-126 range — so softmax needs NO stability offset
+            # at all: not the online running max, not even the bounded
+            # mode's m0 bias.  p = 2^s directly; the caller pre-folds
+            # scale * log2(e) into q (models/wan/dit.py folds it into the
+            # q-norm gain, a free [dim]-vector multiply), so the whole
+            # per-score-element VPU chain is clamp -> exp2 -> bf16-convert
+            # -> l-sum.  The one-op upper clamp at 80 log2-units makes the
+            # kernel overflow-proof for ARBITRARY data (exact whenever
+            # scores < 80 ~ 55 nats, which full-dim qk-norm keeps by a
+            # wide margin; past it the top scores flatten gracefully
+            # instead of producing inf/NaN).  'free_noclamp' drops the
+            # clamp for kernel A/Bs.
+            s = jax.lax.dot_general(q_ref[0], k, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            if scale != 1.0:
+                s = s * scale
+            if vis is not None:
+                s = jnp.where(vis, s, NEG_INF)
+            if bounded == "free":
+                s = jnp.minimum(s, 80.0)
+            p = jnp.exp2(s)
+            l_scr[pl.ds(row, tq), 0:1] = (
+                l_scr[pl.ds(row, tq), 0:1]
+                + jnp.sum(p, axis=-1, keepdims=True))
+            pv = jax.lax.dot_general(p.astype(jnp.bfloat16), v,
+                                     (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            acc_scr[pl.ds(row, tq), :] = acc_scr[pl.ds(row, tq), :] + pv
+            return
         if bounded:
             # BOUNDED-offset softmax: the caller passes a per-layer upper
             # bound m0 >= max score (Cauchy-Schwarz over q/cached-K row
@@ -321,7 +353,8 @@ def _decode_fresh_kernel(li_ref, lo_ref, hi_ref, m0_ref, q_ref, k_ref,
             # the MXU uncast.
             s = jax.lax.dot_general(q_ref[0], k, (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32)
-            s = s * scale
+            if scale != 1.0:
+                s = s * scale
             if vis is not None:
                 s = jnp.where(vis, s, NEG_INF)
             p = jnp.exp(s - m0_ref[0])
@@ -754,14 +787,11 @@ def _decode_fresh_dispatch(q, k_cache, v_cache, k_new, v_new, kv_start,
                            kv_end, layer_idx, m0, scale, tq, tk, tf,
                            interpret, static_hi, quant=None,
                            heads_packed=None, bounded=False):
-    import os
-    # Opt-in experiment (measured SLOWER at full window than the static-
-    # grid kernel — Mosaic's managed pipelining wins; see PERF.md):
-    if os.environ.get("SF_TPU_DYN_DECODE", "0") == "1" and quant is None \
-            and k_cache.ndim == 3 and heads_packed is None:
-        return _decode_fresh_dyn_fwd(q, k_cache, v_cache, k_new, v_new,
-                                     kv_start, kv_end, scale, tq, tk,
-                                     interpret)
+    # (a dynamic-bound variant — grid (BN,) with an in-kernel fori_loop
+    # and hand-rolled double-buffered DMA over exactly the live tiles —
+    # was built and measured SLOWER at full window than this static-grid
+    # kernel: Mosaic's managed multi-dim-grid pipelining wins.  Removed
+    # in round 3; PERF.md records the numbers, git history the code.)
     return _decode_fresh_fwd(q, k_cache, v_cache, k_new, v_new, kv_start,
                              kv_end, m0, scale, tq, tk, tf, interpret,
                              static_hi, quant, layer_idx, heads_packed,
@@ -799,6 +829,10 @@ def _decode_fresh_op_bwd(scale, tq, tk, tf, interpret, static_hi, quant,
     operand's own layout."""
     from self_forcing_tpu.ops import attention as xla_attn
     q, k_cache, v_cache, k_new, v_new, kv_start, kv_end, layer_idx = res
+    if bounded in ("free", "free_noclamp"):
+        # the forward computed softmax base-2 of (s * scale); the XLA
+        # reference's base-e softmax matches at scale * ln(2)
+        scale = scale * math.log(2.0)
     stacked = k_cache.ndim == 4 and layer_idx is not None
     folded_q = q.ndim == 3 and heads_packed is None
 
@@ -844,169 +878,6 @@ def _decode_fresh_op_bwd(scale, tq, tk, tf, interpret, static_hi, quant,
 _decode_fresh_op.defvjp(_decode_fresh_op_fwd, _decode_fresh_op_bwd)
 
 
-# ---------------------------------------------------------------------
-# dynamic-bound variant: grid (BN,), KV walked by an in-kernel fori_loop
-# over EXACTLY the live tiles (manual double-buffered DMA).  The static-
-# grid kernel above pays ~1 us per (dead) grid step — 1.7 ms/layer at the
-# 1.3B geometry when the window is nearly empty (early blocks); here dead
-# tiles simply do not exist.
-# ---------------------------------------------------------------------
-
-def _decode_fresh_dyn_kernel(lo_ref, hi_ref, q_hbm, kc_hbm, vc_hbm,
-                             kn_hbm, vn_hbm, o_hbm,
-                             qv, kbuf, vbuf, m_scr, l_scr, acc_scr,
-                             sem_q, sem_k, sem_v, sem_o, *,
-                             scale: float, tq: int, tk: int, qt: int,
-                             nf: int, fresh_len: int):
-    b = pl.program_id(0)
-    lo = lo_ref[0]
-    hi = hi_ref[0]
-
-    first = lo // tk
-    last = jax.lax.div(hi + tk - 1, tk)          # one past the last live
-    nc = jnp.maximum(last - first, 0)            # live cache tiles
-    total = nc + nf
-
-    pltpu.make_async_copy(q_hbm.at[b], qv, sem_q).start()
-
-    def start_fetch(i, slot):
-        is_cache = i < nc
-        tok = jnp.clip(first + i, 0, jnp.maximum(last - 1, 0)) * tk
-        j = jnp.clip(i - nc, 0, nf - 1) * tk
-
-        @pl.when(is_cache)
-        def _():
-            pltpu.make_async_copy(kc_hbm.at[b, pl.ds(tok, tk)],
-                                  kbuf.at[slot], sem_k.at[slot]).start()
-            pltpu.make_async_copy(vc_hbm.at[b, pl.ds(tok, tk)],
-                                  vbuf.at[slot], sem_v.at[slot]).start()
-
-        @pl.when(~is_cache)
-        def _():
-            pltpu.make_async_copy(kn_hbm.at[b, pl.ds(j, tk)],
-                                  kbuf.at[slot], sem_k.at[slot]).start()
-            pltpu.make_async_copy(vn_hbm.at[b, pl.ds(j, tk)],
-                                  vbuf.at[slot], sem_v.at[slot]).start()
-
-    def wait_fetch(slot):
-        # waits only consume the semaphore; both sources copy [tk, D]
-        pltpu.make_async_copy(kc_hbm.at[b, pl.ds(0, tk)],
-                              kbuf.at[slot], sem_k.at[slot]).wait()
-        pltpu.make_async_copy(vc_hbm.at[b, pl.ds(0, tk)],
-                              vbuf.at[slot], sem_v.at[slot]).wait()
-
-    start_fetch(jnp.int32(0), 0)
-
-    m_scr[...] = jnp.full_like(m_scr, NEG_INF)
-    l_scr[...] = jnp.zeros_like(l_scr)
-    acc_scr[...] = jnp.zeros_like(acc_scr)
-    pltpu.make_async_copy(q_hbm.at[b], qv, sem_q).wait()
-
-    def kv_step(i, _):
-        slot = jax.lax.rem(i, 2)
-
-        @pl.when(i + 1 < total)
-        def _():
-            start_fetch(i + 1, jax.lax.rem(i + 1, 2))
-
-        wait_fetch(slot)
-        is_cache = i < nc
-        base_c = (first + i) * tk
-        base_f = (i - nc) * tk
-        colid = jax.lax.broadcasted_iota(jnp.int32, (1, tk), 1)
-        # no bool-vector select (Mosaic can't legalize it): combine with &/|
-        vis_cache = (base_c + colid >= lo) & (base_c + colid < hi)
-        vis_fresh = base_f + colid < fresh_len
-        vis = (is_cache & vis_cache) | (~is_cache & vis_fresh)
-
-        k = kbuf[slot].astype(jnp.float32)
-        v = vbuf[slot].astype(jnp.float32)
-
-        def q_step(qi, _):
-            row = pl.multiple_of(qi * tq, tq)
-            q = qv[pl.ds(row, tq)].astype(jnp.float32) * scale
-            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
-            s = jnp.where(vis, s, NEG_INF)
-            m_prev = m_scr[pl.ds(row, tq), 0:1]
-            m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-            p = jnp.exp(s - m_new)
-            corr = jnp.exp(m_prev - m_new)
-            l_new = (l_scr[pl.ds(row, tq), 0:1] * corr
-                     + jnp.sum(p, axis=-1, keepdims=True))
-            pv = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
-            acc_scr[pl.ds(row, tq), :] = (acc_scr[pl.ds(row, tq), :] * corr
-                                          + pv)
-            m_scr[pl.ds(row, tq), :] = jnp.broadcast_to(m_new, (tq, 128))
-            l_scr[pl.ds(row, tq), :] = jnp.broadcast_to(l_new, (tq, 128))
-            return 0
-
-        jax.lax.fori_loop(0, qt, q_step, 0)
-        return 0
-
-    jax.lax.fori_loop(0, total, kv_step, 0)
-
-    qv[...] = (acc_scr[...]
-               / jnp.maximum(l_scr[:, 0:1], 1e-30)).astype(qv.dtype)
-    cp = pltpu.make_async_copy(qv, o_hbm.at[b], sem_o)
-    cp.start()
-    cp.wait()
-
-
-def _decode_fresh_dyn_fwd(q, k_cache, v_cache, k_new, v_new, kv_start,
-                          kv_end, scale, tq, tk, interpret):
-    # scoped VMEM is a hard 16MB: all-q softmax state (~7.6MB at Lq=4680)
-    # + [tq, tk] f32 score temporaries + kv double buffers must fit
-    tq, tk = min(tq, 256), min(tk, 1024)
-    Lq = q.shape[1]
-    D = q.shape[-1]
-    BN = q.shape[0] * (q.shape[2] if q.ndim == 4 else 1)
-    S = k_cache.shape[1]
-    Lf = k_new.shape[1]  # token axis in both layouts
-    qt = _cdiv(Lq, tq)
-    nf = _cdiv(Lf, tk)
-
-    qf = _pad_to(_fold_q(q), 1, qt * tq)
-    kf = _fold_kv(k_cache)
-    vf = _fold_kv(v_cache)
-    knf = _pad_to(_fold_kv(k_new).astype(kf.dtype), 1, nf * tk)
-    vnf = _pad_to(_fold_kv(v_new).astype(vf.dtype), 1, nf * tk)
-    if S % tk:
-        kf = _pad_to(kf, 1, _cdiv(S, tk) * tk)
-        vf = _pad_to(vf, 1, _cdiv(S, tk) * tk)
-
-    lo = jnp.asarray(kv_start, jnp.int32).reshape(1)
-    hi = jnp.asarray(kv_end, jnp.int32).reshape(1)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(BN,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 5,
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
-        scratch_shapes=[
-            pltpu.VMEM((qt * tq, D), qf.dtype),          # q / out staging
-            pltpu.VMEM((2, tk, D), kf.dtype),            # kv double buffers
-            pltpu.VMEM((2, tk, D), vf.dtype),
-            pltpu.VMEM((qt * tq, 128), jnp.float32),     # m
-            pltpu.VMEM((qt * tq, 128), jnp.float32),     # l
-            pltpu.VMEM((qt * tq, D), jnp.float32),       # acc
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA,
-        ],
-    )
-    out = pl.pallas_call(
-        functools.partial(_decode_fresh_dyn_kernel, scale=scale, tq=tq,
-                          tk=tk, qt=qt, nf=nf, fresh_len=Lf),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((BN, qt * tq, D), q.dtype),
-        interpret=interpret,
-    )(lo, hi, qf, kf, vf, knf, vnf)
-    return _unfold_like_q(out[:, :Lq], q)
-
-
 def decode_attention_fresh_pallas(q: jax.Array, k_cache: jax.Array,
                                   v_cache: jax.Array, k_new: jax.Array,
                                   v_new: jax.Array, kv_start: jax.Array,
@@ -1018,7 +889,9 @@ def decode_attention_fresh_pallas(q: jax.Array, k_cache: jax.Array,
                                   quant: Optional[str] = None,
                                   layer_idx: Optional[jax.Array] = None,
                                   heads_packed: Optional[int] = None,
-                                  fixed_m0=None
+                                  fixed_m0=None,
+                                  softmax: Optional[str] = None,
+                                  int8_bound: str = "tile"
                                   ) -> jax.Array:
     """Decode attention over cache[kv_start:kv_end) plus a fresh block of
     K/V that has not been written to the cache (read-only-cache fast path,
@@ -1030,10 +903,11 @@ def decode_attention_fresh_pallas(q: jax.Array, k_cache: jax.Array,
     kernel grid is then sized to exactly the live cache tiles.
 
     ``quant='int8'``: run both attention matmuls on the MXU int8 path
-    (demo-config speed toggle; see _decode_fresh_int8_kernel)."""
-    import os
-    tq = int(os.environ.get("SF_TPU_DECODE_TQ", tq))
-    tk = int(os.environ.get("SF_TPU_DECODE_TK", tk))
+    (demo-config speed toggle; see _decode_fresh_int8_kernel).
+    ``int8_bound``: 'tile' (safe per-row within-tile quantization, the
+    production default) or 'global' (quantize p against the global m0 —
+    faster but truncates scores > ln(254) nats below the bound; kernel
+    A/Bs only)."""
     D = q.shape[-1] if heads_packed is None else q.shape[-1] // heads_packed
     scale = (D ** -0.5) if scale is None else scale
     # exact-fit tiles: pick the tile count from the requested size, then
@@ -1054,13 +928,24 @@ def decode_attention_fresh_pallas(q: jax.Array, k_cache: jax.Array,
     gran = 32 if quant == "int8" else 8
     tf = max(gran, -(-_cdiv(Lf, ntf) // gran) * gran)
     li = None if layer_idx is None else jnp.asarray(layer_idx, jnp.int32)
+    if softmax in ("free", "free_noclamp"):
+        # offset-free base-2 softmax (see _decode_fresh_kernel): the
+        # caller has pre-folded scale*log2(e) into q (or passes it via
+        # ``scale``); 'free' carries the in-kernel overflow clamp.
+        assert quant is None, "free softmax is a bf16-path mode"
+        return _decode_fresh_op(q, k_cache, v_cache, k_new, v_new,
+                                jnp.asarray(kv_start, jnp.int32),
+                                jnp.asarray(kv_end, jnp.int32), li,
+                                jnp.asarray(0.0, jnp.float32),
+                                scale, tq, tk, tf, interpret, static_hi,
+                                None, heads_packed, softmax)
     bounded = fixed_m0 is not None
     if bounded and quant == "int8":
         # int8 p-quantization against the global m0 truncates scores
         # > ln(254) nats below the bound (unshippable cliff); default to
         # the safe per-tile-max variant, keep 'global' for kernel A/Bs.
-        bounded = ("global" if os.environ.get("SF_TPU_INT8_GLOBAL_M0",
-                                              "0") == "1" else "tile")
+        assert int8_bound in ("tile", "global"), int8_bound
+        bounded = int8_bound
     m0 = jnp.asarray(0.0 if fixed_m0 is None else fixed_m0, jnp.float32)
     return _decode_fresh_op(q, k_cache, v_cache, k_new, v_new,
                             jnp.asarray(kv_start, jnp.int32),
@@ -1234,7 +1119,17 @@ def _flash_kernel(tile_live_ref, m0_ref, s1_ref, e1_ref, s2_ref, e2_ref,
     state = tile_live_ref[qi, ki]
 
     def _compute(masked):
-        if bounded:
+        if bounded == "free":
+            # OFFSET-FREE base-2 softmax (see _decode_fresh_kernel): the
+            # caller pre-folded scale*log2(e) into q, p = 2^s with a
+            # one-op overflow clamp.  The lse contract stays base-e: with
+            # l = sum(2^s2), ln(l) = ln2 * log2(l), and the backward
+            # recomputes p = exp(ln2*s2 - ln(l)) = 2^(s2 - lse2) exactly
+            # when invoked at scale = ln(2) (flash_attention_pallas does).
+            s = jax.lax.dot_general(
+                q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        elif bounded:
             # BOUNDED-offset softmax (same trick as _decode_fresh_kernel):
             # m0 >= max score over the whole sequence, so exp(s - m0) is
             # exact softmax and the running-max correction chain is dead
@@ -1262,7 +1157,10 @@ def _flash_kernel(tile_live_ref, m0_ref, s1_ref, e1_ref, s2_ref, e2_ref,
             s = jnp.where(vis, s, NEG_INF)
 
         if bounded:
-            p = jnp.exp(s - m0_ref[0])
+            if bounded == "free":
+                p = jnp.exp2(jnp.minimum(s, 80.0))
+            else:
+                p = jnp.exp(s - m0_ref[0])
             l_scr[:, 0:1] = l_scr[:, 0:1] + jnp.sum(p, axis=-1,
                                                     keepdims=True)
             pv = jax.lax.dot_general(
@@ -1373,17 +1271,28 @@ def flash_attention_pallas(q: jax.Array, k: jax.Array, v: jax.Array,
                            scale: Optional[float] = None,
                            tq: int = 512, tk: int = 2048,
                            interpret: bool = False,
-                           fixed_m0=None) -> jax.Array:
+                           fixed_m0=None,
+                           softmax: Optional[str] = None) -> jax.Array:
     """Same signature/semantics as ops.attention.flash_attention.
 
     The mask's interval arrays must be host-known (they always are: mask
     geometry is static — ops/masks.py builds them with numpy).  Default
     tiles tuned on v5e at the 21-frame training geometry (L=32760,
     block-causal): ~75 effective TFLOP/s vs ~15 for the XLA reference (5x).
+
+    ``softmax='free'``: offset-free base-2 softmax — the caller has
+    pre-folded ``head_dim**-0.5 * log2(e)`` into q; the backward runs at
+    scale=ln(2) against the base-e lse the forward emits (exact; see
+    _flash_kernel).  Mutually exclusive with ``fixed_m0``.
     """
     B, Lq, N, D = q.shape
     Lk = k.shape[1]
-    scale = (D ** -0.5) if scale is None else scale
+    free = softmax == "free"
+    if free:
+        assert fixed_m0 is None
+        scale = 1.0
+    else:
+        scale = (D ** -0.5) if scale is None else scale
     if mask is None:
         s1 = np.zeros(Lq, np.int32)
         e1 = np.full(Lq, Lk, np.int32)
@@ -1403,7 +1312,11 @@ def flash_attention_pallas(q: jax.Array, k: jax.Array, v: jax.Array,
     btq = min(512, tq)
     btk = min(2048, tk)
 
-    bounded = fixed_m0 is not None
+    bounded = "free" if free else fixed_m0 is not None
+    # free mode: fwd p = 2^(s2) with lse = ln(sum 2^s2); the bwd kernels
+    # then recompute p = exp(ln2*s2 - lse) = 2^(s2 - lse2) exactly, and
+    # their dq/dk scale factor ln2 is the base-2 chain rule.
+    bwd_scale = math.log(2.0) if free else scale
 
     @functools.partial(jax.custom_vjp)
     def op(q_, k_, v_, m0_):
@@ -1418,7 +1331,7 @@ def flash_attention_pallas(q: jax.Array, k: jax.Array, v: jax.Array,
     def op_bwd(res, g):
         q_, k_, v_, out, lse = res
         dq, dk, dv = _flash_bwd(q_, k_, v_, out, lse, g, s1, e1, s2, e2,
-                                scale, btq, btk, interpret)
+                                bwd_scale, btq, btk, interpret)
         # the output is mathematically invariant to the softmax offset
         return dq, dk, dv, jnp.zeros((), jnp.float32)
 

@@ -389,12 +389,11 @@ def test_decode_fresh_bounded_matches_xla():
 
 def test_decode_fresh_int8_bounded_tight_bound():
     """quant='int8' + fixed_m0 with the GLOBAL-m0 variant (opt-in via
-    SF_TPU_INT8_GLOBAL_M0; kept for kernel A/Bs).  Only valid with a
+    int8_bound='global'; kept for kernel A/Bs).  Only valid with a
     TIGHT bound: p quantizes to int8 against m0, so scores more than
     ln(254) ~ 5.5 nats below the bound truncate to zero.  With slack
     inside that budget the output stays at int8-quantization
     tolerance."""
-    import os
     key = jax.random.PRNGKey(30)
     q, kc, vc = _qkv(key, 96, 256)
     kn = jax.random.normal(jax.random.fold_in(key, 1), (B, 96, N, D))
@@ -406,13 +405,10 @@ def test_decode_fresh_int8_bounded_tight_bound():
     sc = jnp.einsum("blnd,bsnd->bnls", q, jnp.concatenate(
         [kc[:, 32:200], kn], axis=1)) * scale
     m0 = float(jnp.max(sc)) + 0.5
-    os.environ["SF_TPU_INT8_GLOBAL_M0"] = "1"
-    try:
-        out = decode_attention_fresh_pallas(q, kc, vc, kn, vn, lo, hi,
-                                            tq=32, tk=64, interpret=True,
-                                            quant="int8", fixed_m0=m0)
-    finally:
-        del os.environ["SF_TPU_INT8_GLOBAL_M0"]
+    out = decode_attention_fresh_pallas(q, kc, vc, kn, vn, lo, hi,
+                                        tq=32, tk=64, interpret=True,
+                                        quant="int8", fixed_m0=m0,
+                                        int8_bound="global")
     d = np.abs(np.asarray(out) - np.asarray(ref))
     s = np.abs(np.asarray(ref)).max()
     # each nat of slack multiplies the effective p-quantization step by e
@@ -506,6 +502,120 @@ def test_flash_bounded_matches_xla():
         fixed_m0=m0) ** 2), argnums=(0, 1, 2))(q, k, v)
     gx = jax.grad(lambda q_, k_, v_: jnp.sum(flash_attention_xla(
         q_, k_, v_, mask) ** 2), argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-2, atol=2e-2)
+
+
+def test_decode_fresh_free_softmax_matches_xla():
+    """Offset-free base-2 softmax ('free'): exact vs the XLA base-e
+    reference when scale*log2(e) is pre-folded into q (pallas runs at
+    scale=1.0; the XLA comparator recovers base-e at ln(2))."""
+    import math
+    LOG2E = 1.4426950408889634
+    scale = D ** -0.5
+    q, kc, vc = _qkv(jax.random.PRNGKey(40), 96, 320)
+    _, kn, vn = _qkv(jax.random.PRNGKey(41), 96, 96)
+    lo, hi = jnp.int32(0), jnp.int32(256)
+    qp = q * (scale * LOG2E)
+    ref = decode_attention_fresh_xla(qp, kc, vc, kn, vn, lo, hi,
+                                     scale=math.log(2.0))
+    for sm in ("free", "free_noclamp"):
+        out = decode_attention_fresh_pallas(qp, kc, vc, kn, vn, lo, hi,
+                                            scale=1.0, softmax=sm,
+                                            tq=32, tk=64, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=5e-3, atol=5e-3)
+
+
+def test_decode_fresh_free_softmax_grad():
+    """The free mode's custom backward re-runs the XLA reference at
+    scale*ln(2) — gradients must match the base-e comparator."""
+    import math
+    LOG2E = 1.4426950408889634
+    scale = D ** -0.5
+    q, kc, vc = _qkv(jax.random.PRNGKey(42), 64, 128)
+    _, kn, vn = _qkv(jax.random.PRNGKey(43), 64, 64)
+    lo, hi = jnp.int32(0), jnp.int32(128)
+    qp = q * (scale * LOG2E)
+
+    gp = jax.grad(lambda a, b, c: jnp.sum(decode_attention_fresh_pallas(
+        a, b, c, kn, vn, lo, hi, scale=1.0, softmax="free",
+        tq=32, tk=64, interpret=True) ** 2), argnums=(0, 1, 2))(qp, kc, vc)
+    gx = jax.grad(lambda a, b, c: jnp.sum(decode_attention_fresh_xla(
+        a, b, c, kn, vn, lo, hi, scale=math.log(2.0)) ** 2),
+        argnums=(0, 1, 2))(qp, kc, vc)
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-2, atol=2e-2)
+
+
+def test_decode_fresh_free_clamp_overflow_proof():
+    """Scores past the 80 log2-unit clamp: 'free' must stay finite for
+    arbitrary data (no inf/NaN), and a single dominant clamped score
+    still resolves to the right (one-hot) attention output."""
+    q, kc, vc = _qkv(jax.random.PRNGKey(44), 32, 128)
+    _, kn, vn = _qkv(jax.random.PRNGKey(45), 32, 32)
+    lo, hi = jnp.int32(0), jnp.int32(128)
+    # align q row 0 with cache key 7 at a huge magnitude: score >> 80,
+    # while every distractor key is tiny (so the argmax stays key 7 by a
+    # wide margin even after clamping)
+    kc, kn = kc * 0.01, kn * 0.01
+    kc = kc.at[:, 7].set(kc[:, 7] / jnp.linalg.norm(kc[:, 7], axis=-1,
+                                                    keepdims=True))
+    q = q.at[:, 0].set(200.0 * kc[:, 7])
+    out = decode_attention_fresh_pallas(q, kc, vc, kn, vn, lo, hi,
+                                        scale=1.0, softmax="free",
+                                        tq=32, tk=64, interpret=True)
+    assert bool(jnp.all(jnp.isfinite(out)))
+    # row 0 must be ~one-hot on v[7] (clamp keeps the argmax dominant:
+    # every other score is O(10) << 80)
+    np.testing.assert_allclose(np.asarray(out[:, 0]), np.asarray(vc[:, 7]),
+                               rtol=1e-2, atol=1e-2)
+
+
+def test_decode_fresh_free_dispatcher_xla_fallback():
+    """ops.attention.decode_attention_fresh(softmax='free') off-TPU:
+    the XLA fallback must recover exact base-e softmax via scale*ln(2)."""
+    from self_forcing_tpu.ops.attention import decode_attention_fresh
+    LOG2E = 1.4426950408889634
+    scale = D ** -0.5
+    q, kc, vc = _qkv(jax.random.PRNGKey(46), 64, 128)
+    _, kn, vn = _qkv(jax.random.PRNGKey(47), 64, 64)
+    lo, hi = jnp.int32(0), jnp.int32(96)
+    qp = q * (scale * LOG2E)
+    out = decode_attention_fresh(qp, kc, vc, kn, vn, lo, hi, scale=1.0,
+                                 softmax="free")
+    ref = decode_attention_fresh_xla(q, kc, vc, kn, vn, lo, hi, scale=scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_flash_free_softmax_matches_xla():
+    """Offset-free base-2 softmax in the training kernel: forward and
+    gradients exact vs the XLA base-e reference at scale=ln(2) (the
+    backward recomputes p from the base-e lse the forward emits)."""
+    import math
+    LOG2E = 1.4426950408889634
+    scale = D ** -0.5
+    F, fs = 4, 64
+    mask = block_causal_mask(F, fs, num_frame_per_block=2)
+    q, k, v = _qkv(jax.random.PRNGKey(50), F * fs, F * fs)
+    qp = q * (scale * LOG2E)
+    ref = flash_attention_xla(qp, k, v, mask, scale=math.log(2.0))
+    out = flash_attention_pallas(qp, k, v, mask, tq=128, tk=128,
+                                 interpret=True, softmax="free")
+    # the kernel's PV contraction runs p in bf16 (MXU operand) vs the
+    # XLA reference's f32 — bf16-level tolerance
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=5e-3, atol=5e-3)
+
+    gp = jax.grad(lambda a, b, c: jnp.sum(flash_attention_pallas(
+        a, b, c, mask, tq=128, tk=128, interpret=True,
+        softmax="free") ** 2), argnums=(0, 1, 2))(qp, k, v)
+    gx = jax.grad(lambda a, b, c: jnp.sum(flash_attention_xla(
+        a, b, c, mask, scale=math.log(2.0)) ** 2),
+        argnums=(0, 1, 2))(qp, k, v)
     for a, b in zip(gp, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-2, atol=2e-2)
