@@ -72,13 +72,27 @@ def _conv3d(p: Params, x: jax.Array, stride=(1, 1, 1),
     ) + p["b"]
 
 
+# Conv backend switch (documented seam; replaces round-1/2's SF_TPU_*
+# env flags).  None = XLA convs — the measured winner on v5e at every
+# real VAE geometry (PERF.md: the Pallas strip-matmul conv reaches 93
+# TF/s on isolated batches but loses end-to-end to XLA's fused conv
+# pipeline; the fused norm+silu+conv residual kernel compiles minutes
+# and runs 22 T/s).  Both kept as tested seams for chips where the
+# tradeoff flips.
+_CONV_BACKEND: str | None = None
+
+
+def set_conv_backend(name: str | None) -> None:
+    """Select the decoder conv implementation: None (XLA, default),
+    'pallas' (strip-matmul conv kernel, ops/pallas_conv.py), or 'fused'
+    (fused norm+silu+conv residual blocks)."""
+    global _CONV_BACKEND
+    assert name in (None, "pallas", "fused"), name
+    _CONV_BACKEND = name
+
+
 def _use_pallas_conv() -> bool:
-    """Opt-in (SF_TPU_PALLAS_CONV=1): the strip-matmul conv kernel wins on
-    isolated large-T batches (~5x XLA) but loses in the per-frame streaming
-    scan where its 3-tau decomposition triples call overhead — the one-pass
-    3D variant with weight streaming is the open follow-up."""
-    import os
-    if os.environ.get("SF_TPU_PALLAS_CONV") != "1":
+    if _CONV_BACKEND != "pallas":
         return False
     from self_forcing_tpu.ops.attention import _use_pallas
     return _use_pallas()
@@ -154,10 +168,9 @@ def _conv2d(p: Params, x: jax.Array, stride=(1, 1), padding="SAME") -> jax.Array
 # ============================================================ blocks
 
 def _use_fused_resblock() -> bool:
-    """Opt-in (SF_TPU_FUSED_VAE=1): route residual blocks through the
+    """set_conv_backend('fused'): route residual blocks through the
     fused norm+silu+conv Pallas kernel (ops/pallas_conv.py v3)."""
-    import os
-    if os.environ.get("SF_TPU_FUSED_VAE") != "1":
+    if _CONV_BACKEND != "fused":
         return False
     from self_forcing_tpu.ops.attention import _use_pallas
     return _use_pallas()
@@ -541,28 +554,13 @@ def pad_decoder_channels(params: Params, align: int = 128) -> Params:
     return out
 
 
-def _seq_decode_frames() -> int:
-    """Max latent frames decoded per sequence pass in decode_block /
-    decode (SF_TPU_VAE_SEQ_FRAMES; 0 = per-frame scan, the default).
-
-    Measured on v5e (81-frame streaming decode, bf16): sequence mode is
-    20% SLOWER (6.16 s vs 5.12 s; first block 778 vs 661 ms) despite 3x
-    fewer conv dispatches — the decoder is fusion/bandwidth-bound, not
-    dispatch-bound, and the 3x larger full-res intermediates hurt more
-    than the amortized call overhead helps (same lesson as the padded /
-    subpixel variants, PERF.md).  Kept opt-in for future fused kernels."""
-    import os
-    try:
-        return int(os.environ.get("SF_TPU_VAE_SEQ_FRAMES", "0"))
-    except ValueError:
-        return 0
-
-
 def decode_frame(params: Params, cfg: VAEConfig, z: jax.Array, cache: list,
                  first: bool):
     """Decode one latent frame [B, 1, h, w, z] -> pixels + new cache.
-    (Also accepts T>1 — every primitive is T-general; used by the
-    sequence-decode path in decode_block/decode.)
+    (Also accepts T>1 — every primitive is T-general.  A whole-block
+    T>1 "sequence decode" mode existed through round 2 and measured 20%
+    SLOWER than the per-frame scan on v5e — the decoder is
+    fusion/bandwidth-bound, not dispatch-bound; PERF.md.  Removed.)
 
     First frame yields 1 pixel frame; steady state 2^(#temporal upsamples)
     (= 4 for Wan).  Mirrors WanVAE_.decode's frame loop (vae.py:545-569).
@@ -594,27 +592,17 @@ def decode_block(params: Params, cfg: VAEConfig, z: jax.Array, cache: list,
         z = z[:, 1:]
         T -= 1
     if T > 0:
-        if _seq_decode_frames() >= T:
-            # whole-block sequence decode: every conv runs ONCE over the
-            # block's T frames (identical math — causal convs see
-            # [cache | frames] either way) instead of T scan iterations.
-            # Opt-in only: measured slower than the scan on v5e/XLA (see
-            # _seq_decode_frames); the seam exists for fused kernels that
-            # DO want larger temporal tiles.
-            y, cache = decode_frame(params, cfg, z, cache, first=False)
-            outs.append(y)
-        else:
-            # scan per latent frame: bounds full-res activations for large
-            # blocks (SF_TPU_VAE_SEQ_FRAMES=0 forces this path)
-            def step(cache, zf):
-                y, cache = decode_frame(params, cfg, zf[:, None], cache,
-                                        first=False)
-                return cache, y
+        # scan per latent frame: bounds full-res activations for large
+        # blocks (whole-block sequence decode measured slower; PERF.md)
+        def step(cache, zf):
+            y, cache = decode_frame(params, cfg, zf[:, None], cache,
+                                    first=False)
+            return cache, y
 
-            cache, ys = jax.lax.scan(step, cache, z.transpose(1, 0, 2, 3, 4))
-            ys = ys.transpose(1, 0, 2, 3, 4, 5).reshape(
-                B, -1, *ys.shape[3:])
-            outs.append(ys)
+        cache, ys = jax.lax.scan(step, cache, z.transpose(1, 0, 2, 3, 4))
+        ys = ys.transpose(1, 0, 2, 3, 4, 5).reshape(
+            B, -1, *ys.shape[3:])
+        outs.append(ys)
     return jnp.concatenate(outs, axis=1), cache
 
 
@@ -633,17 +621,6 @@ def decode(params: Params, cfg: VAEConfig, latents: jax.Array) -> jax.Array:
 
     if T == 1:
         return jnp.clip(out0, -1.0, 1.0)
-
-    k = _seq_decode_frames()
-    if k > 1:
-        # chunked sequence decode: each conv runs once per chunk of k
-        # latent frames (vs once per frame) — same math, fewer dispatches
-        outs = [out0]
-        for lo in range(1, T, k):
-            y, cache = decode_frame(params, cfg, latents[:, lo:lo + k],
-                                    cache, first=False)
-            outs.append(y)
-        return jnp.clip(jnp.concatenate(outs, axis=1), -1.0, 1.0)
 
     def step(cache, z):
         y, cache = decode_frame(params, cfg, z[:, None], cache, first=False)

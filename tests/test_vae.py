@@ -132,30 +132,25 @@ def test_pad_decoder_channels_exact():
                                rtol=2e-5, atol=2e-5)
 
 
-def test_sequence_decode_matches_per_frame_scan(monkeypatch):
-    """Opt-in sequence decode (SF_TPU_VAE_SEQ_FRAMES>0, one multi-frame
-    pass per block) is numerically equivalent to the default per-frame
-    scan — causal convs see [cache | frames] either way."""
+def test_multiframe_decode_frame_matches_per_frame_scan():
+    """decode_frame is T-general: one multi-frame pass must equal the
+    per-frame scan — causal convs see [cache | frames] either way.
+    (Pins the primitive equivalence the removed sequence-decode mode
+    relied on; the mode itself measured slower and was deleted, PERF.md.)"""
     cfg = jvae.VAE_TINY
     key = jax.random.PRNGKey(7)
     params = jvae.init_params(key, cfg, dtype=jnp.float32)
     B, T, h, w = 1, 7, 4, 4
     z = jax.random.normal(jax.random.fold_in(key, 1), (B, T, h, w, cfg.z_dim))
 
-    def run():
-        full = jvae.decode(params, cfg, z)
-        cache = jvae.init_decoder_cache(params, cfg, B, h, w, z.dtype)
-        y0, cache = jvae.decode_block(params, cfg, z[:, :3], cache, True)
-        y1, cache = jvae.decode_block(params, cfg, z[:, 3:], cache, False)
-        blocks = jnp.clip(jnp.concatenate([y0, y1], axis=1), -1, 1)
-        return np.asarray(full), np.asarray(blocks)
-
-    monkeypatch.setenv("SF_TPU_VAE_SEQ_FRAMES", "0")
-    ref_full, ref_blocks = run()
-    monkeypatch.setenv("SF_TPU_VAE_SEQ_FRAMES", "4")
-    seq_full, seq_blocks = run()
-    np.testing.assert_allclose(seq_full, ref_full, rtol=2e-5, atol=2e-5)
-    np.testing.assert_allclose(seq_blocks, ref_blocks, rtol=2e-5, atol=2e-5)
+    full = jvae.decode(params, cfg, z)
+    cache = jvae.init_decoder_cache(params, cfg, B, h, w, z.dtype)
+    y0, cache = jvae.decode_frame(params, cfg, z[:, :1], cache, True)
+    y1, cache = jvae.decode_frame(params, cfg, z[:, 1:4], cache, False)
+    y2, cache = jvae.decode_frame(params, cfg, z[:, 4:], cache, False)
+    seq = jnp.clip(jnp.concatenate([y0, y1, y2], axis=1), -1, 1)
+    np.testing.assert_allclose(np.asarray(seq), np.asarray(full),
+                               rtol=2e-5, atol=2e-5)
 
 
 def test_fused_resblock_matches_xla_streaming(monkeypatch):
@@ -185,7 +180,7 @@ def test_fused_resblock_matches_xla_streaming(monkeypatch):
     monkeypatch.setattr(
         pallas_conv, "norm_silu_conv3d_pallas",
         lambda *a, **k: orig(*a, **{**k, "interpret": True}))
-    monkeypatch.setenv("SF_TPU_FUSED_VAE", "1")
+    monkeypatch.setattr(jvae, "_CONV_BACKEND", "fused")
     monkeypatch.setattr(att, "_ATTENTION_BACKEND", "pallas")
     yb1, cb = jvae.residual_block(p, x1, zc)
     yb2, _ = jvae.residual_block(p, x2, cb)
