@@ -73,6 +73,7 @@ def test_export_roundtrip_lora():
     _tree_equal(strip(params), strip(back))
 
 
+@pytest.mark.slow
 def test_exported_checkpoint_loads_into_reference():
     """The exported state dict loads into the reference CausalWanModel —
     the 'train here, deploy on the reference' contract — and the loaded

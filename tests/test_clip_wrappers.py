@@ -71,6 +71,7 @@ def test_vision_converter_matches_torch_layout():
     np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_wan_diffusion_wrapper_paths():
     params = dit.init_params(jax.random.PRNGKey(0), WAN_TINY,
                              dtype=jnp.float32)
@@ -101,6 +102,7 @@ def test_wan_diffusion_wrapper_paths():
     assert int(new_cache.local_end) == 2 * fs
 
 
+@pytest.mark.slow
 def test_wan_vae_wrapper_streaming_matches_batch():
     params = vae_mod.init_params(jax.random.PRNGKey(0), vae_mod.VAE_TINY)
     w = WanVAEWrapper(params, vae_mod.VAE_TINY)

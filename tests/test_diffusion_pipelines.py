@@ -124,6 +124,7 @@ def test_i2v_mask_packing_matches_reference():
     np.testing.assert_array_equal(msk, ours.transpose(1, 0, 2, 3))
 
 
+@pytest.mark.slow
 def test_causal_diffusion_i2v(contexts):
     """input_image flows through CLIP + masked-VAE y and changes the
     output (reference encode_image, causal_diffusion_inference.py:151-172)."""

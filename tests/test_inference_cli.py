@@ -5,6 +5,7 @@ import os
 import sys
 
 import numpy as np
+import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
 
@@ -23,6 +24,7 @@ def _make_i2v_dataset(root):
         json.dump(meta, f)
 
 
+@pytest.mark.slow
 def test_i2v_cli_writes_video(tmp_path, monkeypatch):
     import inference as inf
     _make_i2v_dataset(tmp_path)
@@ -55,6 +57,7 @@ def test_dwpose_with_few_step_config_raises(tmp_path, monkeypatch):
         inf.main()
 
 
+@pytest.mark.slow
 def test_pose_diffusion_cli(tmp_path, monkeypatch):
     """Pose-conditioned 50-step CLI path at tiny size (random pose
     embeddings stand in for the UniAnimate weights)."""
@@ -84,6 +87,7 @@ def test_pose_diffusion_cli(tmp_path, monkeypatch):
     assert any(f.endswith(".mp4") for f in os.listdir(out))
 
 
+@pytest.mark.slow
 def test_tp_cli_writes_video(tmp_path, monkeypatch):
     """--tp 2 shards the tiny model over two CPU devices and the few-step
     pipeline runs tensor-parallel end to end (WAN_TINY has 2 heads)."""

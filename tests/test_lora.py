@@ -1,5 +1,6 @@
 """LoRA system tests (reference utils/lora.py, scripts/merge_lora.py)."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -125,6 +126,7 @@ def test_lora_targets_subset():
     assert lora.has_lora(lp) and not lora.has_lora(params)
 
 
+@pytest.mark.slow
 def test_lora_only_training_freezes_base():
     """One LoRA-only DMD train step: base weights bit-identical, adapters
     moved (reference train_lora_only mode, model/base.py:39-72 +

@@ -73,6 +73,7 @@ def test_forward_classify_time_embed(setup):
     assert logits.shape == (B, 4)
 
 
+@pytest.mark.slow
 def test_gan_losses(setup):
     gen, fake, cls, ctx, clean, obj, bundle = setup
     noise = jax.random.normal(jax.random.PRNGKey(5), (B, F, C, H, W))
@@ -145,6 +146,7 @@ def test_causal_diffusion_loss(setup):
         assert np.isfinite(float(loss)), f"tf={tf}"
 
 
+@pytest.mark.slow
 def test_trainers_one_step(setup):
     gen, fake, cls, ctx, clean, obj, bundle = setup
     from self_forcing_tpu.training.trainer_ode import ODETrainer
@@ -168,6 +170,7 @@ def test_trainers_one_step(setup):
     assert np.isfinite(log3["generator_loss"])
 
 
+@pytest.mark.slow
 def test_sid_losses(setup):
     """SiD objective (model/sid.py): generator + critic losses finite and
     alpha changes the loss."""
@@ -197,6 +200,7 @@ def test_sid_losses(setup):
     assert float(g_loss) != float(g2)
 
 
+@pytest.mark.slow
 def test_trim_rollout_long_reencode():
     """Long-rollout handling (model/base.py:211-233): >21-frame rollouts
     slice to the last 21 with a VAE re-encoded boundary image latent and a
@@ -252,6 +256,7 @@ def test_bundle_without_vae_rejects_long_rollout():
         bundle.trim_rollout(pred)
 
 
+@pytest.mark.slow
 def test_per_block_exit_matches_shared_when_equal():
     """same_step_across_blocks=False (per-block exit array) must reduce to
     the shared-exit rollout when every block draws the same exit

@@ -108,6 +108,7 @@ def test_bidirectional_inference(setup):
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_denoise_write_cache_dead_store_equivalence():
     """The streaming sampler's intermediate cache writes are dead stores:
     forcing write_cache=True inside the denoise steps must not change the

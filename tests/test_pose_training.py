@@ -189,6 +189,7 @@ def test_critic_loss_accepts_cond():
     assert np.isfinite(float(loss))
 
 
+@pytest.mark.slow
 def test_trainer_pose_step_end_to_end():
     """One pose-conditioned DMD train step through the trainer (the
     reference path trainer/distillation.py:106-122 + 264-276)."""

@@ -38,6 +38,7 @@ def test_ring_attention_matches_dense():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 4, reason="needs >= 4 devices")
+@pytest.mark.slow
 def test_forward_train_sp_matches_single_device():
     mesh = create_mesh(dp=1, fsdp=2, sp=4)
     rope = RopeTables.create(CFG.head_dim)
@@ -59,6 +60,7 @@ def test_forward_train_sp_matches_single_device():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 4, reason="needs >= 4 devices")
+@pytest.mark.slow
 def test_forward_train_sp_i2v_matches_single_device():
     """SP + I2V: y channel-concat is frame-local and clip_fea cross-attn is
     replicated, so the sharded forward must match the dense i2v forward
@@ -94,6 +96,7 @@ def test_forward_train_sp_i2v_matches_single_device():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 4, reason="needs >= 4 devices")
+@pytest.mark.slow
 def test_forward_sp_pads_non_divisible_frames():
     """F % sp != 0 (e.g. Wan's 21 frames on a power-of-2 sp axis) pads to
     the sp multiple, masks the pad KV out of the ring, and matches the

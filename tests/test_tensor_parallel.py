@@ -35,6 +35,7 @@ def _setup(key=0):
 
 
 @needs4
+@pytest.mark.slow
 def test_forward_inference_tp_matches_single():
     """Two consecutive cached blocks through the TP forward match the
     single-device forward, including the carried head-sharded cache."""
@@ -90,6 +91,7 @@ def test_forward_train_tp_matches_single():
 
 
 @needs4
+@pytest.mark.slow
 def test_forward_train_tp_grads_match():
     """Gradients w.r.t. the sharded params match the single-device grads
     (sliced to the local shard) — TP is trainable, not inference-only."""
@@ -123,6 +125,7 @@ def test_forward_train_tp_grads_match():
 
 
 @needs4
+@pytest.mark.slow
 def test_denoise_refresh_block_tp_match_single():
     """A full streaming step (4-step denoise + cache refresh) through the
     TP wrappers matches the single-device pipeline ops."""
@@ -178,6 +181,7 @@ def test_tp_rejects_quantized_params():
 
 
 @needs4
+@pytest.mark.slow
 def test_causal_pipeline_tp_matches_single():
     """The full CausalInferencePipeline under a ('tp',) mesh — context
     precompute, i2v priming, the whole-video block scan, and the

@@ -6,6 +6,7 @@ import os
 import sys
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -62,6 +63,7 @@ def test_shard_batch():
     assert out["prompts"] == ["a"]
 
 
+@pytest.mark.slow
 def test_train_main_2_steps_on_mesh(tmp_path, monkeypatch):
     """Full main() path for 2 steps on the 8-device CPU mesh."""
     monkeypatch.setattr(sys, "argv", [

@@ -84,6 +84,7 @@ def test_encode_decode_shapes(models):
     assert out.shape == (B, T, H, W, 3)
 
 
+@pytest.mark.slow
 def test_decode_block_matches_full():
     """One-pass multi-frame block decode == frame-by-frame decode (the
     streaming fast path must be numerically identical)."""
