@@ -239,7 +239,17 @@ class GANTrainer:
         from self_forcing_tpu.utils.checkpoints import save_pytree
         save_pytree(path, self._state_tree(self.generator_ema))
 
-    def load_state(self, path: str):
+    def load_state(self, path: str, force_start_w_ema: bool = False,
+                   force_reset_zero_step: bool = False):
+        """Resume full trainer state.
+
+        ``force_start_w_ema``: overwrite the live generator with the
+        checkpoint's EMA weights on resume (reference flag,
+        trainer/gan.py:191-194 — its implementation references a
+        checkpointer that is never constructed; semantics preserved
+        here).  ``force_reset_zero_step``: restart the step counter at 0
+        so the discriminator warmup/update-ratio phases replay
+        (trainer/gan.py:195-197)."""
         from self_forcing_tpu.utils.checkpoints import restore_pytree
         ema_like = self.generator_ema
         if ema_like is None and self.ema_weight > 0:
@@ -253,3 +263,11 @@ class GANTrainer:
         self.cls_opt_state = tree["cls_opt_state"]
         self.generator_ema = tree["ema"]
         self.step = int(tree["step"])
+        if force_start_w_ema:
+            if tree["ema"] is None:
+                raise ValueError(
+                    "force_start_w_ema: checkpoint carries no EMA state")
+            self.generator = ema_lib.ema_to_params(tree["ema"],
+                                                   self.generator)
+        if force_reset_zero_step:
+            self.step = 0

@@ -300,3 +300,39 @@ def test_per_block_exit_matches_shared_when_equal():
     ref0, _, _ = pipe.inference_with_trajectory(
         params, cfg, rope, noise, ctx_kv, 0, rng)
     assert float(jnp.abs(mixed - ref0).max()) > 1e-4
+
+
+def test_gan_trainer_resume_flags(setup, tmp_path):
+    """GAN resume extras (reference trainer/gan.py:181-197, whose own
+    checkpointer is never constructed): force_start_w_ema swaps the EMA
+    weights into the live generator, force_reset_zero_step replays the
+    warmup phases from step 0."""
+    from self_forcing_tpu.training.trainer_gan import GANTrainer
+    gen, fake, cls, ctx, clean, obj, bundle = setup
+    t = GANTrainer(_cfg_args(discriminator_warmup_steps=0,
+                             ema_weight=0.9),
+                   gen, fake, WAN_TINY, WAN_TINY, cls_params=cls)
+    # EMA is lazily initialized by train_step; init it directly and make
+    # it distinct from the live generator
+    from self_forcing_tpu.training import ema as ema_lib
+    t.generator_ema = jax.tree.map(lambda e: e + 1.0,
+                                   ema_lib.init_ema(t.generator))
+    t.step = 7
+    p = str(tmp_path / "gan_ckpt")
+    t.save_state(p)
+
+    t2 = GANTrainer(_cfg_args(discriminator_warmup_steps=0,
+                              ema_weight=0.9),
+                    gen, fake, WAN_TINY, WAN_TINY, cls_params=cls)
+    t2.load_state(p)
+    assert t2.step == 7
+
+    t3 = GANTrainer(_cfg_args(discriminator_warmup_steps=0,
+                              ema_weight=0.9),
+                    gen, fake, WAN_TINY, WAN_TINY, cls_params=cls)
+    t3.load_state(p, force_start_w_ema=True, force_reset_zero_step=True)
+    assert t3.step == 0
+    a = jax.tree.leaves(t3.generator)[0]
+    b = jax.tree.leaves(t2.generator)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b) + 1.0,
+                               rtol=1e-6, atol=1e-6)
