@@ -35,8 +35,7 @@ import numpy as np
 
 from self_forcing_tpu.models.wan.configs import WanConfig
 from self_forcing_tpu.models.wan.rope import RopeTables, sinusoidal_embedding_1d
-from self_forcing_tpu.ops.attention import (dense_attention, decode_attention,
-                                            flash_attention)
+from self_forcing_tpu.ops.attention import dense_attention, flash_attention
 from self_forcing_tpu.ops.masks import IntervalMask
 
 Params = dict  # nested dict pytree of jnp arrays
@@ -601,16 +600,6 @@ def reset_kv_cache(cache: KVCache) -> KVCache:
         kmax=jnp.zeros_like(cache.kmax))
 
 
-def _rolled_cache(k_layer: jax.Array, sink_tokens: int,
-                  evict: jax.Array) -> jax.Array:
-    """Shift cache content left by ``evict`` (dynamic), pinning sink tokens
-    (causal_model.py:207-223).  Gather along S; only runs under lax.cond."""
-    S = k_layer.shape[1]
-    pos = jnp.arange(S, dtype=jnp.int32)
-    src = jnp.where(pos < sink_tokens, pos, jnp.minimum(pos + evict, S - 1))
-    return jnp.take(k_layer, src, axis=1)
-
-
 # =====================================================================
 # transformer block (shared by all paths)
 # =====================================================================
@@ -800,47 +789,6 @@ def _block_decode_fresh(bp: Params, cfg: WanConfig, x: jax.Array,
     if kf is None:
         kf, vf = _fold_heads(cfg, kp), _fold_heads(cfg, vp)
     return x, kf, vf, kn_norm
-
-
-def _block_decode(bp: Params, cfg: WanConfig, x: jax.Array, e0: jax.Array,
-                  rope_cos: jax.Array, rope_sin: jax.Array,
-                  k_layer: jax.Array, v_layer: jax.Array,
-                  write_at: jax.Array, attn_lo: jax.Array, attn_hi: jax.Array,
-                  ctx_kv_layer: dict, frame_seqlen: int):
-    """One block with KV-cache self-attention (causal_model.py:194-241).
-
-    Returns (x, new_k_layer, new_v_layer).
-    """
-    mod = bp["modulation"].astype(jnp.float32)[:, None]
-    e = (mod + e0.astype(jnp.float32)).astype(x.dtype)
-    e_shift, e_scale, e_gate = e[:, :, 0:1], e[:, :, 1:2], e[:, :, 2:3]
-    f_shift, f_scale, f_gate = e[:, :, 3:4], e[:, :, 4:5], e[:, :, 5:6]
-
-    xn = _modulate(layer_norm(x, cfg.eps), e_shift, e_scale, frame_seqlen)
-    qf, kf, vf = _qkv_rope_folded(bp["self_attn"], cfg, xn,
-                                  rope_cos, rope_sin)
-
-    # write new K/V into the folded [B*N, S, D] cache at
-    # [write_at, write_at + Lq)
-    k_layer = jax.lax.dynamic_update_slice(
-        k_layer, kf.astype(k_layer.dtype), (0, write_at, 0))
-    v_layer = jax.lax.dynamic_update_slice(
-        v_layer, vf.astype(v_layer.dtype), (0, write_at, 0))
-
-    attn = decode_attention(qf, k_layer, v_layer, attn_lo, attn_hi)
-    y = _out_linear(bp["self_attn"]["o"], _unfold_heads(cfg, attn), cfg)
-    x = x + _gate(y, e_gate, frame_seqlen)
-
-    if "norm3" in bp:
-        xc = layer_norm(x, cfg.eps, bp["norm3"]["w"], bp["norm3"]["b"])
-    else:
-        xc = x
-    x = x + _cross_attention(bp, cfg, xc, ctx_kv_layer)
-
-    xn = _modulate(layer_norm(x, cfg.eps), f_shift, f_scale, frame_seqlen)
-    y = _ffn(bp, cfg, xn)
-    x = x + _gate(y, f_gate, frame_seqlen)
-    return x, k_layer, v_layer
 
 
 def _rope_half(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
@@ -1164,7 +1112,6 @@ def forward_inference(params: Params, cfg: WanConfig, x: jax.Array,
     write_at = local_end - Lq
     max_attn = cfg.max_attention_size(frame_seqlen)
     attn_lo = jnp.maximum(0, local_end - max_attn)
-    attn_hi = local_end
 
     has_img = "k_img" in ctx_kv
 
@@ -1231,39 +1178,60 @@ def forward_inference(params: Params, cfg: WanConfig, x: jax.Array,
             new_k, new_v = cache.k, cache.v
     else:
         # ---- windowed path with rolling eviction + sinks
-        # (causal_model.py:203-229)
-        def maybe_roll(layer_kv):
-            k_l, v_l = layer_kv
-            return jax.lax.cond(
-                overflow,
-                lambda kv: (_rolled_cache(kv[0], sink_tokens, evict),
-                            _rolled_cache(kv[1], sink_tokens, evict)),
-                lambda kv: kv,
-                (k_l, v_l))
+        # (causal_model.py:203-229).  Round 3 re-architected it to match
+        # the global fast path: the eviction roll happens ONCE for all
+        # layers outside the layer scan, the rolled cache is then READ
+        # ONLY inside the scan (decode_attention_fresh over
+        # cache[attn_lo, write_at) + the fresh block), and one fused
+        # dynamic_update_slice writes every layer's new K/V — instead of
+        # hauling per-layer cache copies through scan carries and
+        # rolling/writing inside every layer.  The offset-free softmax
+        # applies here too (it needs no kmax bound, which rolling
+        # eviction could never track); 'bounded' mode falls back to the
+        # online kernel as before (kmax_layer=None).
+        def roll_all(kv):
+            k, v = kv
+            pos = jnp.arange(S, dtype=jnp.int32)
+            src = jnp.where(pos < sink_tokens, pos,
+                            jnp.minimum(pos + evict, S - 1))
+            return jnp.take(k, src, axis=2), jnp.take(v, src, axis=2)
+
+        k0, v0 = jax.lax.cond(overflow, roll_all, lambda kv: kv,
+                              (cache.k, cache.v))
+        num_layers = cache.k.shape[0]
+        layer_ids = jnp.arange(num_layers, dtype=jnp.int32)
 
         def scan_body(tok, xs):
             if has_img:
-                bp, k_l, v_l, kt, vt, ki, vi = xs
+                bp, li, kt, vt, ki, vi = xs
                 layer_ctx = {"k_txt": kt, "v_txt": vt, "k_img": ki,
                              "v_img": vi}
             else:
-                bp, k_l, v_l, kt, vt = xs
+                bp, li, kt, vt = xs
                 layer_ctx = {"k_txt": kt, "v_txt": vt}
-            k_l, v_l = maybe_roll((k_l, v_l))
-            tok, k_l, v_l = _block_decode(
-                bp, cfg, tok, e0, cos, sin, k_l, v_l, write_at, attn_lo,
-                attn_hi, layer_ctx, frame_seqlen)
-            return tok, (k_l, v_l)
+            tok, k_new, v_new, _ = _block_decode_fresh(
+                bp, cfg, tok, e0, cos, sin, k0, v0, attn_lo,
+                write_at, layer_ctx, frame_seqlen, None,
+                layer_idx=li, emit_kv=write_cache, kmax_layer=None)
+            if not write_cache:
+                return tok, None
+            return tok, (k_new, v_new)
 
         if has_img:
-            xs = (params["blocks"], cache.k, cache.v, ctx_kv["k_txt"],
+            xs = (params["blocks"], layer_ids, ctx_kv["k_txt"],
                   ctx_kv["v_txt"], ctx_kv["k_img"], ctx_kv["v_img"])
         else:
-            xs = (params["blocks"], cache.k, cache.v, ctx_kv["k_txt"],
+            xs = (params["blocks"], layer_ids, ctx_kv["k_txt"],
                   ctx_kv["v_txt"])
-        tokens, (new_k, new_v) = jax.lax.scan(scan_body, tokens, xs)
-        # windowed mode keeps the online-softmax kernel; the bound is
-        # unused (left stale by the rolling eviction)
+        tokens, ys = jax.lax.scan(scan_body, tokens, xs)
+        if write_cache:
+            ks_new, vs_new = ys
+            new_k = jax.lax.dynamic_update_slice(
+                k0, ks_new.astype(k0.dtype), (0, 0, write_at, 0))
+            new_v = jax.lax.dynamic_update_slice(
+                v0, vs_new.astype(v0.dtype), (0, 0, write_at, 0))
+        else:
+            new_k, new_v = cache.k, cache.v
         new_kmax = cache.kmax
 
     if write_cache:
