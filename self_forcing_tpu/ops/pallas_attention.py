@@ -736,8 +736,10 @@ def _decode_fresh_fwd(q, k_cache, v_cache, k_new, v_new, kv_start, kv_end,
         def fresh_idx(b, ki, qi, li, lo, hi, m0r):
             return (b, jnp.clip(ki - ktc, 0, ktf - 1), 0)
 
-    scratch = [
-        pltpu.VMEM((qt * tq, 128), jnp.float32),
+    # free mode never touches the running-max scratch — dropping it frees
+    # ~2.4 MB of persistent VMEM at 1.3B geometry for bigger tiles
+    scratch = ([] if bounded == "free"
+               else [pltpu.VMEM((qt * tq, 128), jnp.float32)]) + [
         pltpu.VMEM((qt * tq, 128), jnp.float32),
         pltpu.VMEM((qt * tq, D), jnp.float32),
     ]
@@ -752,6 +754,14 @@ def _decode_fresh_fwd(q, k_cache, v_cache, k_new, v_new, kv_start, kv_end,
             pltpu.SMEM((qt,), jnp.float32),           # per-q-tile scales
             pltpu.SMEM((2,), jnp.float32),            # per-tile K/V scales
         ]
+    elif bounded == "free":
+        def kernel(li_ref, lo_ref, hi_ref, m0_ref, q_ref, k_ref, v_ref,
+                   kn_ref, vn_ref, o_ref, l_scr, acc_scr):
+            _decode_fresh_kernel(li_ref, lo_ref, hi_ref, m0_ref, q_ref,
+                                 k_ref, v_ref, kn_ref, vn_ref, o_ref,
+                                 None, l_scr, acc_scr, scale=scale, tq=tq,
+                                 tk=tk, tf=tf, kv_len=S, kt_cache=ktc,
+                                 fresh_len=Lf, bounded=bounded)
     else:
         kernel = functools.partial(
             _decode_fresh_kernel, scale=scale, tq=tq, tk=tk, tf=tf,
@@ -910,6 +920,14 @@ def decode_attention_fresh_pallas(q: jax.Array, k_cache: jax.Array,
     A/Bs only)."""
     D = q.shape[-1] if heads_packed is None else q.shape[-1] // heads_packed
     scale = (D ** -0.5) if scale is None else scale
+    if softmax in ("free", "free_noclamp") and tq == 512:
+        # free mode drops the running-max scratch, which buys VMEM for
+        # wider q tiles (fewer grid steps): the v5e sweep measured 6.58 ->
+        # 6.12 ms/call at tq 472 -> 936 (full window, folded layout), but
+        # the production heads-packed pipeline layout runs out of scoped
+        # VMEM at 936 (16.12M > 16M) — 780 (qt=6 at Lq=4680) is the
+        # largest tile that fits there.  PERF.md.
+        tq = 800
     # exact-fit tiles: pick the tile count from the requested size, then
     # shrink the tile to cover the length with minimal padding (e.g.
     # Lq=4680 with tq=512 -> 10 tiles of 472 rows: 0.9% pad instead of
