@@ -715,8 +715,8 @@ def _block_decode_fresh(bp: Params, cfg: WanConfig, x: jax.Array,
     # kernel (per-row within-tile max; no global-m0 truncation cliff) —
     # the fastest shippable int8 variant (ops/pallas_attention.py)
     mode = cfg.attn_softmax
-    if mode == "free" and cfg.attn_quant is not None:
-        mode = "bounded"  # the int8 kernels need the m0 bound
+    if mode == "free" and cfg.attn_quant not in (None, "int8qk"):
+        mode = "bounded"  # the full-int8 kernels need the m0 bound
     bounded = (mode == "bounded"
                and kmax_layer is not None and _bounded_active())
     # offset-free base-2 softmax (the bf16 default): scale*log2(e) is
@@ -727,6 +727,9 @@ def _block_decode_fresh(bp: Params, cfg: WanConfig, x: jax.Array,
     q_gain = (cfg.head_dim ** -0.5) * LOG2E if free else None
     sm = "free" if free else None
     sc = 1.0 if free else None
+    quant = cfg.attn_quant
+    if quant == "int8qk" and not free:
+        quant = None  # int8qk exists only on the free path
     kn_norm = None
     xn = _modulate(layer_norm(x, cfg.eps), e_shift, e_scale, frame_seqlen)
     if _packed_ok(cfg):
@@ -746,7 +749,7 @@ def _block_decode_fresh(bp: Params, cfg: WanConfig, x: jax.Array,
                                       attn_lo, cache_hi,
                                       scale=sc,
                                       static_hi=static_kv_hi,
-                                      quant=cfg.attn_quant,
+                                      quant=quant,
                                       layer_idx=layer_idx,
                                       heads_packed=cfg.num_heads,
                                       fixed_m0=m0, softmax=sm)
@@ -767,7 +770,7 @@ def _block_decode_fresh(bp: Params, cfg: WanConfig, x: jax.Array,
                                       attn_lo, cache_hi,
                                       scale=sc,
                                       static_hi=static_kv_hi,
-                                      quant=cfg.attn_quant,
+                                      quant=quant,
                                       layer_idx=layer_idx,
                                       fixed_m0=m0, softmax=sm)
         y = _out_linear(bp["self_attn"]["o"], _unfold_heads(cfg, attn),

@@ -509,29 +509,60 @@ def _decode_fresh_int8_kernel(li_ref, lo_ref, hi_ref, m0_ref, q_ref,
     kv_base = ki * tk
     live = jnp.where(is_cache, (kv_base < hi) & (kv_base + tk > lo), True)
 
+    qk_only = bounded == "free_qk"
+
     @pl.when(live & is_cache & (qi == 0))
     def _quantize_cache_tile():
         k = k_ref[0, 0].astype(jnp.float32)
-        v = v_ref[0, 0].astype(jnp.float32)
         ks = jnp.maximum(jnp.max(jnp.abs(k)) / 127.0, 1e-8)
-        vs = jnp.maximum(jnp.max(jnp.abs(v)) / 127.0, 1e-8)
         kq_scr[pl.ds(0, tk), :] = jnp.round(k / ks).astype(jnp.int8)
-        vq_scr[pl.ds(0, tk), :] = jnp.round(v / vs).astype(jnp.int8)
         sc_scr[0] = ks
-        sc_scr[1] = vs
+        if not qk_only:
+            v = v_ref[0, 0].astype(jnp.float32)
+            vs = jnp.maximum(jnp.max(jnp.abs(v)) / 127.0, 1e-8)
+            vq_scr[pl.ds(0, tk), :] = jnp.round(v / vs).astype(jnp.int8)
+            sc_scr[1] = vs
 
     @pl.when(~is_cache & (qi == 0))
     def _quantize_fresh_tile():
         k = kn_ref[0].astype(jnp.float32)
-        v = vn_ref[0].astype(jnp.float32)
         ks = jnp.maximum(jnp.max(jnp.abs(k)) / 127.0, 1e-8)
-        vs = jnp.maximum(jnp.max(jnp.abs(v)) / 127.0, 1e-8)
         kq_scr[pl.ds(0, tf), :] = jnp.round(k / ks).astype(jnp.int8)
-        vq_scr[pl.ds(0, tf), :] = jnp.round(v / vs).astype(jnp.int8)
         sc_scr[0] = ks
-        sc_scr[1] = vs
+        if not qk_only:
+            v = vn_ref[0].astype(jnp.float32)
+            vs = jnp.maximum(jnp.max(jnp.abs(v)) / 127.0, 1e-8)
+            vq_scr[pl.ds(0, tf), :] = jnp.round(v / vs).astype(jnp.int8)
+            sc_scr[1] = vs
 
-    def _accumulate(vis, width):
+    def _accumulate(vis, width, vref=None):
+        if bounded == "free_qk":
+            # int8 QK + bf16 PV in the offset-free base-2 softmax: halves
+            # the QK dot's MXU floor (SageAttention-style, but the PV dot
+            # stays bf16 so p never needs quantizing — the int8-p max
+            # problem vanishes).  The caller pre-folded scale*log2(e)
+            # into q BEFORE quantization, so the dequantized product is
+            # already in log2 units.  Per-score-element chain: convert,
+            # mul, (mask,) clamp, exp2, bf16-convert.
+            qq = qq_scr[pl.ds(row, tq), :]
+            s_i32 = jax.lax.dot_general(
+                qq, kq_scr[pl.ds(0, width), :], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            a = qs_scr[qi] * sc_scr[0]
+            if scale != 1.0:
+                a = a * scale
+            s = s_i32.astype(jnp.float32) * a
+            if vis is not None:
+                s = jnp.where(vis, s, NEG_INF)
+            p = jnp.exp2(jnp.minimum(s, 80.0))
+            l_scr[pl.ds(row, tq), 0:1] = (
+                l_scr[pl.ds(row, tq), 0:1]
+                + jnp.sum(p, axis=-1, keepdims=True))
+            pv = jax.lax.dot_general(
+                p.astype(jnp.bfloat16), vref(), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc_scr[pl.ds(row, tq), :] = acc_scr[pl.ds(row, tq), :] + pv
+            return
         if bounded == "tile":
             # SAFE bounded mode: quantize p against the exact per-row max
             # within this tile, weight the tile's contribution by
@@ -628,21 +659,22 @@ def _decode_fresh_int8_kernel(li_ref, lo_ref, hi_ref, m0_ref, q_ref,
 
     @pl.when(live & is_cache & cache_full)
     def _cache_tile_full():
-        _accumulate(None, tk)
+        _accumulate(None, tk, lambda: v_ref[0, 0])
 
     @pl.when(live & is_cache & ~cache_full)
     def _cache_tile():
         col = kv_base + jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 1)
-        _accumulate((col >= lo) & (col < hi) & (col < kv_len), tk)
+        _accumulate((col >= lo) & (col < hi) & (col < kv_len), tk,
+                    lambda: v_ref[0, 0])
 
     @pl.when(~is_cache & fresh_full)
     def _fresh_tile_full():
-        _accumulate(None, tf)
+        _accumulate(None, tf, lambda: vn_ref[0])
 
     @pl.when(~is_cache & ~fresh_full)
     def _fresh_tile():
         col = fresh_base + jax.lax.broadcasted_iota(jnp.int32, (tq, tf), 1)
-        _accumulate(col < fresh_len, tf)
+        _accumulate(col < fresh_len, tf, lambda: vn_ref[0])
 
     @pl.when(ki == nk - 1)
     def _finalize():
@@ -839,7 +871,7 @@ def _decode_fresh_op_bwd(scale, tq, tk, tf, interpret, static_hi, quant,
     operand's own layout."""
     from self_forcing_tpu.ops import attention as xla_attn
     q, k_cache, v_cache, k_new, v_new, kv_start, kv_end, layer_idx = res
-    if bounded in ("free", "free_noclamp"):
+    if bounded in ("free", "free_noclamp", "free_qk"):
         # the forward computed softmax base-2 of (s * scale); the XLA
         # reference's base-e softmax matches at scale * ln(2)
         scale = scale * math.log(2.0)
@@ -920,7 +952,7 @@ def decode_attention_fresh_pallas(q: jax.Array, k_cache: jax.Array,
     A/Bs only)."""
     D = q.shape[-1] if heads_packed is None else q.shape[-1] // heads_packed
     scale = (D ** -0.5) if scale is None else scale
-    if softmax in ("free", "free_noclamp") and tq == 512:
+    if softmax in ("free", "free_noclamp") and quant is None and tq == 512:
         # free mode drops the running-max scratch, which buys VMEM for
         # wider q tiles (fewer grid steps): the v5e sweep measured 6.58 ->
         # 6.12 ms/call at tq 472 -> 936 (full window, folded layout), but
@@ -941,15 +973,25 @@ def decode_attention_fresh_pallas(q: jax.Array, k_cache: jax.Array,
     # extra qq scratch leaves less VMEM for operand double-buffers: cap
     # the fresh tile at 1280 there (4x1184 instead of 3x1568 at Lf=4680;
     # the 16 MB scoped-VMEM limit was exceeded by 50 KB otherwise)
-    cap = min(tk, 1280) if quant == "int8" else tk
+    cap = min(tk, 1280) if quant in ("int8", "int8qk") else tk
     ntf = _cdiv(Lf, min(cap, max(128, 1 << (Lf - 1).bit_length())))
-    gran = 32 if quant == "int8" else 8
+    gran = 32 if quant in ("int8", "int8qk") else 8
     tf = max(gran, -(-_cdiv(Lf, ntf) // gran) * gran)
     li = None if layer_idx is None else jnp.asarray(layer_idx, jnp.int32)
     if softmax in ("free", "free_noclamp"):
         # offset-free base-2 softmax (see _decode_fresh_kernel): the
         # caller has pre-folded scale*log2(e) into q (or passes it via
         # ``scale``); 'free' carries the in-kernel overflow clamp.
+        if quant == "int8qk":
+            # int8 QK / bf16 PV on the free path (_decode_fresh_int8_kernel
+            # free_qk mode): p never quantizes, so no bound is needed
+            return _decode_fresh_op(q, k_cache, v_cache, k_new, v_new,
+                                    jnp.asarray(kv_start, jnp.int32),
+                                    jnp.asarray(kv_end, jnp.int32), li,
+                                    jnp.asarray(0.0, jnp.float32),
+                                    scale, tq, tk, tf, interpret,
+                                    static_hi, "int8", heads_packed,
+                                    "free_qk")
         assert quant is None, "free softmax is a bf16-path mode"
         return _decode_fresh_op(q, k_cache, v_cache, k_new, v_new,
                                 jnp.asarray(kv_start, jnp.int32),

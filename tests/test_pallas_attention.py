@@ -619,3 +619,25 @@ def test_flash_free_softmax_matches_xla():
     for a, b in zip(gp, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-2, atol=2e-2)
+
+
+def test_decode_fresh_free_int8qk_close_to_xla():
+    """int8-QK / bf16-PV on the free softmax path (attn_quant='int8qk'):
+    int8-quantization-level accuracy, no p-quantization (and therefore no
+    bound) involved."""
+    import math
+    LOG2E = 1.4426950408889634
+    scale = D ** -0.5
+    q, kc, vc = _qkv(jax.random.PRNGKey(60), 96, 320)
+    _, kn, vn = _qkv(jax.random.PRNGKey(61), 96, 96)
+    lo, hi = jnp.int32(0), jnp.int32(256)
+    qp = q * (scale * LOG2E)
+    ref = decode_attention_fresh_xla(qp, kc, vc, kn, vn, lo, hi,
+                                     scale=math.log(2.0))
+    out = decode_attention_fresh_pallas(qp, kc, vc, kn, vn, lo, hi,
+                                        scale=1.0, softmax="free",
+                                        quant="int8qk", tq=32, tk=64,
+                                        interpret=True)
+    d = np.abs(np.asarray(out) - np.asarray(ref))
+    assert d.mean() < 0.02, d.mean()
+    assert d.max() < 0.12 * np.abs(np.asarray(ref)).max()
