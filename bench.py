@@ -227,7 +227,11 @@ def main():
         from self_forcing_tpu.ops.quant import quantize_dit_params
 
         qp = quantize_dit_params(params, mode="w8a8")
-        ctx_kv_q = dit.precompute_context(qp, cfg, context)
+        # demo attention: int8-QK/bf16-PV on the free softmax path
+        # (5.92 vs 6.21 ms/call at the full window; ~1.5% output noise —
+        # the same quality class as the int8 linears)
+        cfg_q = dataclasses.replace(cfg, attn_quant="int8qk")
+        ctx_kv_q = dit.precompute_context(qp, cfg_q, context)
         tae = jax.tree.map(lambda x: x.astype(jnp.bfloat16),
                            taehv_mod.init_decoder_params(
                                jax.random.fold_in(key, 7)))
@@ -246,7 +250,7 @@ def main():
             for b in range(num_blocks):
                 rng, k = jax.random.split(rng)
                 blk, cache = denoise_block(
-                    qp, cfg, pipe.scheduler, pipe.rope, ctx_kv_q, cache,
+                    qp, cfg_q, pipe.scheduler, pipe.rope, ctx_kv_q, cache,
                     noise[:, b * nb:(b + 1) * nb], k,
                     pipe.denoising_step_list, start,
                     static_kv_hi=b * nb * fs)
@@ -257,7 +261,7 @@ def main():
                     ttfc = time.perf_counter() - t0
                 if b < num_blocks - 1:
                     rng, k2 = jax.random.split(rng)
-                    cache = refresh_block(params=qp, cfg=cfg, rope=pipe.rope,
+                    cache = refresh_block(params=qp, cfg=cfg_q, rope=pipe.rope,
                                           ctx_kv=ctx_kv_q, cache=cache,
                                           x0=blk, rng=k2,
                                           context_noise=pipe.context_noise,

@@ -75,6 +75,11 @@ def main():
             # the per-element multiply cost
             return decode_attention_fresh_pallas(q, kc, vc, kn, vn, 0, HI,
                                                  scale=LOG2E, softmax="free")
+        if variant == "int8qk":
+            # int8 QK / bf16 PV on the free path (no bound involved)
+            return decode_attention_fresh_pallas(q, kc, vc, kn, vn, 0, HI,
+                                                 scale=1.0, softmax="free",
+                                                 quant="int8qk")
         if variant == "int8_tile":
             return decode_attention_fresh_pallas(q, kc, vc, kn, vn, 0, HI,
                                                  quant="int8", fixed_m0=m0)
@@ -85,7 +90,7 @@ def main():
         raise SystemExit(f"unknown variant {variant}")
 
     def q_for(variant):
-        if variant in ("free", "free_noclamp"):
+        if variant in ("free", "free_noclamp", "int8qk"):
             return (q0.astype(jnp.float32) * (SCALE * LOG2E)).astype(
                 jnp.bfloat16)
         if variant == "free_mul":
