@@ -149,7 +149,7 @@ def _pick_tile(dim: int, mult: int, cap: int) -> int | None:
 def w8a8_matmul(x_q: jax.Array, s_x: jax.Array, w_q: jax.Array,
                 w_scale: jax.Array, bias: jax.Array | None = None,
                 out_dtype=jnp.bfloat16, interpret: bool = False,
-                tn_cap: int = 1536):
+                tn_cap: int = 896):
     """(x_q int8 [M,K], s_x f32 [M,1]) @ (w_q int8 [K,N], w_scale f32 [N])
     + bias -> [M,N] out_dtype.  Returns None if no legal tiling exists
     (caller falls back to the XLA path).  ``tn_cap`` exists for tile
@@ -158,18 +158,15 @@ def w8a8_matmul(x_q: jax.Array, s_x: jax.Array, w_q: jax.Array,
     Kw, N = w_q.shape
     # s_x: per-token scales, [M, 1] or lane-broadcast [M, 128]
     assert K == Kw and s_x.shape[0] == M and w_scale.shape == (N,)
-    # On-chip sweep (v5e): tm~936/tn<=896/tk<=1536 is best at the deep
-    # 8960-wide FFN matmuls (205 T/s); the round-2 re-sweep found SQUARE
-    # tn=1536 another +4-6% on the shallow K=1536 qkv/o shapes (fewer
-    # epilogue passes per output byte) — prefer it when VMEM allows.
+    # On-chip sweep (v5e): tm~936/tn<=896/tk<=1536 is best at the DiT
+    # shapes — 205 T/s on the 8960-wide/deep FFN matmuls, 225 on the
+    # fused qkv, ~130 on K=N=1536.  A square tn=1536 re-try (round 3,
+    # scripts/bench_matmul_tiles.py) measured 5-14% SLOWER in the chained
+    # quantize+matmul harness: the big out tile starves the k-tile VMEM
+    # budget down to tk=256, and six accumulator passes cost more than
+    # the saved epilogue — tn<=896 with single-pass tk=1536 wins.
     tm = _pick_tile(M, 8, 1024)
     tn = _pick_tile(N, 128, tn_cap)
-    if tm is not None and tn is not None and tn > 896 \
-            and 6 * tm * tn > 9.5e6:
-        # the k-tile budget below needs headroom left after the out/acc
-        # tiles; fall back to the deep-shape cap when the square tile
-        # would starve it (keeps tk >= 128 legal)
-        tn = _pick_tile(N, 128, 896)
     if tm is None or tn is None or K % 128:
         return None
     # VMEM: double-buffered x/w tiles + int32 acc + out tile, under ~12MB
@@ -256,13 +253,7 @@ def w8a8_matmul_bf16x(x: jax.Array, w_q: jax.Array, w_scale: jax.Array,
     Kw, N = w_q.shape
     assert K == Kw and w_scale.shape == (N,)
     tm = _pick_tile(M, 8, 1024)
-    # square tn=1536 preferred at the K=1536 shapes (round-2 sweep,
-    # +4-6%); degrade to the 896 cap when the tiles would bust VMEM
-    tn = _pick_tile(N, 128, 1536)
-    if tm is not None and tn is not None and tn > 896:
-        vmem = 2 * (2 * tm * K + K * tn + 2 * tm * tn)
-        if vmem > 14 * 2 ** 20:
-            tn = _pick_tile(N, 128, 896)
+    tn = _pick_tile(N, 128, 896)
     if tm is None or tn is None or K % 128 or K > 1536:
         return None
     b = (bias if bias is not None
