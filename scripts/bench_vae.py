@@ -22,7 +22,33 @@ B, H, W = 1, 60, 104
 REPS = 3
 
 
+def _conv3d_padfuse(p, x, stride=(1, 1, 1), spatial_pad=(0, 0)):
+    """Variant: explicit jnp.pad + VALID conv — the pad then becomes a
+    fusible output of the preceding norm/silu elementwise chain instead
+    of XLA's internal conv-input pad copy (the 56 ms/block 'pad'
+    category in the round-1 trace)."""
+    if spatial_pad != (0, 0):
+        sh, sw = spatial_pad
+        x = jnp.pad(x, ((0, 0), (0, 0), (sh, sh), (sw, sw), (0, 0)))
+    return jax.lax.conv_general_dilated(
+        x, p["w"], window_strides=stride,
+        padding=((0, 0), (0, 0), (0, 0)),
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    ) + p["b"]
+
+
 def main():
+    variants = sys.argv[1:] or ["base"]
+    unroll = 1
+    for v in variants:
+        if v == "padfuse":
+            vae_mod._conv3d = _conv3d_padfuse
+        elif v.startswith("unroll"):
+            unroll = True
+        elif v != "base":
+            raise SystemExit(f"unknown variant {v}")
+    print("variants:", variants)
+
     cfg = vae_mod.WAN_VAE
     key = jax.random.PRNGKey(0)
     params = jax.tree.map(lambda x: x.astype(jnp.bfloat16),
@@ -36,11 +62,13 @@ def main():
 
     @functools.partial(jax.jit, donate_argnums=(1,))
     def rest(z, cache):
-        return vae_mod.decode_block(params, cfg, z, cache, first=False)
+        return vae_mod.decode_block(params, cfg, z, cache, first=False,
+                                    unroll=unroll)
 
     @functools.partial(jax.jit, donate_argnums=(1,))
     def block(z, cache):
-        return vae_mod.decode_block(params, cfg, z, cache, first=False)
+        return vae_mod.decode_block(params, cfg, z, cache, first=False,
+                                    unroll=unroll)
 
     def run():
         cache = vae_mod.init_decoder_cache(params, cfg, B, H, W,

@@ -60,7 +60,7 @@ class WanConfig:
     # The kmax cache bound is tight for the global-window pipeline (only
     # refresh-written rows that are still live contribute; the cache
     # reset zeroes it per video); windowed mode never uses it.
-    attn_softmax: str = "bounded"
+    attn_softmax: str = "free"
     # Megatron-style tensor parallelism over ICI (the 14B single-host
     # story; the reference has no TP — SURVEY.md §2.8 'absent').  When set,
     # the forward is being traced inside a shard_map over this mesh axis

@@ -576,13 +576,13 @@ def decode_frame(params: Params, cfg: VAEConfig, z: jax.Array, cache: list,
 
 
 def decode_block(params: Params, cfg: VAEConfig, z: jax.Array, cache: list,
-                 first: bool):
+                 first: bool, unroll: int | bool = 1):
     """Decode a multi-frame latent block in ONE call (lax.scan over frames
     inside jit) — the streaming serving path wants one dispatch per block,
     not one per frame (demo_utils/vae_block3.py's role).
 
     z: [B, T, h, w, zc]; returns (pixels [B, T*4(-3 if first), H, W, 3],
-    new_cache).
+    new_cache).  ``unroll`` forwards to the per-frame lax.scan.
     """
     B, T = z.shape[:2]
     outs = []
@@ -599,7 +599,8 @@ def decode_block(params: Params, cfg: VAEConfig, z: jax.Array, cache: list,
                                     first=False)
             return cache, y
 
-        cache, ys = jax.lax.scan(step, cache, z.transpose(1, 0, 2, 3, 4))
+        cache, ys = jax.lax.scan(step, cache, z.transpose(1, 0, 2, 3, 4),
+                                 unroll=unroll)
         ys = ys.transpose(1, 0, 2, 3, 4, 5).reshape(
             B, -1, *ys.shape[3:])
         outs.append(ys)
