@@ -768,24 +768,43 @@ def _decode_fresh_fwd(q, k_cache, v_cache, k_new, v_new, kv_start, kv_end,
         def fresh_idx(b, ki, qi, li, lo, hi, m0r):
             return (b, jnp.clip(ki - ktc, 0, ktf - 1), 0)
 
-    # free mode never touches the running-max scratch — dropping it frees
+    # free modes never touch the running-max scratch — dropping it frees
     # ~2.4 MB of persistent VMEM at 1.3B geometry for bigger tiles
-    scratch = ([] if bounded == "free"
+    scratch = ([] if bounded in ("free", "free_qk")
                else [pltpu.VMEM((qt * tq, 128), jnp.float32)]) + [
         pltpu.VMEM((qt * tq, 128), jnp.float32),
         pltpu.VMEM((qt * tq, D), jnp.float32),
     ]
     if quant == "int8":
-        kernel = functools.partial(
-            _decode_fresh_int8_kernel, scale=scale, tq=tq, tk=tk, tf=tf,
-            kv_len=S, kt_cache=ktc, fresh_len=Lf, bounded=bounded)
-        scratch += [
-            pltpu.VMEM((max(tk, tf), D), jnp.int8),   # quantized K tile
-            pltpu.VMEM((max(tk, tf), D), jnp.int8),   # quantized V tile
-            pltpu.VMEM((qt * tq, D), jnp.int8),       # quantized Q
-            pltpu.SMEM((qt,), jnp.float32),           # per-q-tile scales
-            pltpu.SMEM((2,), jnp.float32),            # per-tile K/V scales
-        ]
+        if bounded == "free_qk":
+            # free_qk also never quantizes V — drop vq_scr too
+            def kernel(li_ref, lo_ref, hi_ref, m0_ref, q_ref, k_ref,
+                       v_ref, kn_ref, vn_ref, o_ref, l_scr, acc_scr,
+                       kq_scr, qq_scr, qs_scr, sc_scr):
+                _decode_fresh_int8_kernel(
+                    li_ref, lo_ref, hi_ref, m0_ref, q_ref, k_ref, v_ref,
+                    kn_ref, vn_ref, o_ref, None, l_scr, acc_scr, kq_scr,
+                    None, qq_scr, qs_scr, sc_scr, scale=scale, tq=tq,
+                    tk=tk, tf=tf, kv_len=S, kt_cache=ktc, fresh_len=Lf,
+                    bounded=bounded)
+            scratch += [
+                pltpu.VMEM((max(tk, tf), D), jnp.int8),  # quantized K tile
+                pltpu.VMEM((qt * tq, D), jnp.int8),      # quantized Q
+                pltpu.SMEM((qt,), jnp.float32),          # per-q-tile scales
+                pltpu.SMEM((2,), jnp.float32),           # K scale
+            ]
+        else:
+            kernel = functools.partial(
+                _decode_fresh_int8_kernel, scale=scale, tq=tq, tk=tk,
+                tf=tf, kv_len=S, kt_cache=ktc, fresh_len=Lf,
+                bounded=bounded)
+            scratch += [
+                pltpu.VMEM((max(tk, tf), D), jnp.int8),  # quantized K tile
+                pltpu.VMEM((max(tk, tf), D), jnp.int8),  # quantized V tile
+                pltpu.VMEM((qt * tq, D), jnp.int8),      # quantized Q
+                pltpu.SMEM((qt,), jnp.float32),          # per-q-tile scales
+                pltpu.SMEM((2,), jnp.float32),           # per-tile K/V scales
+            ]
     elif bounded == "free":
         def kernel(li_ref, lo_ref, hi_ref, m0_ref, q_ref, k_ref, v_ref,
                    kn_ref, vn_ref, o_ref, l_scr, acc_scr):
@@ -952,7 +971,8 @@ def decode_attention_fresh_pallas(q: jax.Array, k_cache: jax.Array,
     A/Bs only)."""
     D = q.shape[-1] if heads_packed is None else q.shape[-1] // heads_packed
     scale = (D ** -0.5) if scale is None else scale
-    if softmax in ("free", "free_noclamp") and quant is None and tq == 512:
+    if softmax in ("free", "free_noclamp") \
+            and quant in (None, "int8qk") and tq == 512:
         # free mode drops the running-max scratch, which buys VMEM for
         # wider q tiles (fewer grid steps): the v5e sweep measured 6.58 ->
         # 6.12 ms/call at tq 472 -> 936 (full window, folded layout), but
