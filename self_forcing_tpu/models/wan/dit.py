@@ -579,6 +579,11 @@ def init_kv_cache(cfg: WanConfig, batch_size: int, frame_seqlen: int,
     """Zeroed cache sized local_attn_size frames if windowed, else
     num_frames (causal_inference.py:283-288)."""
     if cfg.local_attn_size != -1:
+        # buffer size == window size is LOAD-BEARING for the reference's
+        # sink semantics: eviction keeps content <= S == max_attention,
+        # so the attention window always spans the whole live cache
+        # (sinks included).  The kernel exact-fits its cache tile to S
+        # (decode_attention_fresh_pallas), so no pad copy results.
         S = cfg.local_attn_size * frame_seqlen
     else:
         S = num_frames * frame_seqlen
@@ -590,6 +595,38 @@ def init_kv_cache(cfg: WanConfig, batch_size: int, frame_seqlen: int,
         global_end=jnp.zeros((), jnp.int32),
         local_end=jnp.zeros((), jnp.int32),
         kmax=jnp.zeros((cfg.num_layers,), jnp.float32))
+
+
+def evict_for(cfg: WanConfig, cache: KVCache, new_tokens: int) -> KVCache:
+    """Pre-run the rolling eviction for an ADVANCING write of
+    ``new_tokens`` (windowed mode only; no-op on the global cache).
+
+    The streaming pipeline calls this once per block so the 4 denoise
+    forwards + refresh all see ``evict == 0`` — otherwise every forward
+    recomputes the same all-layer roll (a multi-GB gather) under its
+    lax.cond.  Semantically idempotent with forward_inference's own
+    eviction arithmetic (causal_model.py:203-229): local_end shrinks by
+    the evicted count, global_end is untouched."""
+    if cfg.local_attn_size == -1:
+        return cache
+    S = cache.k.shape[2]
+    frame_seqlen = 0  # sink size is in frames; resolve from the cache
+    # sink tokens: cfg.sink_size frames of (S / local_attn_size) tokens
+    frame_seqlen = S // cfg.local_attn_size
+    sink_tokens = cfg.sink_size * frame_seqlen
+    evict = jnp.maximum(0, new_tokens + cache.local_end - S)
+
+    def roll_all(kv):
+        k, v = kv
+        pos = jnp.arange(S, dtype=jnp.int32)
+        src = jnp.where(pos < sink_tokens, pos,
+                        jnp.minimum(pos + evict, S - 1))
+        return jnp.take(k, src, axis=2), jnp.take(v, src, axis=2)
+
+    k, v = jax.lax.cond(evict > 0, roll_all, lambda kv: kv,
+                        (cache.k, cache.v))
+    return dataclasses.replace(cache, k=k, v=v,
+                               local_end=cache.local_end - evict)
 
 
 def reset_kv_cache(cache: KVCache) -> KVCache:

@@ -988,6 +988,15 @@ def decode_attention_fresh_pallas(q: jax.Array, k_cache: jax.Array,
     Lq = q.shape[1]
     qt = _cdiv(Lq, min(tq, max(128, 1 << (Lq - 1).bit_length())))
     tq = max(8, -(-_cdiv(Lq, qt) // 8) * 8)
+    # exact-fit the CACHE tile to S as well: an S no tile count covers
+    # pad-free forces _decode_fresh_fwd to pad-COPY the entire cache
+    # every call (~3.4 GB at a 12-frame window; the windowed path's
+    # buffer size is semantically pinned to the window, so it cannot be
+    # pre-aligned the way the global cache is)
+    S_tok = k_cache.shape[2] if k_cache.ndim == 4 else k_cache.shape[1]
+    if S_tok % tk:
+        ntk = _cdiv(S_tok, min(tk, max(128, 1 << (S_tok - 1).bit_length())))
+        tk = max(8, -(-_cdiv(S_tok, ntk) // 8) * 8)
     Lf = k_new.shape[1]
     # int8 scratch tiles are (32, 128)-tiled (tf 32-aligned), and the
     # extra qq scratch leaves less VMEM for operand double-buffers: cap

@@ -112,6 +112,11 @@ def denoise_block(params, cfg: WanConfig, scheduler: FlowMatchScheduler,
     noisy = noise_blk
     x0 = noisy
     blk_rng = rng
+    # windowed mode: run the rolling eviction ONCE for the whole block
+    # (all 5 forwards then see evict == 0 instead of each re-rolling the
+    # multi-GB cache under lax.cond; dit.evict_for is a no-op globally)
+    fs = (H // 2) * (W // 2)
+    cache = dit.evict_for(cfg, cache, nb * fs)
     for i, t_val in enumerate(steps):
         t = jnp.full((B, nb), t_val, jnp.float32)
         # write_cache=False: the refresh pass (or nothing, on the last
