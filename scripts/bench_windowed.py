@@ -29,9 +29,14 @@ from self_forcing_tpu.ops.quant import quantize_dit_params
 
 
 def main():
-    # 12-frame window with a 1-frame sink, 3-frame blocks
+    # 12-frame window with a 1-frame sink, 3-frame blocks; 24-frame
+    # buffer = append-only blocks with one contiguous compaction every
+    # 5 blocks instead of a full-cache gather roll per block (round 4)
+    import os as _os
+    buf = int(_os.environ.get("BUF_FRAMES", "24"))
     cfg = dataclasses.replace(WAN_1_3B, num_frame_per_block=3,
                               local_attn_size=12, sink_size=1,
+                              windowed_buffer_frames=buf,
                               attn_quant="int8qk")
     B, C, H, W = 1, 16, 60, 104
     NBLOCKS = 14
@@ -52,18 +57,27 @@ def main():
     fs = (H // 2) * (W // 2)
     nb = 3
 
+    buf_tok, post = dit.windowed_compaction_schedule(cfg, fs, nb * fs)
+
     def run():
         cache = dit.init_kv_cache(cfg, B, fs, F, jnp.bfloat16)
         rng = jax.random.PRNGKey(42)
         start = jnp.int32(0)
         t_steady = None
         blk = None
+        content = 0
         for b in range(NBLOCKS):
             rng, k = jax.random.split(rng)
             # window is full from block 4 on: time the steady state
             if b == 4:
                 float(jnp.ravel(blk)[0])
                 t_steady = time.perf_counter()
+            # host-scheduled compaction (pipelines/causal_inference.py
+            # stream() does the same bookkeeping)
+            if content + nb * fs > buf_tok:
+                cache = dit.compact_cache(cfg, cache, nb * fs)
+                content = post
+            content += nb * fs
             blk, cache = denoise_block(
                 params, cfg, pipe.scheduler, pipe.rope, ctx_kv, cache,
                 noise[:, b * nb:(b + 1) * nb], k,

@@ -72,6 +72,18 @@ class WanConfig:
     # LOCAL head count while dim stays the model width, so head_dim can no
     # longer be derived as dim // num_heads
     head_dim_override: int | None = None
+    # Windowed-streaming KV buffer size in frames (>= local_attn_size;
+    # None = local_attn_size, the reference's buffer==window sizing,
+    # causal_inference.py:283-288).  A LARGER buffer amortizes eviction:
+    # blocks append without any roll (the attention kernels read the live
+    # content as two intervals — sink frames + recent window — via the
+    # ``sink_end`` window, ops/pallas_attention.py), and only when the
+    # buffer physically fills does one contiguous-copy compaction move
+    # [sinks | recent] back to the front.  With the default (buffer ==
+    # window) the compaction degenerates to exactly the reference's
+    # per-block eviction (causal_model.py:203-229), now as a contiguous
+    # dynamic-slice copy instead of a full-cache gather.
+    windowed_buffer_frames: int | None = None
 
     @property
     def head_dim(self) -> int:
@@ -85,6 +97,16 @@ class WanConfig:
         if self.local_attn_size == -1:
             return 21 * frame_seqlen
         return self.local_attn_size * frame_seqlen
+
+    @property
+    def buffer_frames(self) -> int:
+        """Windowed KV buffer size in frames (windowed mode only)."""
+        assert self.local_attn_size != -1
+        bf = (self.local_attn_size if self.windowed_buffer_frames is None
+              else self.windowed_buffer_frames)
+        assert bf >= self.local_attn_size, \
+            "windowed_buffer_frames must be >= local_attn_size"
+        return bf
 
 
 WAN_1_3B = WanConfig()

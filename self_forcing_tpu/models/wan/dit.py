@@ -26,6 +26,7 @@ reference pipelines), tokens are [B, L, D] inside.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 from typing import Any, Optional
 
@@ -579,12 +580,15 @@ def init_kv_cache(cfg: WanConfig, batch_size: int, frame_seqlen: int,
     """Zeroed cache sized local_attn_size frames if windowed, else
     num_frames (causal_inference.py:283-288)."""
     if cfg.local_attn_size != -1:
-        # buffer size == window size is LOAD-BEARING for the reference's
-        # sink semantics: eviction keeps content <= S == max_attention,
-        # so the attention window always spans the whole live cache
-        # (sinks included).  The kernel exact-fits its cache tile to S
-        # (decode_attention_fresh_pallas), so no pad copy results.
-        S = cfg.local_attn_size * frame_seqlen
+        # Buffer >= window (cfg.buffer_frames).  With buffer == window
+        # (the default) eviction keeps content <= S == max_attention and
+        # the window spans the whole live cache — the reference's sizing.
+        # With a slack buffer (windowed_buffer_frames > local_attn_size)
+        # blocks APPEND without eviction and the attention window is the
+        # two-interval [0, sinks) + [recent) view; one contiguous-copy
+        # compaction runs only when the buffer fills (evict_for).  The
+        # kernel exact-fits its cache tile to S either way.
+        S = cfg.buffer_frames * frame_seqlen
     else:
         S = num_frames * frame_seqlen
         if S > 2048:   # align to the decode kernel tile: runtime pad no-op
@@ -597,36 +601,103 @@ def init_kv_cache(cfg: WanConfig, batch_size: int, frame_seqlen: int,
         kmax=jnp.zeros((cfg.num_layers,), jnp.float32))
 
 
+def _windowed_compact(cfg: WanConfig, cache: KVCache, new_tokens: int,
+                      frame_seqlen: int,
+                      gate: jax.Array | bool = True) -> KVCache:
+    """Contiguous-copy compaction of the windowed KV buffer before an
+    ADVANCING write of ``new_tokens`` (static), when the write would
+    overflow the physical buffer.
+
+    Replaces the reference's per-block rolling eviction
+    (causal_model.py:203-229): the surviving content — sink frames plus
+    the most recent ``max_attention - sinks - new_tokens`` tokens (the
+    exact set the next block may attend) — moves to the buffer front as
+    ONE static-size dynamic-slice copy instead of a full-cache gather.
+    With buffer == window this runs every steady-state block and is
+    content-identical to the reference roll; with a slack buffer
+    (cfg.windowed_buffer_frames) it runs only every
+    ``(buffer - window + new) / new`` blocks.  local_end shrinks by the
+    dropped count; global_end is untouched."""
+    S = cache.k.shape[2]
+    sink_tokens = cfg.sink_size * frame_seqlen
+    keep_recent = max(0, cfg.max_attention_size(frame_seqlen)
+                      - sink_tokens - new_tokens)
+    need = jnp.asarray(gate) & (new_tokens + cache.local_end > S)
+    post = sink_tokens + keep_recent  # local_end after compaction (static)
+
+    def compact(kv):
+        k, v = kv
+        src = cache.local_end - keep_recent  # >= sink_tokens when `need`
+        if keep_recent == 0:
+            return k, v
+        kr = jax.lax.dynamic_slice_in_dim(k, src, keep_recent, axis=2)
+        vr = jax.lax.dynamic_slice_in_dim(v, src, keep_recent, axis=2)
+        return (jax.lax.dynamic_update_slice_in_dim(k, kr, sink_tokens,
+                                                    axis=2),
+                jax.lax.dynamic_update_slice_in_dim(v, vr, sink_tokens,
+                                                    axis=2))
+
+    k, v = jax.lax.cond(need, compact, lambda kv: kv, (cache.k, cache.v))
+    local_end = jnp.where(need, jnp.int32(post), cache.local_end)
+    return dataclasses.replace(cache, k=k, v=v, local_end=local_end)
+
+
 def evict_for(cfg: WanConfig, cache: KVCache, new_tokens: int) -> KVCache:
-    """Pre-run the rolling eviction for an ADVANCING write of
+    """Pre-run the windowed buffer compaction for an ADVANCING write of
     ``new_tokens`` (windowed mode only; no-op on the global cache).
 
     The streaming pipeline calls this once per block so the 4 denoise
-    forwards + refresh all see ``evict == 0`` — otherwise every forward
-    recomputes the same all-layer roll (a multi-GB gather) under its
-    lax.cond.  Semantically idempotent with forward_inference's own
-    eviction arithmetic (causal_model.py:203-229): local_end shrinks by
-    the evicted count, global_end is untouched."""
+    forwards + refresh all see a fitting buffer instead of each
+    re-compacting under their own lax.cond."""
     if cfg.local_attn_size == -1:
         return cache
-    S = cache.k.shape[2]
-    frame_seqlen = 0  # sink size is in frames; resolve from the cache
-    # sink tokens: cfg.sink_size frames of (S / local_attn_size) tokens
-    frame_seqlen = S // cfg.local_attn_size
+    frame_seqlen = cache.k.shape[2] // cfg.buffer_frames
+    return _windowed_compact(cfg, cache, new_tokens, frame_seqlen)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "new_tokens"),
+                   donate_argnums=(1,))
+def compact_cache(cfg: WanConfig, cache: KVCache,
+                  new_tokens: int) -> KVCache:
+    """UNCONDITIONAL windowed-buffer compaction as its own donated
+    program, for host-scheduled eviction.
+
+    The streaming block schedule is static, so the pipeline tracks the
+    buffer fill in python and calls this exactly when the next block
+    would overflow — the hot per-block jits then carry no compaction
+    lax.cond at all (a cond roll inside the donated denoise program
+    costs a full-buffer HLO temp for the untaken branch: +6.4 GB at a
+    24-frame 1.3B buffer — OOM; measured r4).  With donation the copy
+    here is in-place up to the moved region (~1/3 of the buffer).
+
+    Content/semantics identical to _windowed_compact with need=True:
+    keep sinks + the most recent (window - sinks - new_tokens) tokens.
+    """
+    frame_seqlen = cache.k.shape[2] // cfg.buffer_frames
     sink_tokens = cfg.sink_size * frame_seqlen
-    evict = jnp.maximum(0, new_tokens + cache.local_end - S)
-
-    def roll_all(kv):
-        k, v = kv
-        pos = jnp.arange(S, dtype=jnp.int32)
-        src = jnp.where(pos < sink_tokens, pos,
-                        jnp.minimum(pos + evict, S - 1))
-        return jnp.take(k, src, axis=2), jnp.take(v, src, axis=2)
-
-    k, v = jax.lax.cond(evict > 0, roll_all, lambda kv: kv,
-                        (cache.k, cache.v))
+    keep = max(0, cfg.max_attention_size(frame_seqlen)
+               - sink_tokens - new_tokens)
+    k, v = cache.k, cache.v
+    if keep:
+        src = cache.local_end - keep
+        kr = jax.lax.dynamic_slice_in_dim(k, src, keep, axis=2)
+        vr = jax.lax.dynamic_slice_in_dim(v, src, keep, axis=2)
+        k = jax.lax.dynamic_update_slice_in_dim(k, kr, sink_tokens, axis=2)
+        v = jax.lax.dynamic_update_slice_in_dim(v, vr, sink_tokens, axis=2)
     return dataclasses.replace(cache, k=k, v=v,
-                               local_end=cache.local_end - evict)
+                               local_end=jnp.int32(sink_tokens + keep))
+
+
+def windowed_compaction_schedule(cfg: WanConfig, frame_seqlen: int,
+                                 new_tokens: int):
+    """(buffer_tokens, post_compact_tokens) for the host-side fill
+    tracker: compact when ``content + new_tokens > buffer_tokens``; after
+    compaction the content is ``post_compact_tokens``."""
+    S = cfg.buffer_frames * frame_seqlen
+    sink_tokens = cfg.sink_size * frame_seqlen
+    keep = max(0, cfg.max_attention_size(frame_seqlen)
+               - sink_tokens - new_tokens)
+    return S, sink_tokens + keep
 
 
 def reset_kv_cache(cache: KVCache) -> KVCache:
@@ -721,7 +792,9 @@ def _block_decode_fresh(bp: Params, cfg: WanConfig, x: jax.Array,
                         static_kv_hi: int | None = None,
                         layer_idx: jax.Array | None = None,
                         emit_kv: bool = True,
-                        kmax_layer: jax.Array | None = None):
+                        kmax_layer: jax.Array | None = None,
+                        sink_hi: jax.Array | None = None,
+                        tk_align: int | None = None):
     """One block with READ-ONLY cache attention: the current chunk's K/V
     are returned for a single out-of-scan cache write instead of being
     written per-layer (the cache-bandwidth fast path; semantics identical
@@ -789,7 +862,9 @@ def _block_decode_fresh(bp: Params, cfg: WanConfig, x: jax.Array,
                                       quant=quant,
                                       layer_idx=layer_idx,
                                       heads_packed=cfg.num_heads,
-                                      fixed_m0=m0, softmax=sm)
+                                      fixed_m0=m0, softmax=sm,
+                                      sink_end=sink_hi,
+                                      tk_align=tk_align)
         y = _out_linear(bp["self_attn"]["o"], attn, cfg)
         kf = vf = None  # folded on demand below
     else:
@@ -809,7 +884,9 @@ def _block_decode_fresh(bp: Params, cfg: WanConfig, x: jax.Array,
                                       static_hi=static_kv_hi,
                                       quant=quant,
                                       layer_idx=layer_idx,
-                                      fixed_m0=m0, softmax=sm)
+                                      fixed_m0=m0, softmax=sm,
+                                      sink_end=sink_hi,
+                                      tk_align=tk_align)
         y = _out_linear(bp["self_attn"]["o"], _unfold_heads(cfg, attn),
                         cfg)
     x = x + _gate(y, e_gate, frame_seqlen)
@@ -1103,7 +1180,8 @@ def forward_inference(params: Params, cfg: WanConfig, x: jax.Array,
                       add_condition: jax.Array | None = None,
                       cache_start_frame: jax.Array | None = None,
                       static_kv_hi: int | None = None,
-                      write_cache: bool = True
+                      write_cache: bool = True,
+                      assume_compacted: bool = False
                       ) -> tuple[jax.Array, KVCache]:
     """KV-cached streaming forward (CausalWanModel._forward_inference,
     causal_model.py:725-893).
@@ -1139,19 +1217,33 @@ def forward_inference(params: Params, cfg: WanConfig, x: jax.Array,
     current_start = cache_start_frame * frame_seqlen
     current_end = current_start + Lq
     sink_tokens = cfg.sink_size * frame_seqlen
+    max_attn = cfg.max_attention_size(frame_seqlen)
 
     if cfg.local_attn_size != -1:
-        advancing = current_end > cache.global_end
-        overflow = advancing & (Lq + cache.local_end > S)
-        evict = jnp.where(overflow, Lq + cache.local_end - S, 0)
+        # windowed: compaction fallback for direct callers, then
+        # append-only writes with the TWO-interval [sinks | recent]
+        # attention window — no per-block roll.  Only ADVANCING writes
+        # may compact (causal_model.py:203 `if current_end >
+        # self.kv_cache_length`-style gating): a rewrite of an
+        # already-cached block must leave the buffer as-is.
+        # ``assume_compacted=True`` (the streaming hot path — the
+        # pipeline host-schedules dit.compact_cache between blocks)
+        # omits the cond entirely: its untaken branch would cost a
+        # full-buffer HLO temp inside the donated per-block programs.
+        if not assume_compacted:
+            advancing = current_end > cache.global_end
+            cache = _windowed_compact(cfg, cache, Lq, frame_seqlen,
+                                      gate=advancing)
+        keep_recent = max(0, max_attn - sink_tokens - Lq)
+        local_end = cache.local_end + (current_end - cache.global_end)
+        write_at = local_end - Lq
+        sink_hi = jnp.minimum(sink_tokens, write_at)
+        attn_lo = jnp.maximum(sink_hi, write_at - keep_recent)
     else:
-        overflow = jnp.zeros((), bool)
-        evict = jnp.zeros((), jnp.int32)
-
-    local_end = cache.local_end + (current_end - cache.global_end) - evict
-    write_at = local_end - Lq
-    max_attn = cfg.max_attention_size(frame_seqlen)
-    attn_lo = jnp.maximum(0, local_end - max_attn)
+        local_end = cache.local_end + (current_end - cache.global_end)
+        write_at = local_end - Lq
+        sink_hi = None
+        attn_lo = jnp.maximum(0, local_end - max_attn)
 
     has_img = "k_img" in ctx_kv
 
@@ -1217,29 +1309,24 @@ def forward_inference(params: Params, cfg: WanConfig, x: jax.Array,
             # per 81-frame video).
             new_k, new_v = cache.k, cache.v
     else:
-        # ---- windowed path with rolling eviction + sinks
-        # (causal_model.py:203-229).  Round 3 re-architected it to match
-        # the global fast path: the eviction roll happens ONCE for all
-        # layers outside the layer scan, the rolled cache is then READ
-        # ONLY inside the scan (decode_attention_fresh over
-        # cache[attn_lo, write_at) + the fresh block), and one fused
-        # dynamic_update_slice writes every layer's new K/V — instead of
-        # hauling per-layer cache copies through scan carries and
-        # rolling/writing inside every layer.  The offset-free softmax
-        # applies here too (it needs no kmax bound, which rolling
-        # eviction could never track); 'bounded' mode falls back to the
-        # online kernel as before (kmax_layer=None).
-        def roll_all(kv):
-            k, v = kv
-            pos = jnp.arange(S, dtype=jnp.int32)
-            src = jnp.where(pos < sink_tokens, pos,
-                            jnp.minimum(pos + evict, S - 1))
-            return jnp.take(k, src, axis=2), jnp.take(v, src, axis=2)
-
-        k0, v0 = jax.lax.cond(overflow, roll_all, lambda kv: kv,
-                              (cache.k, cache.v))
+        # ---- windowed path with attention sinks (causal_model.py:
+        # 203-229 semantics).  Round 4 removed the per-block eviction
+        # roll entirely: blocks APPEND into a slack buffer and the
+        # decode kernel reads the live content as the two-interval
+        # [0, sink_hi) + [attn_lo, write_at) window (any already-evicted
+        # tokens still physically present are simply invisible); a
+        # contiguous-copy compaction runs only when the buffer fills
+        # (_windowed_compact — already applied above / via evict_for).
+        # The cache is READ ONLY inside the layer scan and one fused
+        # dynamic_update_slice writes every layer's new K/V.  The
+        # offset-free softmax applies here too (it needs no kmax bound,
+        # which eviction could never track); 'bounded' mode falls back
+        # to the online kernel as before (kmax_layer=None).
         num_layers = cache.k.shape[0]
         layer_ids = jnp.arange(num_layers, dtype=jnp.int32)
+        # frame-aligned cache tiles: interval bounds are whole frames,
+        # so every live tile takes the kernel's mask-free path
+        tkal = frame_seqlen if frame_seqlen % 8 == 0 else None
 
         def scan_body(tok, xs):
             if has_img:
@@ -1250,9 +1337,10 @@ def forward_inference(params: Params, cfg: WanConfig, x: jax.Array,
                 bp, li, kt, vt = xs
                 layer_ctx = {"k_txt": kt, "v_txt": vt}
             tok, k_new, v_new, _ = _block_decode_fresh(
-                bp, cfg, tok, e0, cos, sin, k0, v0, attn_lo,
+                bp, cfg, tok, e0, cos, sin, cache.k, cache.v, attn_lo,
                 write_at, layer_ctx, frame_seqlen, None,
-                layer_idx=li, emit_kv=write_cache, kmax_layer=None)
+                layer_idx=li, emit_kv=write_cache, kmax_layer=None,
+                sink_hi=sink_hi, tk_align=tkal)
             if not write_cache:
                 return tok, None
             return tok, (k_new, v_new)
@@ -1267,9 +1355,9 @@ def forward_inference(params: Params, cfg: WanConfig, x: jax.Array,
         if write_cache:
             ks_new, vs_new = ys
             new_k = jax.lax.dynamic_update_slice(
-                k0, ks_new.astype(k0.dtype), (0, 0, write_at, 0))
+                cache.k, ks_new.astype(cache.k.dtype), (0, 0, write_at, 0))
             new_v = jax.lax.dynamic_update_slice(
-                v0, vs_new.astype(v0.dtype), (0, 0, write_at, 0))
+                cache.v, vs_new.astype(cache.v.dtype), (0, 0, write_at, 0))
         else:
             new_k, new_v = cache.k, cache.v
         new_kmax = cache.kmax

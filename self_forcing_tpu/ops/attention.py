@@ -248,7 +248,9 @@ def decode_attention_fresh(q: jax.Array, k_cache: jax.Array,
                            layer_idx: jax.Array | None = None,
                            heads_packed: int | None = None,
                            fixed_m0: float | None = None,
-                           softmax: str | None = None) -> jax.Array:
+                           softmax: str | None = None,
+                           sink_end: jax.Array | None = None,
+                           tk_align: int | None = None) -> jax.Array:
     """KV-cache attention where the *current block's* K/V have not been
     written into the cache yet: queries see cache[kv_start:kv_end) plus all
     of k_new/v_new.
@@ -282,6 +284,12 @@ def decode_attention_fresh(q: jax.Array, k_cache: jax.Array,
     static qk-norm weight bound (models/wan/dit.py
     free_softmax_score_bound); pass ``scale=1.0``.  The XLA fallback
     recovers exactness by running base-e softmax at scale*ln(2).
+
+    ``sink_end``: i32 scalar — the cache window becomes the two-interval
+    union [0, sink_end) + [kv_start, kv_end): the windowed-streaming
+    attention-sink view (causal_model.py:203-229 sink semantics without
+    the physical roll).  ``tk_align``: cache-tile alignment hint for the
+    Pallas kernel (the windowed caller passes frame_seqlen).
     """
     if _use_pallas():
         from self_forcing_tpu.ops.pallas_attention import (
@@ -294,7 +302,9 @@ def decode_attention_fresh(q: jax.Array, k_cache: jax.Array,
                                              layer_idx=layer_idx,
                                              heads_packed=heads_packed,
                                              fixed_m0=fixed_m0,
-                                             softmax=softmax)
+                                             softmax=softmax,
+                                             sink_end=sink_end,
+                                             tk_align=tk_align)
     if softmax == "free":
         # base-2 softmax of (s * scale) == base-e softmax at scale*ln(2)
         scale = (1.0 if scale is None else scale) * math.log(2.0)
@@ -309,20 +319,21 @@ def decode_attention_fresh(q: jax.Array, k_cache: jax.Array,
                            for a in (q, k_new, v_new))
         out = decode_attention_fresh_xla(
             q, unfold_kv(k_cache, NH), unfold_kv(v_cache, NH),
-            k_new, v_new, kv_start, kv_end, scale=scale)
+            k_new, v_new, kv_start, kv_end, scale=scale,
+            sink_end=sink_end)
         return out.reshape(*out.shape[:2], -1)
     if q.ndim == 3:
         # folded [BN, ., D] operands == singleton-head 4-D attention
         out = decode_attention_fresh_xla(
             q[:, :, None], k_cache[:, :, None], v_cache[:, :, None],
             k_new[:, :, None], v_new[:, :, None], kv_start, kv_end,
-            scale=scale)
+            scale=scale, sink_end=sink_end)
         return out[:, :, 0]
     N = q.shape[2]
     return decode_attention_fresh_xla(
         q, unfold_kv(k_cache, N), unfold_kv(v_cache, N),
         unfold_kv(k_new, N), unfold_kv(v_new, N),
-        kv_start, kv_end, scale=scale)
+        kv_start, kv_end, scale=scale, sink_end=sink_end)
 
 
 @partial(jax.jit, static_argnames=("kv_chunk", "scale"))
@@ -331,9 +342,11 @@ def decode_attention_fresh_xla(q: jax.Array, k_cache: jax.Array,
                                v_new: jax.Array, kv_start: jax.Array,
                                kv_end: jax.Array,
                                scale: float | None = None,
-                               kv_chunk: int = 1560) -> jax.Array:
+                               kv_chunk: int = 1560,
+                               sink_end: jax.Array | None = None
+                               ) -> jax.Array:
     """XLA reference for decode_attention_fresh: concat [cache | new] and
-    mask cache positions outside [kv_start, kv_end)."""
+    mask cache positions outside [0, sink_end) + [kv_start, kv_end)."""
     d = q.shape[-1]
     scale = (d ** -0.5) if scale is None else scale
     Lq = q.shape[1]
@@ -342,9 +355,12 @@ def decode_attention_fresh_xla(q: jax.Array, k_cache: jax.Array,
     v_all = jnp.concatenate([v_cache, v_new.astype(v_cache.dtype)], axis=1)
     lo = jnp.asarray(kv_start, jnp.int32)
     hi = jnp.asarray(kv_end, jnp.int32)
+    sk = jnp.asarray(0 if sink_end is None else sink_end, jnp.int32)
 
     def visible_fn(kv_idx):
-        vis = jnp.where(kv_idx < S, (kv_idx >= lo) & (kv_idx < hi), True)
+        vis = jnp.where(kv_idx < S,
+                        (kv_idx < sk) | ((kv_idx >= lo) & (kv_idx < hi)),
+                        True)
         return jnp.broadcast_to(vis[None, :], (Lq, kv_idx.shape[0]))
 
     return _chunked_online_attention(q, k_all, v_all, scale, visible_fn,

@@ -271,8 +271,8 @@ def decode_attention_pallas(q: jax.Array, k_cache: jax.Array,
 # decode attention with fresh (not-yet-cached) block KV
 # =====================================================================
 
-def _decode_fresh_kernel(li_ref, lo_ref, hi_ref, m0_ref, q_ref, k_ref,
-                         v_ref, kn_ref, vn_ref, o_ref, m_scr, l_scr,
+def _decode_fresh_kernel(li_ref, lo_ref, hi_ref, sk_ref, m0_ref, q_ref,
+                         k_ref, v_ref, kn_ref, vn_ref, o_ref, m_scr, l_scr,
                          acc_scr, *, scale: float, tq: int, tk: int,
                          tf: int, kv_len: int, kt_cache: int,
                          fresh_len: int, bounded: bool = False):
@@ -285,7 +285,13 @@ def _decode_fresh_kernel(li_ref, lo_ref, hi_ref, m0_ref, q_ref, k_ref,
     layer selected by the prefetched ``li`` scalar in the BlockSpec index
     map: feeding lax.scan's per-layer slice instead costs a 100 MB
     dynamic-slice materialization per layer per forward (~18.6 ms/forward
-    at 1.3B geometry — measured, see PERF.md)."""
+    at 1.3B geometry — measured, see PERF.md).
+
+    ``sk_ref`` (sink_hi): the cache window is the TWO-interval union
+    [0, sink_hi) + [lo, hi) — the windowed-streaming path keeps attention
+    sinks at the buffer front and appends recent blocks without any
+    eviction roll (reference sink semantics, causal_model.py:203-229);
+    sink_hi == 0 recovers the single-interval [lo, hi) window."""
     ki = pl.program_id(1)
     nk = pl.num_programs(1)
     qi = pl.program_id(2)
@@ -302,9 +308,11 @@ def _decode_fresh_kernel(li_ref, lo_ref, hi_ref, m0_ref, q_ref, k_ref,
 
     lo = lo_ref[0]
     hi = hi_ref[0]
+    sk = sk_ref[0]
     is_cache = ki < kt_cache
     kv_base = ki * tk
-    live = jnp.where(is_cache, (kv_base < hi) & (kv_base + tk > lo), True)
+    live = jnp.where(is_cache, ((kv_base < hi) & (kv_base + tk > lo))
+                     | (kv_base < sk), True)
 
     def _accumulate(k, v, vis):
         if bounded in ("free", "free_noclamp"):
@@ -391,7 +399,8 @@ def _decode_fresh_kernel(li_ref, lo_ref, hi_ref, m0_ref, q_ref, k_ref,
     # fully-inside tiles skip the visibility mask entirely (the mask's
     # iota/compare/select chain costs ~1 ms/layer at the full window —
     # 7.5% of the whole denoise; measured on v5e)
-    cache_full = (kv_base >= lo) & (kv_base + tk <= jnp.minimum(hi, kv_len))
+    cache_full = (((kv_base >= lo) & (kv_base + tk <= jnp.minimum(hi, kv_len)))
+                  | (kv_base + tk <= sk))
     fresh_base = (ki - kt_cache) * tf
     fresh_full = fresh_base + tf <= fresh_len
 
@@ -402,7 +411,7 @@ def _decode_fresh_kernel(li_ref, lo_ref, hi_ref, m0_ref, q_ref, k_ref,
     @pl.when(live & is_cache & ~cache_full)
     def _cache_tile():
         col = kv_base + jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 1)
-        vis = (col >= lo) & (col < hi) & (col < kv_len)
+        vis = ((col < sk) | ((col >= lo) & (col < hi))) & (col < kv_len)
         _accumulate(_cast(k_ref[0, 0]), _cast(v_ref[0, 0]), vis)
 
     @pl.when(~is_cache & fresh_full)
@@ -422,7 +431,7 @@ def _decode_fresh_kernel(li_ref, lo_ref, hi_ref, m0_ref, q_ref, k_ref,
                     / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
-def _decode_fresh_int8_kernel(li_ref, lo_ref, hi_ref, m0_ref, q_ref,
+def _decode_fresh_int8_kernel(li_ref, lo_ref, hi_ref, sk_ref, m0_ref, q_ref,
                               k_ref, v_ref, kn_ref, vn_ref, o_ref, m_scr,
                               l_scr, acc_scr,
                               kq_scr, vq_scr, qq_scr, qs_scr, sc_scr, *,
@@ -505,9 +514,11 @@ def _decode_fresh_int8_kernel(li_ref, lo_ref, hi_ref, m0_ref, q_ref,
 
     lo = lo_ref[0]
     hi = hi_ref[0]
+    sk = sk_ref[0]
     is_cache = ki < kt_cache
     kv_base = ki * tk
-    live = jnp.where(is_cache, (kv_base < hi) & (kv_base + tk > lo), True)
+    live = jnp.where(is_cache, ((kv_base < hi) & (kv_base + tk > lo))
+                     | (kv_base < sk), True)
 
     qk_only = bounded == "free_qk"
 
@@ -653,7 +664,8 @@ def _decode_fresh_int8_kernel(li_ref, lo_ref, hi_ref, m0_ref, q_ref,
         m_scr[pl.ds(row, tq), :] = jnp.broadcast_to(m_new, (tq, 128))
         l_scr[pl.ds(row, tq), :] = jnp.broadcast_to(l_new, (tq, 128))
 
-    cache_full = (kv_base >= lo) & (kv_base + tk <= jnp.minimum(hi, kv_len))
+    cache_full = (((kv_base >= lo) & (kv_base + tk <= jnp.minimum(hi, kv_len)))
+                  | (kv_base + tk <= sk))
     fresh_base = (ki - kt_cache) * tf
     fresh_full = fresh_base + tf <= fresh_len
 
@@ -664,8 +676,8 @@ def _decode_fresh_int8_kernel(li_ref, lo_ref, hi_ref, m0_ref, q_ref,
     @pl.when(live & is_cache & ~cache_full)
     def _cache_tile():
         col = kv_base + jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 1)
-        _accumulate((col >= lo) & (col < hi) & (col < kv_len), tk,
-                    lambda: v_ref[0, 0])
+        _accumulate(((col < sk) | ((col >= lo) & (col < hi)))
+                    & (col < kv_len), tk, lambda: v_ref[0, 0])
 
     @pl.when(~is_cache & fresh_full)
     def _fresh_tile_full():
@@ -684,9 +696,9 @@ def _decode_fresh_int8_kernel(li_ref, lo_ref, hi_ref, m0_ref, q_ref,
 
 
 def _decode_fresh_fwd(q, k_cache, v_cache, k_new, v_new, kv_start, kv_end,
-                      m0, scale, tq, tk, tf, interpret, static_hi=None,
-                      quant=None, layer_idx=None, heads_packed=None,
-                      bounded=False):
+                      sink_end, m0, scale, tq, tk, tf, interpret,
+                      static_hi=None, quant=None, layer_idx=None,
+                      heads_packed=None, bounded=False):
     Lq = q.shape[1]
     if heads_packed is not None:
         # Column-sliced operands: q/k_new/v_new (and the output) keep the
@@ -744,28 +756,33 @@ def _decode_fresh_fwd(q, k_cache, v_cache, k_new, v_new, kv_start, kv_end,
     li = jnp.asarray(layer_idx, jnp.int32).reshape(1)
     lo = jnp.asarray(kv_start, jnp.int32).reshape(1)
     hi = jnp.asarray(kv_end, jnp.int32).reshape(1)
+    sk = jnp.asarray(0 if sink_end is None else sink_end,
+                     jnp.int32).reshape(1)
     m0a = jnp.asarray(m0, jnp.float32).reshape(1)
 
-    def cache_idx(b, ki, qi, li, lo, hi, m0r):
+    def cache_idx(b, ki, qi, li, lo, hi, sk, m0r):
         # Clamp dead cache tiles into [lo, hi)'s tile range: dead grid
         # steps then re-reference the resident block and their DMAs are
         # elided (big win on early blocks where most of the window is
-        # empty).
+        # empty).  Sink tiles (ki*tk < sink_end — the windowed-streaming
+        # two-interval window) pass through at their own position.
         first = lo[0] // tk
         last = jnp.maximum((hi[0] - 1) // tk, first)
-        return (li[0], b, jnp.clip(jnp.minimum(ki, ktc - 1), first, last), 0)
+        kc = jnp.minimum(ki, ktc - 1)
+        base = jnp.where(kc * tk < sk[0], kc, jnp.clip(kc, first, last))
+        return (li[0], b, base, 0)
 
     if NH is not None:
-        def q_idx(b, ki, qi, li, lo, hi, m0r):
+        def q_idx(b, ki, qi, li, lo, hi, sk, m0r):
             return (b // NH, qi, b % NH)
 
-        def fresh_idx(b, ki, qi, li, lo, hi, m0r):
+        def fresh_idx(b, ki, qi, li, lo, hi, sk, m0r):
             return (b // NH, jnp.clip(ki - ktc, 0, ktf - 1), b % NH)
     else:
-        def q_idx(b, ki, qi, li, lo, hi, m0r):
+        def q_idx(b, ki, qi, li, lo, hi, sk, m0r):
             return (b, qi, 0)
 
-        def fresh_idx(b, ki, qi, li, lo, hi, m0r):
+        def fresh_idx(b, ki, qi, li, lo, hi, sk, m0r):
             return (b, jnp.clip(ki - ktc, 0, ktf - 1), 0)
 
     # free modes never touch the running-max scratch — dropping it frees
@@ -778,15 +795,15 @@ def _decode_fresh_fwd(q, k_cache, v_cache, k_new, v_new, kv_start, kv_end,
     if quant == "int8":
         if bounded == "free_qk":
             # free_qk also never quantizes V — drop vq_scr too
-            def kernel(li_ref, lo_ref, hi_ref, m0_ref, q_ref, k_ref,
-                       v_ref, kn_ref, vn_ref, o_ref, l_scr, acc_scr,
-                       kq_scr, qq_scr, qs_scr, sc_scr):
+            def kernel(li_ref, lo_ref, hi_ref, sk_ref, m0_ref, q_ref,
+                       k_ref, v_ref, kn_ref, vn_ref, o_ref, l_scr,
+                       acc_scr, kq_scr, qq_scr, qs_scr, sc_scr):
                 _decode_fresh_int8_kernel(
-                    li_ref, lo_ref, hi_ref, m0_ref, q_ref, k_ref, v_ref,
-                    kn_ref, vn_ref, o_ref, None, l_scr, acc_scr, kq_scr,
-                    None, qq_scr, qs_scr, sc_scr, scale=scale, tq=tq,
-                    tk=tk, tf=tf, kv_len=S, kt_cache=ktc, fresh_len=Lf,
-                    bounded=bounded)
+                    li_ref, lo_ref, hi_ref, sk_ref, m0_ref, q_ref, k_ref,
+                    v_ref, kn_ref, vn_ref, o_ref, None, l_scr, acc_scr,
+                    kq_scr, None, qq_scr, qs_scr, sc_scr, scale=scale,
+                    tq=tq, tk=tk, tf=tf, kv_len=S, kt_cache=ktc,
+                    fresh_len=Lf, bounded=bounded)
             scratch += [
                 pltpu.VMEM((max(tk, tf), D), jnp.int8),  # quantized K tile
                 pltpu.VMEM((qt * tq, D), jnp.int8),      # quantized Q
@@ -806,20 +823,21 @@ def _decode_fresh_fwd(q, k_cache, v_cache, k_new, v_new, kv_start, kv_end,
                 pltpu.SMEM((2,), jnp.float32),           # per-tile K/V scales
             ]
     elif bounded == "free":
-        def kernel(li_ref, lo_ref, hi_ref, m0_ref, q_ref, k_ref, v_ref,
-                   kn_ref, vn_ref, o_ref, l_scr, acc_scr):
-            _decode_fresh_kernel(li_ref, lo_ref, hi_ref, m0_ref, q_ref,
-                                 k_ref, v_ref, kn_ref, vn_ref, o_ref,
-                                 None, l_scr, acc_scr, scale=scale, tq=tq,
-                                 tk=tk, tf=tf, kv_len=S, kt_cache=ktc,
-                                 fresh_len=Lf, bounded=bounded)
+        def kernel(li_ref, lo_ref, hi_ref, sk_ref, m0_ref, q_ref, k_ref,
+                   v_ref, kn_ref, vn_ref, o_ref, l_scr, acc_scr):
+            _decode_fresh_kernel(li_ref, lo_ref, hi_ref, sk_ref, m0_ref,
+                                 q_ref, k_ref, v_ref, kn_ref, vn_ref,
+                                 o_ref, None, l_scr, acc_scr, scale=scale,
+                                 tq=tq, tk=tk, tf=tf, kv_len=S,
+                                 kt_cache=ktc, fresh_len=Lf,
+                                 bounded=bounded)
     else:
         kernel = functools.partial(
             _decode_fresh_kernel, scale=scale, tq=tq, tk=tk, tf=tf,
             kv_len=S, kt_cache=ktc, fresh_len=Lf, bounded=bounded)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(BN, ktc + ktf, qt),   # q innermost: KV streamed once
         in_specs=[
             pl.BlockSpec((1, tq, D), q_idx),
@@ -838,15 +856,15 @@ def _decode_fresh_fwd(q, k_cache, v_cache, k_new, v_new, kv_start, kv_end,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(out_shape, q.dtype),
         interpret=interpret,
-    )(li, lo, hi, m0a, qf, kf4, vf4, knf, vnf)
+    )(li, lo, hi, sk, m0a, qf, kf4, vf4, knf, vnf)
     if NH is not None:
         return out[:, :Lq]
     return _unfold_like_q(out[:, :Lq], q)
 
 
 def _decode_fresh_dispatch(q, k_cache, v_cache, k_new, v_new, kv_start,
-                           kv_end, layer_idx, m0, scale, tq, tk, tf,
-                           interpret, static_hi, quant=None,
+                           kv_end, sink_end, layer_idx, m0, scale, tq, tk,
+                           tf, interpret, static_hi, quant=None,
                            heads_packed=None, bounded=False):
     # (a dynamic-bound variant — grid (BN,) with an in-kernel fori_loop
     # and hand-rolled double-buffered DMA over exactly the live tiles —
@@ -854,32 +872,32 @@ def _decode_fresh_dispatch(q, k_cache, v_cache, k_new, v_new, kv_start,
     # kernel: Mosaic's managed multi-dim-grid pipelining wins.  Removed
     # in round 3; PERF.md records the numbers, git history the code.)
     return _decode_fresh_fwd(q, k_cache, v_cache, k_new, v_new, kv_start,
-                             kv_end, m0, scale, tq, tk, tf, interpret,
-                             static_hi, quant, layer_idx, heads_packed,
-                             bounded)
+                             kv_end, sink_end, m0, scale, tq, tk, tf,
+                             interpret, static_hi, quant, layer_idx,
+                             heads_packed, bounded)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12, 13, 14,
-                                                    15, 16, 17))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13, 14, 15,
+                                                    16, 17, 18))
 def _decode_fresh_op(q, k_cache, v_cache, k_new, v_new, kv_start, kv_end,
-                     layer_idx, m0, scale, tq, tk, tf, interpret, static_hi,
-                     quant, heads_packed, bounded):
+                     sink_end, layer_idx, m0, scale, tq, tk, tf, interpret,
+                     static_hi, quant, heads_packed, bounded):
     return _decode_fresh_dispatch(q, k_cache, v_cache, k_new, v_new,
-                                  kv_start, kv_end, layer_idx, m0, scale,
-                                  tq, tk, tf, interpret, static_hi, quant,
-                                  heads_packed, bounded)
+                                  kv_start, kv_end, sink_end, layer_idx,
+                                  m0, scale, tq, tk, tf, interpret,
+                                  static_hi, quant, heads_packed, bounded)
 
 
 def _decode_fresh_op_fwd(q, k_cache, v_cache, k_new, v_new, kv_start,
-                         kv_end, layer_idx, m0, scale, tq, tk, tf,
-                         interpret, static_hi, quant, heads_packed,
+                         kv_end, sink_end, layer_idx, m0, scale, tq, tk,
+                         tf, interpret, static_hi, quant, heads_packed,
                          bounded):
     out = _decode_fresh_dispatch(q, k_cache, v_cache, k_new, v_new,
-                                 kv_start, kv_end, layer_idx, m0, scale,
-                                 tq, tk, tf, interpret, static_hi, quant,
-                                 heads_packed, bounded)
+                                 kv_start, kv_end, sink_end, layer_idx,
+                                 m0, scale, tq, tk, tf, interpret,
+                                 static_hi, quant, heads_packed, bounded)
     return out, (q, k_cache, v_cache, k_new, v_new, kv_start, kv_end,
-                 layer_idx)
+                 sink_end, layer_idx)
 
 
 def _decode_fresh_op_bwd(scale, tq, tk, tf, interpret, static_hi, quant,
@@ -889,7 +907,8 @@ def _decode_fresh_op_bwd(scale, tq, tk, tf, interpret, static_hi, quant,
     [BN, S, 1, D] is numerically identical); grads come back in each
     operand's own layout."""
     from self_forcing_tpu.ops import attention as xla_attn
-    q, k_cache, v_cache, k_new, v_new, kv_start, kv_end, layer_idx = res
+    (q, k_cache, v_cache, k_new, v_new, kv_start, kv_end, sink_end,
+     layer_idx) = res
     if bounded in ("free", "free_noclamp", "free_qk"):
         # the forward computed softmax base-2 of (s * scale); the XLA
         # reference's base-e softmax matches at scale * ln(2)
@@ -922,17 +941,18 @@ def _decode_fresh_op_bwd(scale, tq, tk, tf, interpret, static_hi, quant,
                 kc_, vc_ = (xla_attn.unfold_kv(kc_, N),
                             xla_attn.unfold_kv(vc_, N))
         out = xla_attn.decode_attention_fresh_xla(
-            q_, kc_, vc_, kn_, vn_, kv_start, kv_end, scale=scale)
+            q_, kc_, vc_, kn_, vn_, kv_start, kv_end, sink_end=sink_end,
+            scale=scale)
         if heads_packed is not None:
             return out.reshape(*out.shape[:2], -1)
         return out[:, :, 0] if folded_q else out
 
     _, vjp = jax.vjp(ref, q, k_cache, v_cache, k_new, v_new)
     dq, dkc, dvc, dkn, dvn = vjp(g)
-    # kv_start / kv_end / layer_idx carry no gradient; m0 is f32 so it
-    # needs an explicit zero cotangent (the output is mathematically
-    # invariant to the softmax offset)
-    return (dq, dkc, dvc, dkn, dvn, None, None, None,
+    # kv_start / kv_end / sink_end / layer_idx carry no gradient; m0 is
+    # f32 so it needs an explicit zero cotangent (the output is
+    # mathematically invariant to the softmax offset)
+    return (dq, dkc, dvc, dkn, dvn, None, None, None, None,
             jnp.zeros((), jnp.float32))
 
 
@@ -952,7 +972,9 @@ def decode_attention_fresh_pallas(q: jax.Array, k_cache: jax.Array,
                                   heads_packed: Optional[int] = None,
                                   fixed_m0=None,
                                   softmax: Optional[str] = None,
-                                  int8_bound: str = "tile"
+                                  int8_bound: str = "tile",
+                                  sink_end: Optional[jax.Array] = None,
+                                  tk_align: Optional[int] = None
                                   ) -> jax.Array:
     """Decode attention over cache[kv_start:kv_end) plus a fresh block of
     K/V that has not been written to the cache (read-only-cache fast path,
@@ -968,7 +990,15 @@ def decode_attention_fresh_pallas(q: jax.Array, k_cache: jax.Array,
     ``int8_bound``: 'tile' (safe per-row within-tile quantization, the
     production default) or 'global' (quantize p against the global m0 —
     faster but truncates scores > ln(254) nats below the bound; kernel
-    A/Bs only)."""
+    A/Bs only).
+
+    ``sink_end``: i32 scalar — the cache window becomes the TWO-interval
+    union [0, sink_end) + [kv_start, kv_end): the windowed-streaming
+    path's attention-sink view (reference causal_model.py:203-229 keeps
+    sinks by physically rolling; here the roll is unnecessary).
+    ``tk_align``: align cache tiles to this granularity (the windowed
+    caller passes frame_seqlen so interval bounds land on tile edges —
+    every live tile then takes the mask-free fast path)."""
     D = q.shape[-1] if heads_packed is None else q.shape[-1] // heads_packed
     scale = (D ** -0.5) if scale is None else scale
     if softmax in ("free", "free_noclamp") \
@@ -994,7 +1024,17 @@ def decode_attention_fresh_pallas(q: jax.Array, k_cache: jax.Array,
     # buffer size is semantically pinned to the window, so it cannot be
     # pre-aligned the way the global cache is)
     S_tok = k_cache.shape[2] if k_cache.ndim == 4 else k_cache.shape[1]
-    if S_tok % tk:
+    if tk_align is not None and S_tok % tk_align == 0 \
+            and tk_align % 8 == 0:
+        # frame-aligned cache tiles (windowed path): the two-interval
+        # window's bounds are whole frames, so aligned tiles are either
+        # fully live (mask-free) or fully dead (DMA-elided)
+        m = S_tok // tk_align
+        d = max((x for x in range(1, m + 1)
+                 if m % x == 0 and x * tk_align <= max(tk, tk_align)),
+                default=1)
+        tk = d * tk_align
+    elif S_tok % tk:
         ntk = _cdiv(S_tok, min(tk, max(128, 1 << (S_tok - 1).bit_length())))
         tk = max(8, -(-_cdiv(S_tok, ntk) // 8) * 8)
     Lf = k_new.shape[1]
@@ -1007,6 +1047,7 @@ def decode_attention_fresh_pallas(q: jax.Array, k_cache: jax.Array,
     gran = 32 if quant in ("int8", "int8qk") else 8
     tf = max(gran, -(-_cdiv(Lf, ntf) // gran) * gran)
     li = None if layer_idx is None else jnp.asarray(layer_idx, jnp.int32)
+    sk = jnp.asarray(0 if sink_end is None else sink_end, jnp.int32)
     if softmax in ("free", "free_noclamp"):
         # offset-free base-2 softmax (see _decode_fresh_kernel): the
         # caller has pre-folded scale*log2(e) into q (or passes it via
@@ -1016,7 +1057,7 @@ def decode_attention_fresh_pallas(q: jax.Array, k_cache: jax.Array,
             # free_qk mode): p never quantizes, so no bound is needed
             return _decode_fresh_op(q, k_cache, v_cache, k_new, v_new,
                                     jnp.asarray(kv_start, jnp.int32),
-                                    jnp.asarray(kv_end, jnp.int32), li,
+                                    jnp.asarray(kv_end, jnp.int32), sk, li,
                                     jnp.asarray(0.0, jnp.float32),
                                     scale, tq, tk, tf, interpret,
                                     static_hi, "int8", heads_packed,
@@ -1024,7 +1065,7 @@ def decode_attention_fresh_pallas(q: jax.Array, k_cache: jax.Array,
         assert quant is None, "free softmax is a bf16-path mode"
         return _decode_fresh_op(q, k_cache, v_cache, k_new, v_new,
                                 jnp.asarray(kv_start, jnp.int32),
-                                jnp.asarray(kv_end, jnp.int32), li,
+                                jnp.asarray(kv_end, jnp.int32), sk, li,
                                 jnp.asarray(0.0, jnp.float32),
                                 scale, tq, tk, tf, interpret, static_hi,
                                 None, heads_packed, softmax)
@@ -1038,7 +1079,7 @@ def decode_attention_fresh_pallas(q: jax.Array, k_cache: jax.Array,
     m0 = jnp.asarray(0.0 if fixed_m0 is None else fixed_m0, jnp.float32)
     return _decode_fresh_op(q, k_cache, v_cache, k_new, v_new,
                             jnp.asarray(kv_start, jnp.int32),
-                            jnp.asarray(kv_end, jnp.int32), li, m0,
+                            jnp.asarray(kv_end, jnp.int32), sk, li, m0,
                             scale, tq, tk, tf, interpret, static_hi,
                             quant, heads_packed, bounded)
 

@@ -112,11 +112,10 @@ def denoise_block(params, cfg: WanConfig, scheduler: FlowMatchScheduler,
     noisy = noise_blk
     x0 = noisy
     blk_rng = rng
-    # windowed mode: run the rolling eviction ONCE for the whole block
-    # (all 5 forwards then see evict == 0 instead of each re-rolling the
-    # multi-GB cache under lax.cond; dit.evict_for is a no-op globally)
-    fs = (H // 2) * (W // 2)
-    cache = dit.evict_for(cfg, cache, nb * fs)
+    # windowed mode: the CALLER host-schedules dit.compact_cache between
+    # blocks (the block cadence is static), so no compaction cond exists
+    # inside this donated program — its untaken branch would cost a
+    # full-buffer HLO temp (assume_compacted below; no-op globally)
     for i, t_val in enumerate(steps):
         t = jnp.full((B, nb), t_val, jnp.float32)
         # write_cache=False: the refresh pass (or nothing, on the last
@@ -124,7 +123,8 @@ def denoise_block(params, cfg: WanConfig, scheduler: FlowMatchScheduler,
         # steps read the cache window [0, write_at) + their own fresh K/V
         flow, cache = dit.forward_inference(
             params, cfg, noisy, t, ctx_kv, cache, start_frame, rope,
-            static_kv_hi=static_kv_hi, write_cache=False)
+            static_kv_hi=static_kv_hi, write_cache=False,
+            assume_compacted=True)
         x0 = scheduler.convert_flow_pred_to_x0(
             flow.reshape(B * nb, C, H, W),
             noisy.reshape(B * nb, C, H, W),
@@ -157,9 +157,13 @@ def refresh_block(params, cfg: WanConfig, rope: RopeTables, ctx_kv: dict,
     B, nb = x0.shape[:2]
     del rng
     t_ctx = jnp.full((B, nb), float(context_noise), jnp.float32)
+    # assume_compacted: the caller pre-ran dit.compact_cache before the
+    # block's denoise (see denoise_block), and the refresh write of the
+    # SAME block fits by construction
     _, cache = dit.forward_inference(params, cfg, x0, t_ctx, ctx_kv, cache,
                                      start_frame, rope,
-                                     static_kv_hi=static_kv_hi)
+                                     static_kv_hi=static_kv_hi,
+                                     assume_compacted=True)
     return cache
 
 
@@ -442,11 +446,25 @@ class CausalInferencePipeline:
                                  for b in range((F - 1) // nb)]
         else:
             assert F % nb == 0, (F, nb)
+        # windowed: host-side buffer-fill tracker — the block cadence is
+        # static, so compaction (dit.compact_cache, its own donated
+        # program) runs exactly when the next block would overflow; the
+        # per-block jits then carry no compaction cond at all
+        windowed = self.cfg.local_attn_size != -1
+        if windowed:
+            content = 0
         for i, (lo, n) in enumerate(blocks):
             rng, k1 = jax.random.split(rng)
             # python loop => the cached-token count is static: size the
             # attention kernel grid to the live window (global path only)
             hint = lo * fs if self.cfg.local_attn_size == -1 else None
+            if windowed:
+                buf_tok, post = dit.windowed_compaction_schedule(
+                    self.cfg, fs, n * fs)
+                if content + n * fs > buf_tok:
+                    cache = dit.compact_cache(self.cfg, cache, n * fs)
+                    content = post
+                content += n * fs
             blk, cache = self._denoise(ctx_kv, cache, noise[:, lo:lo + n],
                                        k1, start, hint)
             # hand the chunk to the caller BEFORE the cache refresh:

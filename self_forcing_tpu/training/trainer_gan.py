@@ -31,6 +31,11 @@ class GANTrainer:
                  generator_cfg: WanConfig, critic_cfg: WanConfig,
                  cls_params=None, mesh=None):
         self.config = config
+        # params arrive pre-sharded from train.py's setup_mesh; jit
+        # propagates their shardings (GSPMD), so the mesh is only kept
+        # for introspection/batch placement parity with the other
+        # trainers (reference trainer/gan.py FSDP-wraps the same way)
+        self.mesh = mesh
         obj = ObjectiveConfig(
             num_train_timestep=int(getattr(config, "num_train_timestep", 1000)),
             timestep_shift=float(getattr(config, "timestep_shift", 1.0)),

@@ -24,9 +24,18 @@ from self_forcing_tpu.training.optim import make_optimizer
 
 class ODETrainer:
     def __init__(self, config, generator_params, generator_cfg: WanConfig,
-                 visualize: bool = True):
+                 visualize: bool = True, mesh=None):
+        """``mesh``: optional ('dp','fsdp',...) jax.sharding.Mesh — the
+        generator (and its optimizer/EMA state, which inherit the
+        shardings through zeros_like/jit) is FSDP-sharded over it and
+        batches are split along the data axes, mirroring the reference's
+        FSDP wrap of generator + text encoder (trainer/ode.py:63-74)."""
         self.config = config
         self.visualize = bool(visualize)
+        self.mesh = mesh
+        if mesh is not None:
+            from self_forcing_tpu.parallel.mesh import shard_params
+            generator_params = shard_params(generator_params, mesh)
         self.cfg = dataclasses.replace(
             generator_cfg,
             num_frame_per_block=int(getattr(config, "num_frame_per_block", 1)))
@@ -85,14 +94,26 @@ class ODETrainer:
             return params, opt_state, dict(log, loss=loss, grad_norm=gnorm)
         return step_fn
 
+    def _shard_batch(self, *arrays):
+        if self.mesh is None:
+            return arrays
+        from self_forcing_tpu.parallel.mesh import data_sharding
+        n = self.mesh.shape["dp"] * self.mesh.shape["fsdp"]
+        return tuple(
+            jax.device_put(a, data_sharding(self.mesh))
+            if hasattr(a, "shape") and a.shape and a.shape[0] % n == 0
+            else a
+            for a in arrays)
+
     def train_step(self, batch: dict) -> dict:
         """batch: {'ode_latent': [B, T, F, C, H, W], 'context': [B, L, D]}"""
         if self._step_fn is None:
             self._step_fn = self._make_step()
         rng = jax.random.PRNGKey(int(self.host_rng.integers(2 ** 31)))
+        ode_latent, context = self._shard_batch(batch["ode_latent"],
+                                                batch["context"])
         self.params, self.opt_state, log = self._step_fn(
-            self.params, self.opt_state, batch["ode_latent"],
-            batch["context"], rng)
+            self.params, self.opt_state, ode_latent, context, rng)
         if self.ema_weight > 0:
             if self.ema is None:
                 self.ema = ema_lib.init_ema(self.params)

@@ -132,3 +132,73 @@ def test_rolling_kv_cache_window():
     got = jnp.concatenate(stream, axis=1)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_windowed_slack_buffer_matches_default():
+    """windowed_buffer_frames > local_attn_size (round-4 append-only
+    streaming: blocks append with the two-interval sink window and the
+    buffer compacts only when full) must produce the same outputs as the
+    reference-sized buffer==window cache, including across a compaction
+    (buffer 4, window 2, 7 one-frame blocks -> two compactions)."""
+    base = dict(dim=96, ffn_dim=192, num_heads=2, num_layers=2,
+                text_dim=32, freq_dim=16, num_frame_per_block=1,
+                local_attn_size=2, sink_size=1)
+    cfg_a = WanConfig(**base)
+    cfg_b = WanConfig(**base, windowed_buffer_frames=4)
+    key = jax.random.PRNGKey(11)
+    params = dit.init_params(key, cfg_a, dtype=jnp.float32)
+    rope = RopeTables.create(cfg_a.head_dim)
+    ks = jax.random.split(jax.random.PRNGKey(12), 2)
+    F_total = 7
+    x = jax.random.normal(ks[0], (B, F_total, C, H, W), jnp.float32)
+    context = jax.random.normal(ks[1], (B, 8, cfg_a.text_dim), jnp.float32)
+
+    outs = {}
+    for name, cfg in [("default", cfg_a), ("slack", cfg_b)]:
+        ctx_kv = dit.precompute_context(params, cfg, context)
+        cache = dit.init_kv_cache(cfg, B, FS, F_total, dtype=jnp.float32)
+        stream = []
+        for f in range(F_total):
+            cache = dit.evict_for(cfg, cache, FS)
+            out, cache = dit.forward_inference(
+                params, cfg, x[:, f:f + 1], jnp.full((B, 1), 100.0),
+                ctx_kv, cache, jnp.int32(f), rope)
+            stream.append(out)
+        outs[name] = jnp.concatenate(stream, axis=1)
+    assert outs["slack"].shape == outs["default"].shape
+    np.testing.assert_allclose(np.asarray(outs["slack"]),
+                               np.asarray(outs["default"]),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_windowed_slack_buffer_no_evict_for():
+    """forward_inference's internal compaction fallback (direct callers
+    that never run evict_for) matches the evict_for-prepared path."""
+    cfg = WanConfig(dim=96, ffn_dim=192, num_heads=2, num_layers=2,
+                    text_dim=32, freq_dim=16, num_frame_per_block=1,
+                    local_attn_size=2, sink_size=1,
+                    windowed_buffer_frames=3)
+    key = jax.random.PRNGKey(13)
+    params = dit.init_params(key, cfg, dtype=jnp.float32)
+    rope = RopeTables.create(cfg.head_dim)
+    ks = jax.random.split(jax.random.PRNGKey(14), 2)
+    F_total = 5
+    x = jax.random.normal(ks[0], (B, F_total, C, H, W), jnp.float32)
+    context = jax.random.normal(ks[1], (B, 8, cfg.text_dim), jnp.float32)
+    ctx_kv = dit.precompute_context(params, cfg, context)
+
+    outs = {}
+    for name, pre in [("evict_for", True), ("internal", False)]:
+        cache = dit.init_kv_cache(cfg, B, FS, F_total, dtype=jnp.float32)
+        stream = []
+        for f in range(F_total):
+            if pre:
+                cache = dit.evict_for(cfg, cache, FS)
+            out, cache = dit.forward_inference(
+                params, cfg, x[:, f:f + 1], jnp.full((B, 1), 100.0),
+                ctx_kv, cache, jnp.int32(f), rope)
+            stream.append(out)
+        outs[name] = jnp.concatenate(stream, axis=1)
+    np.testing.assert_allclose(np.asarray(outs["internal"]),
+                               np.asarray(outs["evict_for"]),
+                               rtol=1e-5, atol=1e-5)

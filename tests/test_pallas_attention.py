@@ -641,3 +641,67 @@ def test_decode_fresh_free_int8qk_close_to_xla():
     d = np.abs(np.asarray(out) - np.asarray(ref))
     assert d.mean() < 0.02, d.mean()
     assert d.max() < 0.12 * np.abs(np.asarray(ref)).max()
+
+
+def test_decode_fresh_sink_window_matches_xla():
+    """Two-interval [0, sink_end) + [lo, hi) cache window (the round-4
+    windowed-streaming view; causal_model.py:203-229 sink semantics
+    without the physical roll) vs the XLA reference, across softmax
+    modes."""
+    q, kc, vc = _qkv(jax.random.PRNGKey(70), 96, 320)
+    kn = jax.random.normal(jax.random.PRNGKey(71), (B, 96, N, D))
+    vn = jax.random.normal(jax.random.PRNGKey(72), (B, 96, N, D))
+    for sk, lo, hi in [(64, 128, 320), (32, 96, 256), (0, 64, 256),
+                       (64, 64, 256)]:
+        ref = decode_attention_fresh_xla(q, kc, vc, kn, vn, jnp.int32(lo),
+                                         jnp.int32(hi),
+                                         sink_end=jnp.int32(sk))
+        out = decode_attention_fresh_pallas(
+            q, kc, vc, kn, vn, jnp.int32(lo), jnp.int32(hi), tq=128,
+            tk=64, interpret=True, sink_end=jnp.int32(sk))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5, err_msg=str((sk, lo, hi)))
+
+
+def test_decode_fresh_sink_window_free_and_int8qk():
+    """Sink window on the production free-softmax and int8qk paths."""
+    import math
+    LOG2E = 1.4426950408889634
+    scale = D ** -0.5
+    q, kc, vc = _qkv(jax.random.PRNGKey(73), 96, 320)
+    _, kn, vn = _qkv(jax.random.PRNGKey(74), 96, 96)
+    sk, lo, hi = jnp.int32(64), jnp.int32(160), jnp.int32(320)
+    qp = q * (scale * LOG2E)
+    ref = decode_attention_fresh_xla(qp, kc, vc, kn, vn, lo, hi,
+                                     scale=math.log(2.0), sink_end=sk)
+    out = decode_attention_fresh_pallas(qp, kc, vc, kn, vn, lo, hi,
+                                        scale=1.0, softmax="free",
+                                        tq=32, tk=64, interpret=True,
+                                        sink_end=sk)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=5e-3, atol=5e-3)
+    out8 = decode_attention_fresh_pallas(qp, kc, vc, kn, vn, lo, hi,
+                                         scale=1.0, softmax="free",
+                                         quant="int8qk", tq=32, tk=64,
+                                         interpret=True, sink_end=sk)
+    d = np.abs(np.asarray(out8) - np.asarray(ref))
+    assert d.mean() < 0.02, d.mean()
+
+
+def test_decode_fresh_sink_window_excludes_gap():
+    """Tokens in the dead gap [sink_end, lo) must not influence the
+    output: poisoning the gap region leaves the result unchanged."""
+    q, kc, vc = _qkv(jax.random.PRNGKey(75), 64, 256)
+    kn = jax.random.normal(jax.random.PRNGKey(76), (B, 64, N, D))
+    vn = jax.random.normal(jax.random.PRNGKey(77), (B, 64, N, D))
+    sk, lo, hi = jnp.int32(32), jnp.int32(128), jnp.int32(256)
+    base = decode_attention_fresh_pallas(q, kc, vc, kn, vn, lo, hi,
+                                         tq=64, tk=64, interpret=True,
+                                         sink_end=sk)
+    kc2 = kc.at[:, 32:128].set(1e4)
+    vc2 = vc.at[:, 32:128].set(-1e4)
+    poisoned = decode_attention_fresh_pallas(q, kc2, vc2, kn, vn, lo, hi,
+                                             tq=64, tk=64, interpret=True,
+                                             sink_end=sk)
+    np.testing.assert_allclose(np.asarray(poisoned), np.asarray(base),
+                               rtol=1e-6, atol=1e-6)

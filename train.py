@@ -258,11 +258,11 @@ def main():
     elif trainer_kind == "ode":
         from self_forcing_tpu.training.trainer_ode import ODETrainer
         trainer = ODETrainer(config, generator, cfg,
-                             visualize=not args.no_visualize)
+                             visualize=not args.no_visualize, mesh=mesh)
     elif trainer_kind == "diffusion":
         from self_forcing_tpu.training.trainer_diffusion import (
             DiffusionTrainer)
-        trainer = DiffusionTrainer(config, generator, cfg)
+        trainer = DiffusionTrainer(config, generator, cfg, mesh=mesh)
     else:
         raise ValueError(f"unknown trainer {trainer_kind!r}")
 
