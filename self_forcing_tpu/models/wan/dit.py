@@ -794,7 +794,8 @@ def _block_decode_fresh(bp: Params, cfg: WanConfig, x: jax.Array,
                         emit_kv: bool = True,
                         kmax_layer: jax.Array | None = None,
                         sink_hi: jax.Array | None = None,
-                        tk_align: int | None = None):
+                        tk_align: int | None = None,
+                        window_static: tuple | None = None):
     """One block with READ-ONLY cache attention: the current chunk's K/V
     are returned for a single out-of-scan cache write instead of being
     written per-layer (the cache-bandwidth fast path; semantics identical
@@ -864,7 +865,8 @@ def _block_decode_fresh(bp: Params, cfg: WanConfig, x: jax.Array,
                                       heads_packed=cfg.num_heads,
                                       fixed_m0=m0, softmax=sm,
                                       sink_end=sink_hi,
-                                      tk_align=tk_align)
+                                      tk_align=tk_align,
+                                      window_static=window_static)
         y = _out_linear(bp["self_attn"]["o"], attn, cfg)
         kf = vf = None  # folded on demand below
     else:
@@ -886,7 +888,8 @@ def _block_decode_fresh(bp: Params, cfg: WanConfig, x: jax.Array,
                                       layer_idx=layer_idx,
                                       fixed_m0=m0, softmax=sm,
                                       sink_end=sink_hi,
-                                      tk_align=tk_align)
+                                      tk_align=tk_align,
+                                      window_static=window_static)
         y = _out_linear(bp["self_attn"]["o"], _unfold_heads(cfg, attn),
                         cfg)
     x = x + _gate(y, e_gate, frame_seqlen)
@@ -1340,7 +1343,8 @@ def forward_inference(params: Params, cfg: WanConfig, x: jax.Array,
                 bp, cfg, tok, e0, cos, sin, cache.k, cache.v, attn_lo,
                 write_at, layer_ctx, frame_seqlen, None,
                 layer_idx=li, emit_kv=write_cache, kmax_layer=None,
-                sink_hi=sink_hi, tk_align=tkal)
+                sink_hi=sink_hi, tk_align=tkal,
+                window_static=(sink_tokens, keep_recent))
             if not write_cache:
                 return tok, None
             return tok, (k_new, v_new)

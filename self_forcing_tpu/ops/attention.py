@@ -250,7 +250,9 @@ def decode_attention_fresh(q: jax.Array, k_cache: jax.Array,
                            fixed_m0: float | None = None,
                            softmax: str | None = None,
                            sink_end: jax.Array | None = None,
-                           tk_align: int | None = None) -> jax.Array:
+                           tk_align: int | None = None,
+                           window_static: tuple | None = None
+                           ) -> jax.Array:
     """KV-cache attention where the *current block's* K/V have not been
     written into the cache yet: queries see cache[kv_start:kv_end) plus all
     of k_new/v_new.
@@ -304,7 +306,8 @@ def decode_attention_fresh(q: jax.Array, k_cache: jax.Array,
                                              fixed_m0=fixed_m0,
                                              softmax=softmax,
                                              sink_end=sink_end,
-                                             tk_align=tk_align)
+                                             tk_align=tk_align,
+                                             window_static=window_static)
     if softmax == "free":
         # base-2 softmax of (s * scale) == base-e softmax at scale*ln(2)
         scale = (1.0 if scale is None else scale) * math.log(2.0)

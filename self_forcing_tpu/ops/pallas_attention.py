@@ -275,7 +275,8 @@ def _decode_fresh_kernel(li_ref, lo_ref, hi_ref, sk_ref, m0_ref, q_ref,
                          k_ref, v_ref, kn_ref, vn_ref, o_ref, m_scr, l_scr,
                          acc_scr, *, scale: float, tq: int, tk: int,
                          tf: int, kv_len: int, kt_cache: int,
-                         fresh_len: int, bounded: bool = False):
+                         fresh_len: int, bounded: bool = False,
+                         n_sink_tiles: int | None = None):
     """Flash-decode layout: grid (BN, KT_cache + KT_fresh, QT) with q
     INNERMOST so every KV tile is streamed from HBM exactly once; the
     online-softmax state for all q tiles stays resident in VMEM scratch
@@ -291,7 +292,16 @@ def _decode_fresh_kernel(li_ref, lo_ref, hi_ref, sk_ref, m0_ref, q_ref,
     [0, sink_hi) + [lo, hi) — the windowed-streaming path keeps attention
     sinks at the buffer front and appends recent blocks without any
     eviction roll (reference sink semantics, causal_model.py:203-229);
-    sink_hi == 0 recovers the single-interval [lo, hi) window."""
+    sink_hi == 0 recovers the single-interval [lo, hi) window.
+
+    ``n_sink_tiles``: COMPRESSED-window grid (windowed streaming): the
+    cache grid has only n_sink + n_recent steps; steps < n_sink map to
+    buffer tiles 0.. (the sink region) and the rest map to the tiles
+    covering [lo, hi) via the prefetched ``lo`` (the BlockSpec index map
+    applies the same translation) — grid cost stays O(window) however
+    large the append buffer grows.  The two interval masks are then
+    per-step disjoint (a tile visited as both sink and recent
+    accumulates each column exactly once)."""
     ki = pl.program_id(1)
     nk = pl.num_programs(1)
     qi = pl.program_id(2)
@@ -310,9 +320,26 @@ def _decode_fresh_kernel(li_ref, lo_ref, hi_ref, sk_ref, m0_ref, q_ref,
     hi = hi_ref[0]
     sk = sk_ref[0]
     is_cache = ki < kt_cache
-    kv_base = ki * tk
-    live = jnp.where(is_cache, ((kv_base < hi) & (kv_base + tk > lo))
-                     | (kv_base < sk), True)
+    if n_sink_tiles is None:
+        kv_base = ki * tk
+        live = jnp.where(is_cache, ((kv_base < hi) & (kv_base + tk > lo))
+                         | (kv_base < sk), True)
+    else:
+        # compressed-window grid (see the class docstring): clipped
+        # overflow steps are duplicates of the last live tile and MUST
+        # be dead, or that tile double-accumulates.
+        sink_step = ki < n_sink_tiles
+        lo_t = lo // tk
+        last_t = jnp.maximum((hi - 1) // tk, lo_t)
+        over = lo_t + (ki - n_sink_tiles) > last_t
+        kc = jnp.where(sink_step, ki,
+                       jnp.clip(lo_t + (ki - n_sink_tiles), lo_t, last_t))
+        kv_base = kc * tk
+        live = jnp.where(is_cache,
+                         jnp.where(sink_step, kv_base < sk,
+                                   ~over & (kv_base < hi)
+                                   & (kv_base + tk > lo)),
+                         True)
 
     def _accumulate(k, v, vis):
         if bounded in ("free", "free_noclamp"):
@@ -399,8 +426,14 @@ def _decode_fresh_kernel(li_ref, lo_ref, hi_ref, sk_ref, m0_ref, q_ref,
     # fully-inside tiles skip the visibility mask entirely (the mask's
     # iota/compare/select chain costs ~1 ms/layer at the full window —
     # 7.5% of the whole denoise; measured on v5e)
-    cache_full = (((kv_base >= lo) & (kv_base + tk <= jnp.minimum(hi, kv_len)))
-                  | (kv_base + tk <= sk))
+    if n_sink_tiles is None:
+        cache_full = (((kv_base >= lo)
+                       & (kv_base + tk <= jnp.minimum(hi, kv_len)))
+                      | (kv_base + tk <= sk))
+    else:
+        cache_full = jnp.where(
+            sink_step, kv_base + tk <= sk,
+            (kv_base >= lo) & (kv_base + tk <= jnp.minimum(hi, kv_len)))
     fresh_base = (ki - kt_cache) * tf
     fresh_full = fresh_base + tf <= fresh_len
 
@@ -411,7 +444,14 @@ def _decode_fresh_kernel(li_ref, lo_ref, hi_ref, sk_ref, m0_ref, q_ref,
     @pl.when(live & is_cache & ~cache_full)
     def _cache_tile():
         col = kv_base + jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 1)
-        vis = ((col < sk) | ((col >= lo) & (col < hi))) & (col < kv_len)
+        if n_sink_tiles is None:
+            vis = ((col < sk) | ((col >= lo) & (col < hi))) & (col < kv_len)
+        else:
+            # boolean algebra, not where(): Mosaic cannot legalize a
+            # select on i1 vectors
+            vis = ((sink_step & (col < sk))
+                   | (~sink_step & (col >= lo) & (col < hi))) \
+                & (col < kv_len)
         _accumulate(_cast(k_ref[0, 0]), _cast(v_ref[0, 0]), vis)
 
     @pl.when(~is_cache & fresh_full)
@@ -438,7 +478,8 @@ def _decode_fresh_int8_kernel(li_ref, lo_ref, hi_ref, sk_ref, m0_ref, q_ref,
                               scale: float,
                               tq: int, tk: int, tf: int, kv_len: int,
                               kt_cache: int, fresh_len: int,
-                              bounded=False):
+                              bounded=False,
+                              n_sink_tiles: int | None = None):
     """int8 variant of :func:`_decode_fresh_kernel` — the demo-config
     speed toggle (reference FP8 linears analog, extended to attention).
 
@@ -516,9 +557,26 @@ def _decode_fresh_int8_kernel(li_ref, lo_ref, hi_ref, sk_ref, m0_ref, q_ref,
     hi = hi_ref[0]
     sk = sk_ref[0]
     is_cache = ki < kt_cache
-    kv_base = ki * tk
-    live = jnp.where(is_cache, ((kv_base < hi) & (kv_base + tk > lo))
-                     | (kv_base < sk), True)
+    if n_sink_tiles is None:
+        kv_base = ki * tk
+        live = jnp.where(is_cache, ((kv_base < hi) & (kv_base + tk > lo))
+                         | (kv_base < sk), True)
+    else:
+        # compressed-window grid: see _decode_fresh_kernel.  Clipped
+        # overflow steps are duplicates of the last live tile and MUST
+        # be dead, or that tile double-accumulates.
+        sink_step = ki < n_sink_tiles
+        lo_t = lo // tk
+        last_t = jnp.maximum((hi - 1) // tk, lo_t)
+        over = lo_t + (ki - n_sink_tiles) > last_t
+        kc = jnp.where(sink_step, ki,
+                       jnp.clip(lo_t + (ki - n_sink_tiles), lo_t, last_t))
+        kv_base = kc * tk
+        live = jnp.where(is_cache,
+                         jnp.where(sink_step, kv_base < sk,
+                                   ~over & (kv_base < hi)
+                                   & (kv_base + tk > lo)),
+                         True)
 
     qk_only = bounded == "free_qk"
 
@@ -664,8 +722,14 @@ def _decode_fresh_int8_kernel(li_ref, lo_ref, hi_ref, sk_ref, m0_ref, q_ref,
         m_scr[pl.ds(row, tq), :] = jnp.broadcast_to(m_new, (tq, 128))
         l_scr[pl.ds(row, tq), :] = jnp.broadcast_to(l_new, (tq, 128))
 
-    cache_full = (((kv_base >= lo) & (kv_base + tk <= jnp.minimum(hi, kv_len)))
-                  | (kv_base + tk <= sk))
+    if n_sink_tiles is None:
+        cache_full = (((kv_base >= lo)
+                       & (kv_base + tk <= jnp.minimum(hi, kv_len)))
+                      | (kv_base + tk <= sk))
+    else:
+        cache_full = jnp.where(
+            sink_step, kv_base + tk <= sk,
+            (kv_base >= lo) & (kv_base + tk <= jnp.minimum(hi, kv_len)))
     fresh_base = (ki - kt_cache) * tf
     fresh_full = fresh_base + tf <= fresh_len
 
@@ -676,8 +740,15 @@ def _decode_fresh_int8_kernel(li_ref, lo_ref, hi_ref, sk_ref, m0_ref, q_ref,
     @pl.when(live & is_cache & ~cache_full)
     def _cache_tile():
         col = kv_base + jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 1)
-        _accumulate(((col < sk) | ((col >= lo) & (col < hi)))
-                    & (col < kv_len), tk, lambda: v_ref[0, 0])
+        if n_sink_tiles is None:
+            vis = ((col < sk) | ((col >= lo) & (col < hi))) & (col < kv_len)
+        else:
+            # boolean algebra, not where(): Mosaic cannot legalize a
+            # select on i1 vectors
+            vis = ((sink_step & (col < sk))
+                   | (~sink_step & (col >= lo) & (col < hi))) \
+                & (col < kv_len)
+        _accumulate(vis, tk, lambda: v_ref[0, 0])
 
     @pl.when(~is_cache & fresh_full)
     def _fresh_tile_full():
@@ -698,7 +769,7 @@ def _decode_fresh_int8_kernel(li_ref, lo_ref, hi_ref, sk_ref, m0_ref, q_ref,
 def _decode_fresh_fwd(q, k_cache, v_cache, k_new, v_new, kv_start, kv_end,
                       sink_end, m0, scale, tq, tk, tf, interpret,
                       static_hi=None, quant=None, layer_idx=None,
-                      heads_packed=None, bounded=False):
+                      heads_packed=None, bounded=False, window_tiles=None):
     Lq = q.shape[1]
     if heads_packed is not None:
         # Column-sliced operands: q/k_new/v_new (and the output) keep the
@@ -732,7 +803,15 @@ def _decode_fresh_fwd(q, k_cache, v_cache, k_new, v_new, kv_start, kv_end,
     S = kf4.shape[2]
     kt_full = _cdiv(S, tk)
     ktc = kt_full
-    if static_hi is not None:
+    n_sink_t = None
+    if window_tiles is not None and sum(window_tiles) < kt_full:
+        # compressed two-interval grid (windowed streaming): cache grid
+        # steps cover only sinks + the recent window however large the
+        # append buffer is — dead buffer tiles never enter the grid
+        # (measured ~4.7 ms/block per excess tile at 1.3B; PERF.md r4)
+        n_sink_t, n_recent_t = window_tiles
+        ktc = n_sink_t + n_recent_t
+    elif static_hi is not None:
         # static upper bound on the live window: size the grid to exactly
         # the live cache tiles (callers know the block index statically),
         # so dead tiles never enter the grid at all.  The operand stays
@@ -760,17 +839,31 @@ def _decode_fresh_fwd(q, k_cache, v_cache, k_new, v_new, kv_start, kv_end,
                      jnp.int32).reshape(1)
     m0a = jnp.asarray(m0, jnp.float32).reshape(1)
 
-    def cache_idx(b, ki, qi, li, lo, hi, sk, m0r):
-        # Clamp dead cache tiles into [lo, hi)'s tile range: dead grid
-        # steps then re-reference the resident block and their DMAs are
-        # elided (big win on early blocks where most of the window is
-        # empty).  Sink tiles (ki*tk < sink_end — the windowed-streaming
-        # two-interval window) pass through at their own position.
-        first = lo[0] // tk
-        last = jnp.maximum((hi[0] - 1) // tk, first)
-        kc = jnp.minimum(ki, ktc - 1)
-        base = jnp.where(kc * tk < sk[0], kc, jnp.clip(kc, first, last))
-        return (li[0], b, base, 0)
+    if n_sink_t is not None:
+        def cache_idx(b, ki, qi, li, lo, hi, sk, m0r):
+            # compressed grid: step ki < n_sink reads buffer tile ki
+            # (the sink region); later steps read the tiles covering
+            # [lo, hi) — dead steps clamp into the live range so their
+            # DMAs re-reference the resident block and are elided.
+            # MUST match the kernel's kv_base computation exactly.
+            lo_t = lo[0] // tk
+            last = jnp.maximum((hi[0] - 1) // tk, lo_t)
+            base = jnp.where(ki < n_sink_t, jnp.minimum(ki, kt_full - 1),
+                             jnp.clip(lo_t + (ki - n_sink_t), lo_t, last))
+            return (li[0], b, base, 0)
+    else:
+        def cache_idx(b, ki, qi, li, lo, hi, sk, m0r):
+            # Clamp dead cache tiles into [lo, hi)'s tile range: dead
+            # grid steps then re-reference the resident block and their
+            # DMAs are elided (big win on early blocks where most of the
+            # window is empty).  Sink tiles (ki*tk < sink_end — the
+            # windowed-streaming two-interval window) pass through at
+            # their own position.
+            first = lo[0] // tk
+            last = jnp.maximum((hi[0] - 1) // tk, first)
+            kc = jnp.minimum(ki, ktc - 1)
+            base = jnp.where(kc * tk < sk[0], kc, jnp.clip(kc, first, last))
+            return (li[0], b, base, 0)
 
     if NH is not None:
         def q_idx(b, ki, qi, li, lo, hi, sk, m0r):
@@ -803,7 +896,7 @@ def _decode_fresh_fwd(q, k_cache, v_cache, k_new, v_new, kv_start, kv_end,
                     v_ref, kn_ref, vn_ref, o_ref, None, l_scr, acc_scr,
                     kq_scr, None, qq_scr, qs_scr, sc_scr, scale=scale,
                     tq=tq, tk=tk, tf=tf, kv_len=S, kt_cache=ktc,
-                    fresh_len=Lf, bounded=bounded)
+                    fresh_len=Lf, bounded=bounded, n_sink_tiles=n_sink_t)
             scratch += [
                 pltpu.VMEM((max(tk, tf), D), jnp.int8),  # quantized K tile
                 pltpu.VMEM((qt * tq, D), jnp.int8),      # quantized Q
@@ -814,7 +907,7 @@ def _decode_fresh_fwd(q, k_cache, v_cache, k_new, v_new, kv_start, kv_end,
             kernel = functools.partial(
                 _decode_fresh_int8_kernel, scale=scale, tq=tq, tk=tk,
                 tf=tf, kv_len=S, kt_cache=ktc, fresh_len=Lf,
-                bounded=bounded)
+                bounded=bounded, n_sink_tiles=n_sink_t)
             scratch += [
                 pltpu.VMEM((max(tk, tf), D), jnp.int8),  # quantized K tile
                 pltpu.VMEM((max(tk, tf), D), jnp.int8),  # quantized V tile
@@ -830,11 +923,12 @@ def _decode_fresh_fwd(q, k_cache, v_cache, k_new, v_new, kv_start, kv_end,
                                  o_ref, None, l_scr, acc_scr, scale=scale,
                                  tq=tq, tk=tk, tf=tf, kv_len=S,
                                  kt_cache=ktc, fresh_len=Lf,
-                                 bounded=bounded)
+                                 bounded=bounded, n_sink_tiles=n_sink_t)
     else:
         kernel = functools.partial(
             _decode_fresh_kernel, scale=scale, tq=tq, tk=tk, tf=tf,
-            kv_len=S, kt_cache=ktc, fresh_len=Lf, bounded=bounded)
+            kv_len=S, kt_cache=ktc, fresh_len=Lf, bounded=bounded,
+            n_sink_tiles=n_sink_t)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
@@ -865,7 +959,8 @@ def _decode_fresh_fwd(q, k_cache, v_cache, k_new, v_new, kv_start, kv_end,
 def _decode_fresh_dispatch(q, k_cache, v_cache, k_new, v_new, kv_start,
                            kv_end, sink_end, layer_idx, m0, scale, tq, tk,
                            tf, interpret, static_hi, quant=None,
-                           heads_packed=None, bounded=False):
+                           heads_packed=None, bounded=False,
+                           window_tiles=None):
     # (a dynamic-bound variant — grid (BN,) with an in-kernel fori_loop
     # and hand-rolled double-buffered DMA over exactly the live tiles —
     # was built and measured SLOWER at full window than this static-grid
@@ -874,34 +969,36 @@ def _decode_fresh_dispatch(q, k_cache, v_cache, k_new, v_new, kv_start,
     return _decode_fresh_fwd(q, k_cache, v_cache, k_new, v_new, kv_start,
                              kv_end, sink_end, m0, scale, tq, tk, tf,
                              interpret, static_hi, quant, layer_idx,
-                             heads_packed, bounded)
+                             heads_packed, bounded, window_tiles)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13, 14, 15,
-                                                    16, 17, 18))
+                                                    16, 17, 18, 19))
 def _decode_fresh_op(q, k_cache, v_cache, k_new, v_new, kv_start, kv_end,
                      sink_end, layer_idx, m0, scale, tq, tk, tf, interpret,
-                     static_hi, quant, heads_packed, bounded):
+                     static_hi, quant, heads_packed, bounded, window_tiles):
     return _decode_fresh_dispatch(q, k_cache, v_cache, k_new, v_new,
                                   kv_start, kv_end, sink_end, layer_idx,
                                   m0, scale, tq, tk, tf, interpret,
-                                  static_hi, quant, heads_packed, bounded)
+                                  static_hi, quant, heads_packed, bounded,
+                                  window_tiles)
 
 
 def _decode_fresh_op_fwd(q, k_cache, v_cache, k_new, v_new, kv_start,
                          kv_end, sink_end, layer_idx, m0, scale, tq, tk,
                          tf, interpret, static_hi, quant, heads_packed,
-                         bounded):
+                         bounded, window_tiles):
     out = _decode_fresh_dispatch(q, k_cache, v_cache, k_new, v_new,
                                  kv_start, kv_end, sink_end, layer_idx,
                                  m0, scale, tq, tk, tf, interpret,
-                                 static_hi, quant, heads_packed, bounded)
+                                 static_hi, quant, heads_packed, bounded,
+                                 window_tiles)
     return out, (q, k_cache, v_cache, k_new, v_new, kv_start, kv_end,
                  sink_end, layer_idx)
 
 
 def _decode_fresh_op_bwd(scale, tq, tk, tf, interpret, static_hi, quant,
-                         heads_packed, bounded, res, g):
+                         heads_packed, bounded, window_tiles, res, g):
     """Backward through the XLA reference.  Folded 3-D operands are
     viewed as singleton-head 4-D (attention is head-batched, so
     [BN, S, 1, D] is numerically identical); grads come back in each
@@ -974,7 +1071,8 @@ def decode_attention_fresh_pallas(q: jax.Array, k_cache: jax.Array,
                                   softmax: Optional[str] = None,
                                   int8_bound: str = "tile",
                                   sink_end: Optional[jax.Array] = None,
-                                  tk_align: Optional[int] = None
+                                  tk_align: Optional[int] = None,
+                                  window_static: Optional[tuple] = None
                                   ) -> jax.Array:
     """Decode attention over cache[kv_start:kv_end) plus a fresh block of
     K/V that has not been written to the cache (read-only-cache fast path,
@@ -998,7 +1096,11 @@ def decode_attention_fresh_pallas(q: jax.Array, k_cache: jax.Array,
     sinks by physically rolling; here the roll is unnecessary).
     ``tk_align``: align cache tiles to this granularity (the windowed
     caller passes frame_seqlen so interval bounds land on tile edges —
-    every live tile then takes the mask-free fast path)."""
+    every live tile then takes the mask-free fast path).
+    ``window_static``: (sink_tokens, recent_tokens) static ints — sizes
+    a COMPRESSED cache grid of only the sink + recent-window tiles, so
+    grid cost is O(window) regardless of the append-buffer size
+    (measured ~4.7 ms/block per excess buffer tile at 1.3B)."""
     D = q.shape[-1] if heads_packed is None else q.shape[-1] // heads_packed
     scale = (D ** -0.5) if scale is None else scale
     if softmax in ("free", "free_noclamp") \
@@ -1048,6 +1150,15 @@ def decode_attention_fresh_pallas(q: jax.Array, k_cache: jax.Array,
     tf = max(gran, -(-_cdiv(Lf, ntf) // gran) * gran)
     li = None if layer_idx is None else jnp.asarray(layer_idx, jnp.int32)
     sk = jnp.asarray(0 if sink_end is None else sink_end, jnp.int32)
+    wt = None
+    if window_static is not None:
+        sink_tok, recent_tok = window_static
+        # +1 recent tile when interval bounds may straddle tile edges
+        # (with tk == frame_seqlen every bound is tile-aligned)
+        extra = 0 if (sink_tok % tk == 0 and recent_tok % tk == 0
+                      and tk_align is not None and tk % tk_align == 0
+                      and tk // tk_align == 1) else 1
+        wt = (_cdiv(sink_tok, tk), _cdiv(recent_tok, tk) + extra)
     if softmax in ("free", "free_noclamp"):
         # offset-free base-2 softmax (see _decode_fresh_kernel): the
         # caller has pre-folded scale*log2(e) into q (or passes it via
@@ -1061,14 +1172,14 @@ def decode_attention_fresh_pallas(q: jax.Array, k_cache: jax.Array,
                                     jnp.asarray(0.0, jnp.float32),
                                     scale, tq, tk, tf, interpret,
                                     static_hi, "int8", heads_packed,
-                                    "free_qk")
+                                    "free_qk", wt)
         assert quant is None, "free softmax is a bf16-path mode"
         return _decode_fresh_op(q, k_cache, v_cache, k_new, v_new,
                                 jnp.asarray(kv_start, jnp.int32),
                                 jnp.asarray(kv_end, jnp.int32), sk, li,
                                 jnp.asarray(0.0, jnp.float32),
                                 scale, tq, tk, tf, interpret, static_hi,
-                                None, heads_packed, softmax)
+                                None, heads_packed, softmax, wt)
     bounded = fixed_m0 is not None
     if bounded and quant == "int8":
         # int8 p-quantization against the global m0 truncates scores
@@ -1081,7 +1192,7 @@ def decode_attention_fresh_pallas(q: jax.Array, k_cache: jax.Array,
                             jnp.asarray(kv_start, jnp.int32),
                             jnp.asarray(kv_end, jnp.int32), sk, li, m0,
                             scale, tq, tk, tf, interpret, static_hi,
-                            quant, heads_packed, bounded)
+                            quant, heads_packed, bounded, wt)
 
 
 # =====================================================================

@@ -167,10 +167,18 @@ def forward_train_sp(params, cfg: WanConfig, x: jax.Array, t: jax.Array,
     if clip_fea is not None:
         in_specs = in_specs + (P(),)
         args = args + (clip_fea,)
+    # manual collectives only over the sp axis: every other mesh axis
+    # (dp/fsdp) stays GSPMD-auto, so FSDP-sharded params compose — the
+    # per-layer all-gather happens inside the scan exactly as in the
+    # plain jit path.  This is what lets a 14B teacher (28 GB bf16 > one
+    # chip) run sequence-parallel WITHOUT first materializing full
+    # params per device (reference xdit + FSDP composition,
+    # wan/distributed/xdit_context_parallel.py:66-184).
     fn = shard_map(
         shard_fn, mesh=mesh,
         in_specs=in_specs,
         out_specs=pspec,
+        axis_names={axis_name},
         )
     out = fn(*args)
     return out[:, :F] if F_pad != F else out

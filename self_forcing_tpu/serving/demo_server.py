@@ -103,19 +103,43 @@ class DemoApp:
                 self.pipeline.params = self._quantized_params
             else:
                 self.pipeline.params = self._base_params
-            # int8 mode also switches attention to the int8-QK/bf16-PV
-            # free-softmax kernel (same quality class as the int8
-            # linears; 5.92 vs 6.21 ms/call at the full window)
+            # int8 mode also switches the attention kernel; the VARIANT
+            # is chip-keyed (ops/chip.py: int8-QK/bf16-PV on v5e where
+            # full-int8 is VPU-bound, full-int8 on v6e where the 2x
+            # int8:VPU ratio makes it pay — the reference's
+            # FA3-on-Hopper-style hardware dispatch,
+            # wan/modules/attention.py:4-20)
             cfg = getattr(self.pipeline, "cfg", None)
             if cfg is not None and hasattr(cfg, "attn_quant"):
-                want_aq = "int8qk" if want_quant else None
+                from self_forcing_tpu.ops.chip import chip_defaults
+                want_aq = (chip_defaults()["demo_attn_quant"]
+                           if want_quant else None)
                 if cfg.attn_quant != want_aq:
                     self.pipeline.cfg = dataclasses.replace(
                         cfg, attn_quant=want_aq)
         self.active_quantize = want_quant
 
     # --------------------------------------------------------- generation
-    def _generate(self, conn: WebSocketConnection, prompt: str, seed: int):
+    def _latent_frames_for(self, blocks) -> int:
+        """Requested video length in latent frames (the reference UI's
+        blocks slider, templates/demo.html + demo.py:581-592): clamp to
+        [1, 40] blocks; the block size comes from the pipeline config."""
+        nb = int(getattr(getattr(self.pipeline, "cfg", None),
+                         "num_frame_per_block", 3) or 3)
+        default_f = self.latent_shape[1]
+        if blocks is None:
+            return default_f
+        try:
+            b = max(1, min(40, int(blocks)))
+        except (TypeError, ValueError):
+            return default_f
+        if bool(getattr(getattr(self.pipeline, "cfg", None),
+                        "independent_first_frame", False)):
+            return 1 + b * nb
+        return b * nb
+
+    def _generate(self, conn: WebSocketConnection, prompt: str, seed: int,
+                  latent_frames: int | None = None):
         import jax
         import jax.numpy as jnp
         self.stop_event.clear()
@@ -194,7 +218,17 @@ class DemoApp:
         try:
             context = self.encode_text([prompt])
             rng = jax.random.PRNGKey(seed)
-            noise = jax.random.normal(rng, self.latent_shape, jnp.bfloat16)
+            shape = list(self.latent_shape)
+            if latent_frames is not None:
+                shape[1] = latent_frames
+            noise = jax.random.normal(rng, tuple(shape), jnp.bfloat16)
+            # progress denominator for the client's progress bar
+            # (reference demo.py:553-560 progress events): latent F ->
+            # pixel frames under the Wan VAE's 4x temporal expansion
+            conn.send_event("generation_started", {
+                "latent_frames": shape[1],
+                "expected_frames": (shape[1] - 1) * 4 + 1,
+            })
             t_start = time.time()
             t_block[0] = t_start
             gen = self.pipeline.stream(noise, context, rng=rng)
@@ -252,7 +286,8 @@ class DemoApp:
                 t = threading.Thread(
                     target=self._generate,
                     args=(conn, data.get("prompt", ""),
-                          int(data.get("seed", 0))),
+                          int(data.get("seed", 0)),
+                          self._latent_frames_for(data.get("blocks"))),
                     daemon=True)
                 t.start()
             elif event == "stop_generation":

@@ -113,12 +113,23 @@ def model_cond(cfg: WanConfig, cond: Optional[dict]):
 def score_x0(params, cfg: WanConfig, rope: RopeTables,
              scheduler: FlowMatchScheduler, noisy: jax.Array,
              t: jax.Array, context: jax.Array,
-             remat: bool = True, y=None, clip_fea=None) -> jax.Array:
+             remat: bool = True, y=None, clip_fea=None,
+             sp_mesh=None, sp_axis: str = "sp") -> jax.Array:
     """Bidirectional score model forward -> x0 prediction
-    (utils/wan_wrapper.py:253-349, non-causal branch)."""
+    (utils/wan_wrapper.py:253-349, non-causal branch).
+
+    ``sp_mesh``: run the forward sequence-parallel over that mesh's
+    ``sp_axis`` (ring attention; the 14B-teacher path — see
+    ModelBundle.teacher_sp_mesh)."""
     B, F, C, H, W = noisy.shape
-    flow = dit.forward_train(params, cfg, noisy, t, context, None, rope,
-                             y=y, clip_fea=clip_fea, remat=remat)
+    if sp_mesh is not None:
+        from self_forcing_tpu.parallel.sequence import forward_train_sp
+        flow = forward_train_sp(params, cfg, noisy, t, context, rope,
+                                sp_mesh, axis_name=sp_axis, y=y,
+                                clip_fea=clip_fea)
+    else:
+        flow = dit.forward_train(params, cfg, noisy, t, context, None, rope,
+                                 y=y, clip_fea=clip_fea, remat=remat)
     return scheduler.convert_flow_pred_to_x0(
         flow.reshape(B * F, C, H, W), noisy.reshape(B * F, C, H, W),
         t.reshape(-1)).reshape(B, F, C, H, W)
@@ -126,19 +137,19 @@ def score_x0(params, cfg: WanConfig, rope: RopeTables,
 
 def cfg_combined_score(params, cfg, rope, scheduler, noisy, t,
                        context, neg_context, guidance_scale: float,
-                       remat: bool = True, cond: Optional[dict] = None
-                       ) -> jax.Array:
+                       remat: bool = True, cond: Optional[dict] = None,
+                       sp_mesh=None, sp_axis: str = "sp") -> jax.Array:
     """CFG: cond + (cond - uncond) * scale (model/dmd.py:93-110).  The
     image/pose conditioning rides both branches — the reference updates
     conditional AND unconditional dicts with it (trainer/distillation.py:
     274-276)."""
     y, clip_fea = model_cond(cfg, cond)
     pos = score_x0(params, cfg, rope, scheduler, noisy, t, context, remat,
-                   y, clip_fea)
+                   y, clip_fea, sp_mesh=sp_mesh, sp_axis=sp_axis)
     if guidance_scale == 0.0:
         return pos
     uncond = score_x0(params, cfg, rope, scheduler, noisy, t, neg_context,
-                      remat, y, clip_fea)
+                      remat, y, clip_fea, sp_mesh=sp_mesh, sp_axis=sp_axis)
     return pos + (pos - uncond) * guidance_scale
 
 
@@ -160,6 +171,14 @@ class ModelBundle:
     vae_params: Optional[dict] = None
     vae_cfg: Optional[object] = None
     independent_first_frame: bool = False
+    # 14B-teacher scale-out (reference xdit USP teacher,
+    # wan/distributed/xdit_context_parallel.py:66-184; SURVEY §2.8): when
+    # set, the real_score forwards in compute_kl_grad run sequence-
+    # parallel over this mesh's ``teacher_sp_axis`` (ring attention,
+    # parallel/sequence.py) with every other mesh axis GSPMD-auto — so
+    # FSDP param sharding composes and a wider-than-chip teacher fits.
+    teacher_sp_mesh: Optional[object] = None
+    teacher_sp_axis: str = "sp"
 
     @classmethod
     def create(cls, generator_cfg: WanConfig, critic_cfg: WanConfig,

@@ -49,7 +49,9 @@ def distribution_matching_loss(bundle: ModelBundle, obj: ObjectiveConfig,
     real_x0 = cfg_combined_score(real_params, bundle.teacher_cfg,
                                  bundle.rope_t, bundle.scheduler, noisy, t,
                                  context, neg_context,
-                                 obj.real_guidance_scale, cond=cond)
+                                 obj.real_guidance_scale, cond=cond,
+                                 sp_mesh=bundle.teacher_sp_mesh,
+                                 sp_axis=bundle.teacher_sp_axis)
 
     rf = real_x0.astype(jnp.float32)
     ff = fake_x0.astype(jnp.float32)

@@ -95,6 +95,16 @@ class ScoreDistillationTrainer:
             [int(s) for s in config.denoising_step_list],
             vae_params=vae_params, vae_cfg=vae_cfg,
             independent_first_frame=gen_cfg.independent_first_frame)
+        # 14B-teacher scale-out: when the training mesh carries an 'sp'
+        # axis, the frozen real_score runs sequence-parallel (ring
+        # attention over sp, FSDP params GSPMD-auto on the other axes) —
+        # the reference's xdit USP teacher (SURVEY §2.8,
+        # wan/distributed/xdit_context_parallel.py:66-184).  Opt-out via
+        # config.teacher_sequence_parallel=False.
+        if (mesh is not None and "sp" in mesh.axis_names
+                and mesh.shape["sp"] > 1
+                and bool(getattr(config, "teacher_sequence_parallel", True))):
+            self.bundle.teacher_sp_mesh = mesh
         if getattr(config, "warp_denoising_step", False):
             warped = warp_denoising_steps(
                 self.bundle.scheduler,

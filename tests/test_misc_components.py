@@ -219,3 +219,29 @@ def test_runtime_find_recursive(tmp_path):
     (deep / "model.pth").write_bytes(b"x")
     assert _find(str(tmp_path), "**/model.pth") is not None
     assert _find(str(tmp_path), "nope/*.pth") is None
+
+
+def test_chip_registry_defaults():
+    """ops/chip.py: device_kind-keyed kernel defaults (the reference's
+    FA3-on-Hopper hardware dispatch analog, wan/modules/attention.py:
+    4-20); v5e keeps the measured int8qk demo attention (no behavior
+    change), v6e projects full-int8."""
+    from self_forcing_tpu.ops import chip
+    try:
+        chip.set_chip_override("TPU v5 lite")
+        assert chip.chip_defaults() == {
+            "attn_softmax": "free", "demo_attn_quant": "int8qk",
+            "matmul_quant": "w8a8"}
+        chip.set_chip_override("TPU v6e")
+        assert chip.chip_defaults()["demo_attn_quant"] == "int8"
+        chip.set_chip_override("TPU v6 lite")
+        assert chip.chip_defaults()["demo_attn_quant"] == "int8"
+        chip.set_chip_override("TPU v5p")
+        assert chip.chip_defaults()["demo_attn_quant"] == "int8qk"
+        # unknown chip -> safe fallback
+        chip.set_chip_override("cpu")
+        assert chip.chip_defaults()["demo_attn_quant"] == "int8qk"
+        # explicit kind wins over the override
+        assert chip.chip_defaults("TPU v6e")["demo_attn_quant"] == "int8"
+    finally:
+        chip.set_chip_override(None)

@@ -705,3 +705,40 @@ def test_decode_fresh_sink_window_excludes_gap():
                                              sink_end=sk)
     np.testing.assert_allclose(np.asarray(poisoned), np.asarray(base),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_decode_fresh_compressed_window_grid():
+    """window_static compressed grid (grid covers only sink + recent
+    tiles with a prefetched-lo translation) must match both the full
+    grid and the XLA reference, across alignments and fill levels."""
+    q, kc, vc = _qkv(jax.random.PRNGKey(80), 96, 640)
+    kn = jax.random.normal(jax.random.PRNGKey(81), (B, 96, N, D))
+    vn = jax.random.normal(jax.random.PRNGKey(82), (B, 96, N, D))
+    # (sink_hi, lo, hi) at various fills of a 640-token buffer with a
+    # 64-token sink and 256-token recent window
+    for sk, lo, hi in [(64, 320, 576), (64, 64, 320), (64, 128, 384),
+                       (32, 96, 352), (64, 64, 128), (0, 0, 0)]:
+        ref = decode_attention_fresh_xla(q, kc, vc, kn, vn, jnp.int32(lo),
+                                         jnp.int32(hi),
+                                         sink_end=jnp.int32(sk))
+        out = decode_attention_fresh_pallas(
+            q, kc, vc, kn, vn, jnp.int32(lo), jnp.int32(hi), tq=128,
+            tk=64, interpret=True, sink_end=jnp.int32(sk),
+            window_static=(64, 256))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5,
+                                   err_msg=str((sk, lo, hi)))
+    # int8qk path through the compressed grid
+    import math
+    LOG2E = 1.4426950408889634
+    scale = D ** -0.5
+    qp = q * (scale * LOG2E)
+    sk, lo, hi = jnp.int32(64), jnp.int32(320), jnp.int32(576)
+    ref = decode_attention_fresh_xla(qp, kc, vc, kn, vn, lo, hi,
+                                     scale=math.log(2.0), sink_end=sk)
+    out8 = decode_attention_fresh_pallas(
+        qp, kc, vc, kn, vn, lo, hi, scale=1.0, softmax="free",
+        quant="int8qk", tq=32, tk=64, interpret=True, sink_end=sk,
+        window_static=(64, 256))
+    d = np.abs(np.asarray(out8) - np.asarray(ref))
+    assert d.mean() < 0.02, d.mean()

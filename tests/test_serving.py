@@ -481,3 +481,53 @@ def test_taehv_streamer_short_first_chunk(ref_taehv):
     total = c0.shape[1] + c1.shape[1] + c2.shape[1]
     full = taehv_mod.decode_video(params, lat, trim=True)
     assert total == full.shape[1]
+
+
+def test_demo_app_blocks_and_progress():
+    """Round-4 frontend parity surface: start_generation carries a
+    'blocks' count (reference UI blocks slider) that resizes the noise,
+    and the server announces generation_started with the progress
+    denominator (expected pixel frames) before the first frame."""
+    import numpy as np
+    import time as _time
+    from self_forcing_tpu.serving.demo_server import DemoApp
+    from self_forcing_tpu.serving.websocket import make_server
+
+    seen_shapes = []
+
+    class FakePipe:
+        class cfg:
+            num_frame_per_block = 2
+            independent_first_frame = False
+
+        def stream(self, noise, context, rng=None):
+            seen_shapes.append(tuple(noise.shape))
+            for _ in range(noise.shape[1] // 2):
+                yield np.zeros((1, 2, 16, 4, 4), np.float32)
+
+    app = DemoApp(FakePipe(), encode_text_fn=lambda p: np.zeros((1, 4, 8)),
+                  decode_chunk_fn=lambda blk: np.zeros((2, 8, 8, 3),
+                                                       np.uint8),
+                  latent_shape=(1, 6, 16, 4, 4), fps=100.0)
+    server = make_server("127.0.0.1", 0, {}, app.ws_handler)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        s = _client_handshake(port)
+        _client_send(s, "start_generation",
+                     {"prompt": "x", "seed": 0, "blocks": 2})
+        events = {}
+        deadline = _time.time() + 20
+        while _time.time() < deadline:
+            msg = _client_recv(s)
+            events.setdefault(msg["event"], msg["data"])
+            if msg["event"] == "generation_complete":
+                break
+        # blocks=2 x nb=2 -> 4 latent frames (not the default 6)
+        assert seen_shapes == [(1, 4, 16, 4, 4)], seen_shapes
+        assert events["generation_started"]["latent_frames"] == 4
+        assert events["generation_started"]["expected_frames"] == 13
+        assert "generation_complete" in events
+        s.close()
+    finally:
+        server.shutdown()

@@ -64,10 +64,13 @@ def setup_mesh(config, generator, fake, real):
     if n == 1 or strategy in ("none", "no_shard"):
         return None, generator, fake, real
     # hybrid: replicate over 'dp' (DCN / hosts), shard over 'fsdp' (ICI).
+    # 'sp' > 1 additionally runs the frozen teacher sequence-parallel
+    # (ring attention; the 14B-teacher path — trainer_distillation.py).
     dp = int(getattr(config, "dp_size", 0)) or (
         jax.process_count() if strategy.startswith("hybrid")
         and n % jax.process_count() == 0 else 1)
-    mesh = create_mesh(dp=dp, fsdp=n // dp)
+    sp = int(getattr(config, "sp_size", 1)) or 1
+    mesh = create_mesh(dp=dp, sp=sp, fsdp=n // (dp * sp))
     min_size = int(getattr(config, "fsdp_min_param_size", 2 ** 16))
     generator = shard_params(generator, mesh, min_size=min_size)
     fake = shard_params(fake, mesh, min_size=min_size)
