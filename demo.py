@@ -84,6 +84,10 @@ def main():
         encode = models.encode_text
         H, W, F = LATENT_HEIGHT, LATENT_WIDTH, 21
 
+    # yaml model_kwargs overlay (local_attn_size/sink_size/... — the
+    # reference wrapper's kwargs surface; enables windowed streaming)
+    from self_forcing_tpu.models.wan.configs import apply_model_kwargs
+    cfg = apply_model_kwargs(cfg, config)
     pipeline = CausalInferencePipeline(config, params, cfg)
 
     # int8 param tree built lazily on the first quantized request

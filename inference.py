@@ -91,6 +91,11 @@ def main():
         encode = models.encode_text
         H, W = LATENT_HEIGHT, LATENT_WIDTH
 
+    # yaml model_kwargs overlay (local_attn_size/sink_size/... — the
+    # reference wrapper's kwargs surface; enables windowed streaming)
+    from self_forcing_tpu.models.wan.configs import apply_model_kwargs
+    cfg = apply_model_kwargs(cfg, config)
+
     few_step = bool(getattr(config, "denoising_step_list", None))
 
     # ---- pose inputs (diffusion pipeline only; the reference CLI passes

@@ -36,6 +36,23 @@ from self_forcing_tpu.config import Config
 from self_forcing_tpu.ops.quant import quantize_dit_params
 
 
+CKPT_DIR = "/tmp/quality_r4_ckpt"
+
+
+def cached(name, fn):
+    """Per-phase checkpoint: the axon tunnel's up-windows are shorter
+    than the whole script, so each rollout persists to disk and a retry
+    resumes where the previous attempt died."""
+    path = os.path.join(CKPT_DIR, name + ".npy")
+    if os.path.exists(path):
+        print(f"[quality] {name}: cached", flush=True)
+        return np.load(path)
+    out = fn()
+    os.makedirs(CKPT_DIR, exist_ok=True)
+    np.save(path, out)
+    return out
+
+
 def gen_latents(params, cfg, pipe, ctx_kv, noise, nb, fs, windowed=False):
     """Deterministic latent rollout (fixed per-block rng streams)."""
     B, F = noise.shape[:2]
@@ -112,30 +129,32 @@ def main():
     results = {}
     t0 = time.time()
     print("[quality] parity rollout...", flush=True)
-    lat_parity = gen_latents(params, cfg, pipe, ctx_kv, noise, nb, fs)
+    lat_parity = cached("parity", lambda: gen_latents(
+        params, cfg, pipe, ctx_kv, noise, nb, fs))
 
     print(f"[quality] int8qk attention... ({time.time()-t0:.0f}s)",
           flush=True)
     cfg_a = dataclasses.replace(cfg, attn_quant="int8qk")
-    lat_a = gen_latents(params, cfg_a, pipe,
-                        dit.precompute_context(params, cfg_a, context),
-                        noise, nb, fs)
+    lat_a = cached("int8qk", lambda: gen_latents(
+        params, cfg_a, pipe,
+        dit.precompute_context(params, cfg_a, context), noise, nb, fs))
     results["int8qk_attn"] = latent_stats(lat_parity, lat_a)
 
     print(f"[quality] int8qk + W8A8 linears... ({time.time()-t0:.0f}s)",
           flush=True)
     qp = quantize_dit_params(params, mode="w8a8")
     ctx_kv_q = dit.precompute_context(qp, cfg_a, context)
-    lat_q = gen_latents(qp, cfg_a, pipe, ctx_kv_q, noise, nb, fs)
+    lat_q = cached("int8qk_w8a8", lambda: gen_latents(
+        qp, cfg_a, pipe, ctx_kv_q, noise, nb, fs))
     results["int8qk_w8a8"] = latent_stats(lat_parity, lat_q)
 
     print(f"[quality] windowed 12f+sink1 (demo cfg)... "
           f"({time.time()-t0:.0f}s)", flush=True)
     cfg_w = dataclasses.replace(cfg_a, local_attn_size=12, sink_size=1,
                                 windowed_buffer_frames=24)
-    lat_w = gen_latents(qp, cfg_w, pipe,
-                        dit.precompute_context(qp, cfg_w, context),
-                        noise, nb, fs, windowed=True)
+    lat_w = cached("windowed", lambda: gen_latents(
+        qp, cfg_w, pipe, dit.precompute_context(qp, cfg_w, context),
+        noise, nb, fs, windowed=True))
     # windowed truncates attention beyond the 12-frame window: frames
     # within the first window match the global config; later frames pin
     # the sink semantics (legitimate divergence, reported not asserted)
@@ -164,9 +183,9 @@ def main():
         px = taehv_mod.decode_video(tae, z)  # [B,T,H,W,3] in [0,1]
         return np.asarray(jnp.clip(px, 0, 1).astype(jnp.float32))
 
-    px_parity = vae_decode(lat_parity)[0]
-    px_demo_vae = vae_decode(lat_q)[0]
-    px_demo_tae = tae_decode(lat_q)[0]
+    px_parity = cached("px_parity", lambda: vae_decode(lat_parity))[0]
+    px_demo_vae = cached("px_demo_vae", lambda: vae_decode(lat_q))[0]
+    px_demo_tae = cached("px_demo_tae", lambda: tae_decode(lat_q))[0]
     n = min(px_parity.shape[0], px_demo_tae.shape[0])
     # NOTE on random weights: the TAEHV decoder is a DIFFERENT random
     # network than the VAE here, so tae-vs-vae pixel PSNR is meaningless

@@ -240,3 +240,36 @@ def test_w8a8_compounded_error_bound():
     # quantized context through the KV cache)
     per_frame = d.mean(axis=(0, 2, 3, 4)) / denom
     assert per_frame.max() < 5e-3, per_frame
+
+
+@pytest.mark.slow
+def test_windowed_stream_slack_buffer_matches_default():
+    """Streaming-path equivalence of the round-4 windowed re-architecture
+    (append-only slack buffer + host-scheduled compaction inside
+    pipe.stream) against the reference-sized buffer==window cache — the
+    stream loop drives dit.compact_cache on the static block cadence
+    (twice over 5 blocks at buffer 8 / window 4 / 2-frame blocks)."""
+    import dataclasses
+    base = dict(dim=96, ffn_dim=192, num_heads=2, num_layers=2,
+                text_dim=32, freq_dim=16, num_frame_per_block=2,
+                local_attn_size=4, sink_size=1)
+    cfg_a = WanConfig(**base)
+    cfg_b = WanConfig(**base, windowed_buffer_frames=8)
+    args = Config({"denoising_step_list": [1000, 500],
+                   "warp_denoising_step": False, "timestep_shift": 5.0,
+                   "num_frame_per_block": 2,
+                   "independent_first_frame": False, "context_noise": 0})
+    key = jax.random.PRNGKey(0)
+    params = dit.init_params(key, cfg_a, dtype=jnp.float32)
+    B, F, C, H, W = 1, 10, 16, 8, 8
+    noise = jax.random.normal(jax.random.fold_in(key, 1),
+                              (B, F, C, H, W), jnp.float32)
+    ctx = jax.random.normal(jax.random.fold_in(key, 2),
+                            (B, 8, 32), jnp.float32)
+    outs = {}
+    for name, cfg in [("win", cfg_a), ("slack", cfg_b)]:
+        pipe = CausalInferencePipeline(args, params, cfg)
+        chunks = list(pipe.stream(noise, ctx, rng=jax.random.PRNGKey(7)))
+        outs[name] = np.concatenate([np.asarray(c) for c in chunks], axis=1)
+    np.testing.assert_allclose(outs["slack"], outs["win"],
+                               rtol=2e-5, atol=2e-5)

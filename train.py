@@ -28,6 +28,8 @@ def build_models(config, causal_dtype):
                                                      WAN_TINY)
     size = str(getattr(config, "model_size", "1.3b")).lower()
     cfg = {"1.3b": WAN_1_3B, "14b": WAN_14B, "tiny": WAN_TINY}[size]
+    from self_forcing_tpu.models.wan.configs import apply_model_kwargs
+    cfg = apply_model_kwargs(cfg, config)
 
     model_dir = getattr(config, "model_dir", "wan_models")
     gen_ckpt = getattr(config, "generator_ckpt", None)
