@@ -858,10 +858,13 @@ def _decode_fresh_fwd(q, k_cache, v_cache, k_new, v_new, kv_start, kv_end,
             # DMAs are elided (big win on early blocks where most of the
             # window is empty).  Sink tiles (ki*tk < sink_end — the
             # windowed-streaming two-interval window) pass through at
-            # their own position.
+            # their own position.  max(ktc-1, 0): with static_hi=0 the
+            # grid has NO cache steps but these maps still index the
+            # operand's per-step DMA — ktc-1 == -1 through the sink
+            # branch was an out-of-bounds block index (device crash; r4).
             first = lo[0] // tk
             last = jnp.maximum((hi[0] - 1) // tk, first)
-            kc = jnp.minimum(ki, ktc - 1)
+            kc = jnp.minimum(ki, max(ktc - 1, 0))
             base = jnp.where(kc * tk < sk[0], kc, jnp.clip(kc, first, last))
             return (li[0], b, base, 0)
 
