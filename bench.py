@@ -296,6 +296,13 @@ def main():
         # host-scheduled compaction).  Steady-state px-frames/s of the
         # denoise+refresh loop at the demo-speed config — same measure
         # as PERF.md's windowed tracking number.
+        # free the global-path resident set first: the 24-frame windowed
+        # cache (6.9 GB) does not fit next to the 21-frame global cache
+        # + bf16 parity params (RESOURCE_EXHAUSTED otherwise; only the
+        # int8 params + text context are needed below)
+        pipe.params = None
+        del kv, ctx_kv, ctx_kv_q, params, vae_params, tae
+
         cfg_w = dataclasses.replace(cfg_q, local_attn_size=12, sink_size=1,
                                     windowed_buffer_frames=24)
         ctx_kv_w = dit.precompute_context(qp, cfg_w, context)
