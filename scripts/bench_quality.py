@@ -179,12 +179,23 @@ def main():
                           .astype(jnp.float32))
 
     def tae_decode(lat):
+        # chunked streaming decode (3-latent blocks, the demo path):
+        # the whole-video eager decode materializes full-81-frame
+        # intermediates per op and OOMs next to the other buffers
+        dec = jax.jit(taehv_mod.decode_video, static_argnames=("trim",))
+        streamer = taehv_mod.TAEHVStreamer(tae, overlap=3, decode_fn=dec)
         z = jnp.asarray(lat).astype(jnp.bfloat16)
-        px = taehv_mod.decode_video(tae, z)  # [B,T,H,W,3] in [0,1]
-        return np.asarray(jnp.clip(px, 0, 1).astype(jnp.float32))
+        outs = [np.asarray(streamer.decode_chunk(z[:, i:i + 3]))
+                for i in range(0, z.shape[1], 3)]
+        px = np.concatenate(outs, axis=1)[0].astype(np.float32)
+        return np.clip(px, 0, 1)[None]
 
     px_parity = cached("px_parity", lambda: vae_decode(lat_parity))[0]
     px_demo_vae = cached("px_demo_vae", lambda: vae_decode(lat_q))[0]
+    # free the full VAE before the TAEHV decode (HBM headroom)
+    del vae_params
+    import gc
+    gc.collect()
     px_demo_tae = cached("px_demo_tae", lambda: tae_decode(lat_q))[0]
     n = min(px_parity.shape[0], px_demo_tae.shape[0])
     # NOTE on random weights: the TAEHV decoder is a DIFFERENT random
@@ -199,8 +210,10 @@ def main():
 
     print("\nconfig                         rel_err   psnr_mean  psnr_min")
     for k, v in results.items():
-        if isinstance(v, tuple):
+        if isinstance(v, tuple) and len(v) == 3:
             print(f"{k:30s} {v[0]:8.4f} {v[1]:9.2f} {v[2]:9.2f}")
+        elif isinstance(v, tuple):
+            print(f"{k:30s}          {v[0]:9.2f} {v[1]:9.2f}")
     with open("/tmp/quality_r4.json", "w") as f:
         json.dump({k: v for k, v in results.items()}, f, indent=1,
                   default=str)
