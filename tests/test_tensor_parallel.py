@@ -222,3 +222,38 @@ def test_causal_pipeline_tp_matches_single():
     for a, b in zip(chunks, chunks_tp):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=5e-4, atol=5e-4)
+
+
+@needs4
+@pytest.mark.slow
+def test_causal_pipeline_tp_windowed_stream_matches_single():
+    """Windowed (append-buffer + sink window + host-scheduled
+    compaction, round 4) streaming under a ('tp',) mesh: the pipeline's
+    dit.compact_cache runs on the head-sharded TP cache via GSPMD and
+    the stream matches the single-device windowed stream."""
+    import types
+
+    from self_forcing_tpu.pipelines.causal_inference import (
+        CausalInferencePipeline)
+
+    cfg = dataclasses.replace(CFG, local_attn_size=4, sink_size=1,
+                              windowed_buffer_frames=8)
+    params, rope, ctx = _setup(21)
+    mesh = tp.tp_mesh(4)
+    params_tp = tp.shard_params_tp(params, mesh)
+    args = types.SimpleNamespace(
+        denoising_step_list=[1000, 500], num_frame_per_block=2,
+        independent_first_frame=False, context_noise=0.0,
+        timestep_shift=8.0)
+    B, F, C, H, W = 1, 10, 16, 8, 8  # 5 blocks: compaction fires twice
+    noise = jax.random.normal(jax.random.PRNGKey(22), (B, F, C, H, W),
+                              jnp.float32)
+
+    pipe = CausalInferencePipeline(args, params, cfg)
+    pipe_tp = CausalInferencePipeline(args, params_tp, cfg, mesh=mesh)
+    chunks = list(pipe.stream(noise, ctx))
+    chunks_tp = list(pipe_tp.stream(noise, ctx))
+    assert len(chunks_tp) == len(chunks) == F // 2
+    for a, b in zip(chunks, chunks_tp):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-4, atol=5e-4)
