@@ -232,23 +232,39 @@ class CausalInferencePipeline:
     def _frame_seqlen(self, height: int, width: int) -> int:
         return (height // self.cfg.patch_size[1]) * (width // self.cfg.patch_size[2])
 
-    def _init_cache(self, batch: int, fs: int, num_frames: int, dtype):
+    def _init_cache(self, batch: int, fs: int, num_frames: int, dtype,
+                    slack: bool = True):
         """Reuse the previous call's cache buffers when the geometry
         matches (reference cache reuse/reset between calls,
         causal_inference.py:112-132): reset only zeroes the index
         scalars and the kmax bound — re-zeroing the ~9.8 GB k/v arrays
         costs ~25 ms of time-to-first-chunk for nothing (stale rows are
-        never visible: attention reads [attn_lo, local_end))."""
-        sig = (batch, fs, num_frames, dtype)
-        if getattr(self, "_cache_sig", None) == sig and                 getattr(self, "_cache", None) is not None:
+        never visible: attention reads [attn_lo, local_end)).
+
+        ``slack=False`` (the scan-based ``inference()`` path): size a
+        windowed buffer at the reference's buffer==window even when the
+        config requests a slack buffer — inside lax.scan the compaction
+        runs as forward_inference's lax.cond, whose untaken branch
+        allocates a full-buffer HLO temp, so a slack buffer would
+        double that temp for zero benefit (only the host-scheduled
+        stream() loop can exploit slack)."""
+        cfg = self.cfg
+        if not slack and cfg.local_attn_size != -1 \
+                and cfg.windowed_buffer_frames is not None:
+            import dataclasses
+            cfg = dataclasses.replace(cfg, windowed_buffer_frames=None)
+        sig = (batch, fs, num_frames, dtype,
+               -1 if cfg.local_attn_size == -1 else cfg.buffer_frames)
+        if getattr(self, "_cache_sig", None) == sig and \
+                getattr(self, "_cache", None) is not None:
             return dit.reset_kv_cache(self._cache)
         self._cache_sig = sig
         if self.mesh is not None:
             from self_forcing_tpu.parallel import tensor as tpmod
-            return tpmod.init_kv_cache_tp(self.cfg, self.mesh, batch, fs,
+            return tpmod.init_kv_cache_tp(cfg, self.mesh, batch, fs,
                                           num_frames, dtype,
                                           axis=self.tp_axis)
-        return dit.init_kv_cache(self.cfg, batch, fs, num_frames, dtype)
+        return dit.init_kv_cache(cfg, batch, fs, num_frames, dtype)
 
     def encode_text(self, text_prompts: List[str]) -> jax.Array:
         assert self.text_encoder is not None, \
@@ -344,7 +360,8 @@ class CausalInferencePipeline:
         num_input_frames = (initial_latent.shape[1]
                             if initial_latent is not None else 0)
         total_frames = F + num_input_frames
-        cache = self._init_cache(B, fs, max(total_frames, 21), noise.dtype)
+        cache = self._init_cache(B, fs, max(total_frames, 21), noise.dtype,
+                                 slack=False)
 
         start = jnp.int32(0)
         outputs = []
@@ -477,4 +494,6 @@ class CausalInferencePipeline:
                 cache = self._refresh(ctx_kv, cache, blk, k2, start, hint)
             start = start + n
         self._cache = cache
-        self._cache_sig = (B, fs, max(F, 21), noise.dtype)
+        self._cache_sig = (B, fs, max(F, 21), noise.dtype,
+                           -1 if self.cfg.local_attn_size == -1
+                           else self.cfg.buffer_frames)
