@@ -59,13 +59,29 @@ def main():
 
     buf_tok, post = dit.windowed_compaction_schedule(cfg, fs, nb * fs)
 
+    # WITH_TAEHV=1: overlapped per-block TAEHV decode in the loop — the
+    # serving-path e2e number (decode is device work, so it serializes
+    # with the DiT programs; the host only syncs on the final pixel)
+    with_taehv = os.environ.get("WITH_TAEHV", "0") == "1"
+    if with_taehv:
+        from self_forcing_tpu.models import taehv as taehv_mod
+        tae = jax.tree.map(lambda x: x.astype(jnp.bfloat16),
+                           taehv_mod.init_decoder_params(
+                               jax.random.fold_in(key, 7)))
+        tae_decode = jax.jit(taehv_mod.decode_video,
+                             static_argnames=("trim",))
+
     def run():
         cache = dit.init_kv_cache(cfg, B, fs, F, jnp.bfloat16)
         rng = jax.random.PRNGKey(42)
         start = jnp.int32(0)
         t_steady = None
         blk = None
+        px = None
         content = 0
+        streamer = (taehv_mod.TAEHVStreamer(tae, overlap=3,
+                                            decode_fn=tae_decode)
+                    if with_taehv else None)
         for b in range(NBLOCKS):
             rng, k = jax.random.split(rng)
             # window is full from block 4 on: time the steady state
@@ -87,8 +103,10 @@ def main():
                                   ctx_kv=ctx_kv, cache=cache, x0=blk,
                                   rng=k2, context_noise=pipe.context_noise,
                                   start_frame=start)
+            if with_taehv:
+                px = streamer.decode_chunk(blk[:, :, :16].astype(jnp.bfloat16))
             start = start + nb
-        float(jnp.ravel(blk)[0])
+        float(jnp.ravel(px if with_taehv else blk)[0])
         steady_s = time.perf_counter() - t_steady
         steady_blocks = NBLOCKS - 4
         # 3 latent frames -> 12 pixel frames per steady block
@@ -99,6 +117,7 @@ def main():
     per_block, fps = min((run() for _ in range(3)), key=lambda r: r[0])
     print(f"windowed steady state: {per_block * 1e3:.0f} ms/block "
           f"-> {fps:.1f} px-frames/s (latent window 12f, sink 1f, "
+          f"{'incl. TAEHV decode, ' if with_taehv else ''}"
           f"constant per-block cost at ANY video length)")
 
 
