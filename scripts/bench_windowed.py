@@ -39,7 +39,7 @@ def main():
                               windowed_buffer_frames=buf,
                               attn_quant="int8qk")
     B, C, H, W = 1, 16, 60, 104
-    NBLOCKS = 14
+    NBLOCKS = int(_os.environ.get("NBLOCKS", "14"))
     F = NBLOCKS * 3
     key = jax.random.PRNGKey(0)
     params = quantize_dit_params(

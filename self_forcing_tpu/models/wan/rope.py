@@ -69,6 +69,14 @@ class RopeTables:
         Grid dims are static; ``start_frame`` may be a traced scalar
         (dynamic slice on the frame table) — the causal_rope_apply offset
         (causal_model.py:44).
+
+        Beyond MAX_POS-f frames (1024 latents ~ 4096 pixel frames ~ 4.5
+        min of 16-fps stream) dynamic_slice CLAMPS the start: further
+        frames reuse the last temporal positions (a graceful RoPE
+        plateau — within the 12-frame streaming window relative offsets
+        stay ~correct).  The reference has the same 1024-entry table and
+        CRASHES there instead (freqs[start:start+f] comes back short,
+        causal_model.py:44-52).
         """
         cf = jax.lax.dynamic_slice_in_dim(self.cos_f, start_frame, f, axis=0)
         sf = jax.lax.dynamic_slice_in_dim(self.sin_f, start_frame, f, axis=0)

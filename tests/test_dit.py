@@ -202,3 +202,18 @@ def test_windowed_slack_buffer_no_evict_for():
     np.testing.assert_allclose(np.asarray(outs["internal"]),
                                np.asarray(outs["evict_for"]),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_rope_plateau_beyond_table():
+    """Streaming past the 1024-frame RoPE table must not crash: the
+    temporal slice clamps (graceful plateau) where the reference's
+    freqs[start:start+f] would come back short and crash
+    (causal_model.py:44-52).  Positions inside the table are exact."""
+    from self_forcing_tpu.models.wan.rope import MAX_POS, RopeTables
+    rope = RopeTables.create(64)
+    c_in, s_in = rope.angles_for_grid(2, 2, 2, jnp.int32(MAX_POS - 2))
+    c_over, s_over = rope.angles_for_grid(2, 2, 2, jnp.int32(MAX_POS + 50))
+    assert np.isfinite(np.asarray(c_over)).all()
+    # clamped == the last in-table window
+    np.testing.assert_array_equal(np.asarray(c_over), np.asarray(c_in))
+    np.testing.assert_array_equal(np.asarray(s_over), np.asarray(s_in))
