@@ -124,13 +124,19 @@ class DemoApp:
         """Requested video length in latent frames (the reference UI's
         blocks slider, templates/demo.html + demo.py:581-592): clamp to
         [1, 40] blocks; the block size comes from the pipeline config."""
-        nb = int(getattr(getattr(self.pipeline, "cfg", None),
-                         "num_frame_per_block", 3) or 3)
+        cfg = getattr(self.pipeline, "cfg", None)
+        nb = int(getattr(cfg, "num_frame_per_block", 3) or 3)
         default_f = self.latent_shape[1]
         if blocks is None:
             return default_f
+        # windowed configs stream at constant memory/cost, so any length
+        # goes; a GLOBAL config's KV cache grows with the video, so cap
+        # at the configured default (a 21-frame global cache is ~6 GB at
+        # 1.3B — 40 blocks would be ~34 GB)
+        windowed = getattr(cfg, "local_attn_size", -1) != -1
+        cap = 40 if windowed else max(1, default_f // nb)
         try:
-            b = max(1, min(40, int(blocks)))
+            b = max(1, min(cap, int(blocks)))
         except (TypeError, ValueError):
             return default_f
         if bool(getattr(getattr(self.pipeline, "cfg", None),
