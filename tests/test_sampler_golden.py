@@ -415,3 +415,60 @@ def test_training_trajectory_i2v_matches_reference(sampler_setup,
     assert traj.shape == tuple(ref_out.shape)  # input frame included
     np.testing.assert_allclose(np.asarray(traj), ref_out.numpy(),
                                rtol=5e-3, atol=5e-3)
+
+
+@pytest.mark.slow
+def test_inference_windowed_sinks_matches_reference(sampler_setup,
+                                                    monkeypatch):
+    """(e) WINDOWED whole-sampler golden: the reference
+    CausalInferencePipeline over a CausalWanModel built with
+    local_attn_size/sink_size (rolling eviction + attention sinks,
+    causal_model.py:203-229; window-sized cache per
+    causal_inference.py:283-288) vs our windowed pipeline — including
+    the round-4 append-buffer path (slack buffer must match too)."""
+    import torch
+    import dataclasses
+    ci_mod, _, wrap_mod, _, _, ctx_np = sampler_setup
+    causal_mod = sys.modules["wan.modules.causal_model"]
+    LOCAL, SINK = 4, 1
+    torch.manual_seed(11)
+    model = causal_mod.CausalWanModel(
+        model_type="t2v", patch_size=(1, 2, 2), text_len=512, in_dim=C,
+        dim=CFG.dim, ffn_dim=CFG.ffn_dim, freq_dim=CFG.freq_dim,
+        text_dim=CFG.text_dim, out_dim=C, num_heads=CFG.num_heads,
+        num_layers=CFG.num_layers, qk_norm=True, cross_attn_norm=True,
+        eps=1e-6, local_attn_size=LOCAL, sink_size=SINK)
+    with torch.no_grad():
+        model.head.head.weight.normal_(0, 0.02)
+        model.head.head.bias.normal_(0, 0.02)
+    model = model.eval().float()
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    cfg_w = dataclasses.replace(CFG, local_attn_size=LOCAL, sink_size=SINK)
+    params = convert_dit_state_dict(sd, cfg_w, dtype=jnp.float32)
+
+    F = 4 * NB  # 4 blocks: eviction fires from block 3 on
+    noise_np = np.random.default_rng(12).standard_normal(
+        (B, F, C, H, W)).astype(np.float32) * 0.8
+    rng = jax.random.PRNGKey(13)
+
+    gen = _make_ref_generator(wrap_mod, model, LOCAL * FS)
+    ref_pipe = ci_mod.CausalInferencePipeline(
+        _my_args(), "cpu", generator=gen,
+        text_encoder=_RefTextEncoder(torch.from_numpy(ctx_np)),
+        vae=_RefVAE())
+    # window-sized cache, the reference's windowed sizing
+    _patch_tiny_caches(ref_pipe, LOCAL * FS)
+    _queue_randn_like(monkeypatch, _inference_eps_queue(rng, F // NB))
+    with torch.no_grad():
+        _, ref_latents = ref_pipe.inference(
+            torch.from_numpy(noise_np), ["prompt"], return_latents=True)
+
+    for buf in (None, 8):  # reference sizing AND the round-4 slack buffer
+        cfg_b = dataclasses.replace(cfg_w, windowed_buffer_frames=buf)
+        my_pipe = CausalInferencePipeline(_my_args(), params, cfg_b)
+        _, latents = my_pipe.inference(jnp.asarray(noise_np),
+                                       context=jnp.asarray(ctx_np),
+                                       return_latents=True, rng=rng)
+        np.testing.assert_allclose(np.asarray(latents), ref_latents.numpy(),
+                                   rtol=5e-3, atol=5e-3,
+                                   err_msg=f"buffer={buf}")
