@@ -273,3 +273,37 @@ def test_windowed_stream_slack_buffer_matches_default():
         outs[name] = np.concatenate([np.asarray(c) for c in chunks], axis=1)
     np.testing.assert_allclose(outs["slack"], outs["win"],
                                rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.slow
+def test_windowed_stream_independent_first_frame_slack():
+    """Windowed streaming with independent_first_frame: the 1-frame
+    first block makes the block cadence NON-uniform — the host
+    compaction schedule and the two-interval window bookkeeping must
+    still match the reference-sized buffer (bit-exact; an odd-7-frame
+    slack buffer forces a misaligned compaction)."""
+    import dataclasses
+    base = dict(dim=96, ffn_dim=192, num_heads=2, num_layers=2,
+                text_dim=32, freq_dim=16, num_frame_per_block=2,
+                local_attn_size=4, sink_size=1,
+                independent_first_frame=True)
+    args = Config({"denoising_step_list": [1000, 500],
+                   "warp_denoising_step": False, "timestep_shift": 5.0,
+                   "num_frame_per_block": 2,
+                   "independent_first_frame": True, "context_noise": 0})
+    key = jax.random.PRNGKey(0)
+    cfg_a = WanConfig(**base)
+    cfg_b = WanConfig(**base, windowed_buffer_frames=7)
+    params = dit.init_params(key, cfg_a, dtype=jnp.float32)
+    B, F, C, H, W = 1, 9, 16, 8, 8  # 1 + 4x2
+    noise = jax.random.normal(jax.random.fold_in(key, 1),
+                              (B, F, C, H, W), jnp.float32)
+    ctx = jax.random.normal(jax.random.fold_in(key, 2),
+                            (B, 8, 32), jnp.float32)
+    outs = {}
+    for name, cfg in [("win", cfg_a), ("slack", cfg_b)]:
+        pipe = CausalInferencePipeline(args, params, cfg)
+        chunks = list(pipe.stream(noise, ctx, rng=jax.random.PRNGKey(7)))
+        outs[name] = np.concatenate([np.asarray(c) for c in chunks], axis=1)
+    np.testing.assert_allclose(outs["slack"], outs["win"],
+                               rtol=2e-5, atol=2e-5)
