@@ -370,3 +370,47 @@ def test_ode_diffusion_trainers_sharded_step(setup):
     sharded = [x for x in jax.tree.leaves(t2.params)
                if not x.sharding.is_fully_replicated]
     assert sharded, "no diffusion param leaf is FSDP-sharded"
+
+
+@pytest.mark.slow
+def test_dmd_step_with_wider_sp_teacher(setup):
+    """14B-teacher path (SURVEY §2.8 stretch goal): a DMD step whose
+    frozen real_score is WIDER than the student and runs sequence-
+    parallel over an ('sp',) axis (ring attention, fsdp GSPMD-auto —
+    parallel/sequence.py via ModelBundle.teacher_sp_mesh; reference
+    xdit USP teacher, wan/distributed/xdit_context_parallel.py:66-184).
+    Grads finite and nonzero through the sp-sharded teacher forwards."""
+    import dataclasses
+
+    from self_forcing_tpu.parallel.mesh import create_mesh, shard_params
+    from self_forcing_tpu.training.trainer_distillation import (
+        ScoreDistillationTrainer)
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    gen, fake, cls, ctx, clean, obj, bundle = setup
+    mesh = create_mesh(dp=1, fsdp=2, sp=4)
+    teacher_cfg = dataclasses.replace(
+        WAN_TINY, dim=256, ffn_dim=512, num_heads=4)
+    real_wide = dit.init_params(jax.random.PRNGKey(41), teacher_cfg,
+                                dtype=jnp.float32, causal=False)
+    real_wide["head"]["head"]["w"] = 0.02 * jax.random.normal(
+        jax.random.PRNGKey(42), real_wide["head"]["head"]["w"].shape)
+    gen_s = shard_params(gen, mesh, min_size=1024)
+    fake_s = shard_params(fake, mesh, min_size=1024)
+    real_s = shard_params(real_wide, mesh, min_size=1024)
+    cfg_args = _cfg_args(num_train_timestep=1000, guidance_scale=3.0,
+                         dfake_gen_update_ratio=1, ema_weight=0.0,
+                         context_noise=0, seed=0,
+                         image_or_video_shape=[1, F, C, H, W],
+                         denoising_loss_type="flow",
+                         independent_first_frame=False,
+                         same_step_across_blocks=True, ts_schedule=False)
+    trainer = ScoreDistillationTrainer(cfg_args, gen_s, fake_s, real_s,
+                                       WAN_TINY, WAN_TINY, teacher_cfg,
+                                       ctx, mesh=mesh)
+    assert trainer.bundle.teacher_sp_mesh is mesh
+    log = trainer.train_step({"context": ctx})
+    assert np.isfinite(log["generator_loss"]), log
+    assert log["generator_grad_norm"] > 0, log
+    assert np.isfinite(log["critic_loss"]), log
