@@ -37,6 +37,11 @@ def main():
     parser.add_argument("--taehv_checkpoint", type=str,
                         default="checkpoints/taew2_1.pth")
     parser.add_argument("--fps", type=float, default=6.0)
+    parser.add_argument("--warmup", action="store_true",
+                        help="compile the serving path before accepting "
+                             "requests (one throwaway 1-block generation; "
+                             "first request then streams immediately — "
+                             "the torch.compile-warmup analog)")
     args = parser.parse_args()
 
     import jax
@@ -157,6 +162,29 @@ def main():
                   quantized_params_fn=quantized_params_fn,
                   default_taehv=args.taehv,
                   default_quantize=args.quantize)
+    if args.warmup:
+        # trace+compile the per-block programs and the chunk decoder with
+        # a throwaway generation so the first real request streams at
+        # steady-state speed (first jit at 1.3B takes minutes)
+        import time as _time
+        t0 = _time.perf_counter()
+        print("[demo] warmup: compiling serving path...")
+        # bf16 like DemoApp._generate's noise, so the warmup traces the
+        # exact serving programs
+        wnoise = jnp.asarray(np.random.default_rng(0).standard_normal(
+            (1, F, 16, H, W)), jnp.bfloat16)
+        wctx = encode(["warmup"])
+        if reset_decoder is not None:
+            reset_decoder()
+        # consume the WHOLE stream: the global path compiles one
+        # denoise/refresh specialization per block (static_kv_hi), so a
+        # partial warmup would leave later blocks compiling during the
+        # first real request
+        for blk in pipeline.stream(wnoise, wctx):
+            np.asarray(decode_chunk(blk))
+        if reset_decoder is not None:
+            reset_decoder()
+        print(f"[demo] warmup done in {_time.perf_counter() - t0:.1f}s")
     app.serve(args.host, args.port)
 
 
