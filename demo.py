@@ -28,10 +28,12 @@ def main():
     parser.add_argument("--quantize", action="store_true",
                         help="int8 quantized linears (the reference FP8 "
                              "toggle, demo.py:277-283)")
-    parser.add_argument("--quantize_mode", type=str, default="w8a8",
+    parser.add_argument("--quantize_mode", type=str, default=None,
                         choices=["w8a8", "w8"],
                         help="w8a8 = dynamic-activation int8 on the MXU "
-                             "int8 path (2.17x); w8 = weight-only")
+                             "int8 path (2.17x); w8 = weight-only; "
+                             "default = the detected chip's registry "
+                             "entry (ops/chip.py)")
     parser.add_argument("--taehv", action="store_true",
                         help="TAEHV fast decoder (demo.py:269-275)")
     parser.add_argument("--taehv_checkpoint", type=str,
@@ -100,8 +102,12 @@ def main():
     def quantized_params_fn():
         from self_forcing_tpu.ops.quant import quantize_dit_params
         min_dim = 64 if size == "tiny" else 512
-        print(f"[demo] quantizing DiT linears ({args.quantize_mode})")
-        return quantize_dit_params(params, mode=args.quantize_mode,
+        mode = args.quantize_mode
+        if mode is None:
+            from self_forcing_tpu.ops.chip import chip_defaults
+            mode = chip_defaults()["matmul_quant"]
+        print(f"[demo] quantizing DiT linears ({mode})")
+        return quantize_dit_params(params, mode=mode,
                                    min_dim=min_dim)
 
     # ---- chunk decoders: streaming Wan VAE always; TAEHV when available
