@@ -1147,7 +1147,11 @@ def decode_attention_fresh_pallas(q: jax.Array, k_cache: jax.Array,
     # extra qq scratch leaves less VMEM for operand double-buffers: cap
     # the fresh tile at 1280 there (4x1184 instead of 3x1568 at Lf=4680;
     # the 16 MB scoped-VMEM limit was exceeded by 50 KB otherwise)
-    cap = min(tk, 1280) if quant in ("int8", "int8qk") else tk
+    # int8qk (free_qk) drops the V-quant scratch, so the full-int8 cap
+    # relaxes to 1600 (3x1560 zero-pad fresh tiles at Lf=4680 instead of
+    # 4x1184; A/B'd on v5e)
+    cap = (min(tk, 1280) if quant == "int8"
+           else min(tk, 1600) if quant == "int8qk" else tk)
     ntf = _cdiv(Lf, min(cap, max(128, 1 << (Lf - 1).bit_length())))
     gran = 32 if quant in ("int8", "int8qk") else 8
     tf = max(gran, -(-_cdiv(Lf, ntf) // gran) * gran)
