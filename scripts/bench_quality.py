@@ -42,7 +42,8 @@ CKPT_DIR = "/tmp/quality_r4_ckpt"
 def cached(name, fn):
     """Per-phase checkpoint: the axon tunnel's up-windows are shorter
     than the whole script, so each rollout persists to disk and a retry
-    resumes where the previous attempt died."""
+    resumes where the previous attempt died.  ``rm -r /tmp/quality_r4_ckpt``
+    after kernel/numerics changes — stale phases would silently mix."""
     path = os.path.join(CKPT_DIR, name + ".npy")
     if os.path.exists(path):
         print(f"[quality] {name}: cached", flush=True)

@@ -646,9 +646,10 @@ def evict_for(cfg: WanConfig, cache: KVCache, new_tokens: int) -> KVCache:
     """Pre-run the windowed buffer compaction for an ADVANCING write of
     ``new_tokens`` (windowed mode only; no-op on the global cache).
 
-    The streaming pipeline calls this once per block so the 4 denoise
-    forwards + refresh all see a fitting buffer instead of each
-    re-compacting under their own lax.cond."""
+    Traced-cond convenience for callers that don't track the buffer fill
+    themselves; the streaming pipeline instead host-schedules the
+    cond-free :func:`compact_cache` (the cond's untaken branch allocates
+    a full-buffer HLO temp inside donated programs)."""
     if cfg.local_attn_size == -1:
         return cache
     frame_seqlen = cache.k.shape[2] // cfg.buffer_frames
