@@ -414,3 +414,56 @@ def test_dmd_step_with_wider_sp_teacher(setup):
     assert np.isfinite(log["generator_loss"]), log
     assert log["generator_grad_norm"] > 0, log
     assert np.isfinite(log["critic_loss"]), log
+
+
+@pytest.mark.slow
+def test_sharded_orbax_save_restore_roundtrip(setup, tmp_path):
+    """orbax save->restore round-trip on FSDP-SHARDED trainer state
+    (VERDICT r3 next #3: resume must work on a mesh, not just
+    single-device; reference utils/distributed.py:11-20 FSDP +
+    trainer/distillation.py checkpointing).  Restored leaves must carry
+    the same values AND stay sharded (StandardCheckpointer restores to
+    the sharding of the `like` tree, trainer_distillation.py:386-402)."""
+    from self_forcing_tpu.parallel.mesh import create_mesh, shard_params
+    from self_forcing_tpu.training.trainer_distillation import (
+        ScoreDistillationTrainer)
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    gen, fake, cls, ctx, clean, obj, bundle = setup
+    mesh = create_mesh(dp=2, fsdp=4)
+    real = dit.init_params(jax.random.PRNGKey(51), WAN_TINY,
+                           dtype=jnp.float32, causal=False)
+    cfg_args = _cfg_args(guidance_scale=3.0, dfake_gen_update_ratio=1,
+                         ema_weight=0.0, context_noise=0,
+                         image_or_video_shape=[1, F, C, H, W],
+                         denoising_loss_type="flow",
+                         independent_first_frame=False,
+                         same_step_across_blocks=True, ts_schedule=False)
+
+    def make():
+        return ScoreDistillationTrainer(
+            cfg_args, shard_params(gen, mesh, min_size=1024),
+            shard_params(fake, mesh, min_size=1024),
+            shard_params(real, mesh, min_size=1024),
+            WAN_TINY, WAN_TINY, WAN_TINY, ctx, mesh=mesh)
+
+    tr = make()
+    sharded_before = [x for x in jax.tree.leaves(tr.state.generator)
+                      if not x.sharding.is_fully_replicated]
+    assert sharded_before, "fixture params not actually FSDP-sharded"
+    tr.state.step = 7
+    path = str(tmp_path / "sharded_ckpt")
+    tr.save_state(path)
+
+    tr2 = make()
+    # clobber so a silent no-op restore can't pass
+    tr2.state.generator = jax.tree.map(jnp.zeros_like, tr2.state.generator)
+    tr2.load_state(path)
+    assert tr2.state.step == 7
+    restored = jax.tree.leaves(tr2.state.generator)
+    original = jax.tree.leaves(tr.state.generator)
+    for a, b in zip(original, restored):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert any(not x.sharding.is_fully_replicated for x in restored), \
+        "restore dropped the FSDP shardings"
