@@ -29,9 +29,10 @@ def main():
                         help="int8 quantized linears (the reference FP8 "
                              "toggle, demo.py:277-283)")
     parser.add_argument("--quantize_mode", type=str, default=None,
-                        choices=["w8a8", "w8"],
+                        choices=["w8a8", "w8", "fp8"],
                         help="w8a8 = dynamic-activation int8 on the MXU "
                              "int8 path (2.17x); w8 = weight-only; "
+                             "fp8 = dynamic e4m3 (v6e MXU); "
                              "default = the detected chip's registry "
                              "entry (ops/chip.py)")
     parser.add_argument("--taehv", action="store_true",

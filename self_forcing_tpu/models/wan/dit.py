@@ -50,10 +50,11 @@ LOG2E = 1.4426950408889634  # offset-free softmax works in base 2
 
 def linear(p: Params, x: jax.Array) -> jax.Array:
     """x @ w + b, with optional fused LoRA delta (utils/lora.py:12-50) and
-    optional int8 quantization (ops/quant.py — the demo FP8 toggle,
-    demo.py:277-283): 'w_q' = weight-only, 'w_qa' = dynamic-activation
-    W8A8 on the MXU's native int8 path (2.17x bf16 measured on v5e)."""
-    if "w_q" in p or "w_qa" in p:
+    optional quantization (ops/quant.py — the demo FP8 toggle,
+    demo.py:277-283): 'w_q' = weight-only int8, 'w_qa' = dynamic-
+    activation W8A8 on the MXU's native int8 path (2.17x bf16 measured
+    on v5e), 'w_f8' = dynamic-activation e4m3 fp8 (v6e-native)."""
+    if "w_q" in p or "w_qa" in p or "w_f8" in p:
         from self_forcing_tpu.ops.quant import quantized_linear
         return quantized_linear(p, x)
     out = x @ p["w"]

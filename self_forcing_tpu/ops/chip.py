@@ -16,8 +16,10 @@ unit ratios (PERF.md "chip generations"):
   (1836 int8 TOP/s peak vs v5e's 394 at similar VPU width), so the
   full-int8 demo attention ('int8', tile-bounded) is expected to beat
   int8qk — its per-score-element dequant/round chain stops being the
-  wall.  fp8 matmuls (v6e-new) would lift the W8A8 linears further;
-  the Pallas matmuls keep int8 until an fp8 kernel lands.
+  wall.  The linears flip to fp8 e4m3 (ops/quant.py 'fp8' mode,
+  v6e-new MXU dtype): same ~2x-over-bf16 peak as int8 but with an f32
+  accumulator straight out of the dot — no int32-epilogue Pallas
+  kernel needed, and no int round/clamp error term.
 
 ``chip_defaults()`` only picks DEFAULTS — every knob stays explicitly
 overridable (WanConfig.attn_quant / attn_softmax, the demo server's
@@ -44,12 +46,13 @@ REGISTRY: dict[str, dict] = {
         "demo_attn_quant": "int8qk",
         "matmul_quant": "w8a8",
     },
-    # v6e: 2x int8:VPU ratio — full-int8 attention expected to win
-    # (unverified projection; flip back via config if it measures worse)
+    # v6e: 2x int8:VPU ratio — full-int8 attention expected to win; fp8
+    # MXU is new on v6e — the linears take the no-custom-kernel e4m3
+    # path (unverified projections; flip back via config if worse)
     "TPU v6": {
         "attn_softmax": "free",
         "demo_attn_quant": "int8",
-        "matmul_quant": "w8a8",
+        "matmul_quant": "fp8",
     },
 }
 

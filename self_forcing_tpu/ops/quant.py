@@ -1,18 +1,28 @@
-"""Int8 quantized linears — the demo's FP8-linear speed toggle
-(reference torchao quantize_ Float8DynamicActivationFloat8WeightConfig,
+"""Quantized linears — the demo's FP8-linear speed toggle (reference
+torchao quantize_ Float8DynamicActivationFloat8WeightConfig,
 demo.py:277-283), realized TPU-natively.
 
-Two modes, both symmetric:
+Three modes, all symmetric:
 
 - ``w8`` (weight-only): int8 weights per-output-channel, activations stay
   bf16; the matmul runs as int8-rhs dot_general with the dequant fused in.
   No MXU speedup (the int8 MXU path needs BOTH operands int8) — it is a
   memory-footprint option.
-- ``w8a8`` (dynamic activation + weight, default): activations quantized
-  per-token at runtime, weights per-output-channel; the matmul runs
-  int8 x int8 -> int32 on the MXU's native int8 path.  Measured on v5e:
-  206 TOP/s at [4608,1536]x[1536,1536] vs 95 TF/s for the same bf16
+- ``w8a8`` (dynamic activation + weight, default on v5e): activations
+  quantized per-token at runtime, weights per-output-channel; the matmul
+  runs int8 x int8 -> int32 on the MXU's native int8 path.  Measured on
+  v5e: 206 TOP/s at [4608,1536]x[1536,1536] vs 95 TF/s for the same bf16
   matmul (2.17x) — mirroring the 2x int8:bf16 peak ratio (394:197).
+- ``fp8`` (dynamic e4m3 activation + e4m3 weight — the literal torchao
+  analog, v6e chip default in ops/chip.py): both operands cast to
+  float8_e4m3fn with the same per-token / per-output-channel scale
+  structure as w8a8, matmul via ``dot_general(..., f32)`` which XLA
+  lowers onto the v6e MXU's native fp8 path (~2x bf16 peak; v5e has no
+  fp8 MXU — there XLA upcasts and this mode is numerics-only).  fp8
+  needs no Pallas epilogue kernel: the f32 accumulator comes out of the
+  dot directly, so the scale/bias epilogue is an ordinary XLA fusion
+  (the int8 kernels exist because the int32 accumulator round-trip is
+  what was expensive, pallas_matmul.py:1-16).
 """
 from __future__ import annotations
 
@@ -31,8 +41,20 @@ def _quantize_weight(w: jax.Array, axis: int):
     return w_q, scale
 
 
+FP8_MAX = 448.0  # float8_e4m3fn largest finite
+
+
+def _quantize_weight_fp8(w: jax.Array, axis: int):
+    """Per-output-channel symmetric e4m3: returns (w_f8, scale f32)."""
+    wf = w.astype(jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(wf), axis=axis) / FP8_MAX, 1e-8)
+    w_f8 = (wf / jnp.expand_dims(scale, axis)).astype(jnp.float8_e4m3fn)
+    return w_f8, scale
+
+
 def quantize_linear_params(p: Params, mode: str = "w8a8") -> Params:
-    """{'w': [in, out] float} -> {'w_q'|'w_qa': int8, 'w_scale': f32, ...}.
+    """{'w': [in, out] float} -> {'w_q'|'w_qa': int8 | 'w_f8': e4m3,
+    'w_scale': f32, ...}.
 
     Stacked-block weights [L, in, out] are quantized along axis 1.
     """
@@ -44,8 +66,11 @@ def quantize_linear_params(p: Params, mode: str = "w8a8") -> Params:
                          "params; merge the adapter first")
     w = p["w"]
     axis = w.ndim - 2
-    w_q, scale = _quantize_weight(w, axis)
     out = {k: v for k, v in p.items() if k != "w"}
+    if mode == "fp8":
+        out["w_f8"], out["w_scale"] = _quantize_weight_fp8(w, axis)
+        return out
+    w_q, scale = _quantize_weight(w, axis)
     out["w_qa" if mode == "w8a8" else "w_q"] = w_q
     out["w_scale"] = scale
     return out
@@ -60,6 +85,14 @@ def quantize_activations(x: jax.Array):
     return x_q, s
 
 
+def quantize_activations_fp8(x: jax.Array):
+    """Dynamic per-token symmetric e4m3: (x_f8, scale[..., 1])."""
+    xf = x.astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / FP8_MAX,
+                    1e-8)
+    return (xf / s).astype(jnp.float8_e4m3fn), s
+
+
 def _use_pallas() -> bool:
     from self_forcing_tpu.ops import attention
     return attention._use_pallas()
@@ -71,7 +104,20 @@ def quantized_linear(p: Params, x: jax.Array) -> jax.Array:
     w8:   x @ dequant(w_q) with the dequant fused: (x @ w_q) * scale.
     w8a8: quant(x) @ w_qa in int8 (int32 accum), scaled by s_x * w_scale;
           on TPU via the Pallas fused-epilogue kernel (ops/pallas_matmul).
+    fp8:  quant_fp8(x) @ w_f8 via dot_general(e4m3, e4m3) -> f32 — the
+          v6e-native path (XLA fuses the scale/bias epilogue; no custom
+          kernel needed, see module docstring).
     """
+    if "w_f8" in p:
+        x_f8, s_x = quantize_activations_fp8(x)
+        y = jax.lax.dot_general(
+            x_f8, p["w_f8"],
+            (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        y = y * (s_x * p["w_scale"])
+        if "b" in p:
+            y = y + p["b"].astype(jnp.float32)
+        return y.astype(x.dtype)
     if "w_qa" in p:
         lead = x.shape[:-1]
         K = x.shape[-1]

@@ -86,8 +86,8 @@ def _block_leaf_spec(path: tuple[str, ...], axis: str) -> P:
 def tp_param_specs(params: dict, axis: str = AXIS):
     """PartitionSpec pytree for the DiT params under tensor parallelism.
 
-    Raises on quantized params: the int8 W8A8 leaves ('w_q'/'w_qa') take
-    code paths (quantized_linear / quantized_ffn) that bypass the TP psums
+    Raises on quantized params: the quantized leaves ('w_q'/'w_qa'/'w_f8')
+    take code paths (quantized_linear / quantized_ffn) that bypass the TP psums
     in dit._out_linear — sharding them would produce silently wrong
     activations.  Quantize-after-TP is a future extension; bf16 weights
     are the deployment path TP exists for (14B does not fit one chip).
@@ -95,7 +95,7 @@ def tp_param_specs(params: dict, axis: str = AXIS):
     def spec(path, _x):
         keys = tuple(getattr(p, "key", getattr(p, "name", None))
                      for p in path)
-        if any(k in ("w_q", "w_qa", "w_scale") for k in keys):
+        if any(k in ("w_q", "w_qa", "w_f8", "w_scale") for k in keys):
             raise ValueError(
                 f"tensor parallelism does not support quantized params "
                 f"(leaf {'/'.join(map(str, keys))}); quantize is a "

@@ -102,9 +102,11 @@ def test_quantized_linear_accuracy():
          "b": jnp.zeros((512,))}
     x = jax.random.normal(jax.random.fold_in(k, 1), (4, 256))
     ref = x @ p["w"] + p["b"]
-    for mode, key, tol in [("w8", "w_q", 0.02), ("w8a8", "w_qa", 0.03)]:
+    for mode, key, dt, tol in [("w8", "w_q", jnp.int8, 0.02),
+                               ("w8a8", "w_qa", jnp.int8, 0.03),
+                               ("fp8", "w_f8", jnp.float8_e4m3fn, 0.06)]:
         q = quantize_linear_params(p, mode=mode)
-        assert q[key].dtype == jnp.int8
+        assert q[key].dtype == dt
         out = quantized_linear(q, x)
         err = float(jnp.abs(out - ref).max() / jnp.abs(ref).max())
         assert err < tol, (mode, err)
@@ -126,7 +128,7 @@ def test_quantized_dit_forward():
     ctx = jax.random.normal(jax.random.PRNGKey(2), (1, 8, WAN_TINY.text_dim))
     ref = dit.forward_train(params, WAN_TINY, x, jnp.full((1, 2), 500.0),
                             ctx, None, rope, remat=False)
-    for mode, key in [("w8", "w_q"), ("w8a8", "w_qa")]:
+    for mode, key in [("w8", "w_q"), ("w8a8", "w_qa"), ("fp8", "w_f8")]:
         qp = quantize_dit_params(params, min_dim=64, mode=mode)
         assert key in qp["blocks"]["ffn"]["fc1"]
         out = dit.forward_train(qp, WAN_TINY, x, jnp.full((1, 2), 500.0),
