@@ -226,12 +226,14 @@ def main():
         from self_forcing_tpu.models import taehv as taehv_mod
         from self_forcing_tpu.ops.quant import quantize_dit_params
 
-        qp = quantize_dit_params(params, mode="w8a8")
-        # demo attention: chip-keyed variant (ops/chip.py; on v5e the
-        # int8-QK/bf16-PV free-softmax kernel — 5.92 vs 6.21 ms/call at
-        # the full window, ~1.5% output noise, the same quality class as
-        # the int8 linears)
+        # demo attention AND linears: chip-keyed variants (ops/chip.py; on
+        # v5e int8qk attention + w8a8 linears — measured best; a v6e run
+        # measures the registry's fp8 default instead of a stale
+        # hardcode).  Override via SF_TPU_BENCH_QUANT for A/Bs.
         from self_forcing_tpu.ops.chip import chip_defaults
+        quant_mode = os.environ.get("SF_TPU_BENCH_QUANT",
+                                    chip_defaults()["matmul_quant"])
+        qp = quantize_dit_params(params, mode=quant_mode)
         cfg_q = dataclasses.replace(
             cfg, attn_quant=chip_defaults()["demo_attn_quant"])
         ctx_kv_q = dit.precompute_context(qp, cfg_q, context)

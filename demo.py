@@ -26,8 +26,9 @@ def main():
     parser.add_argument("--port", type=int, default=5001)
     parser.add_argument("--host", type=str, default="0.0.0.0")
     parser.add_argument("--quantize", action="store_true",
-                        help="int8 quantized linears (the reference FP8 "
-                             "toggle, demo.py:277-283)")
+                        help="quantized linears (mode per --quantize_mode "
+                             "or the chip registry, ops/chip.py; the "
+                             "reference FP8 toggle, demo.py:277-283)")
     parser.add_argument("--quantize_mode", type=str, default=None,
                         choices=["w8a8", "w8", "fp8"],
                         help="w8a8 = dynamic-activation int8 on the MXU "

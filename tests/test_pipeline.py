@@ -194,15 +194,20 @@ def test_inference_stream_interleave_cache_reuse():
                                rtol=1e-5, atol=1e-5)
 
 
-def test_w8a8_compounded_error_bound():
-    """End-to-end compounded quantization error (VERDICT r3 item 2): the
-    W8A8 int8 stack through ALL layers x every denoise forward x the
-    re-noise chain of a streamed 3-block video stays within a small
-    relative error of the parity rollout — the sampler's x0-reprediction
-    CONTRACTS per-forward perturbations instead of compounding them
-    (measured ~4e-4 rel at tiny geometry; per-op error is ~10x larger).
-    The int8qk attention compound is measured on real TPU
-    (scripts/bench_quality.py; PERF.md round-4 table)."""
+@pytest.mark.parametrize("mode,bound", [("w8a8", 5e-3), ("fp8", 1e-2)])
+def test_quantized_compounded_error_bound(mode, bound):
+    """End-to-end compounded quantization error (VERDICT r3 item 2 /
+    r4 next #4): the quantized-linear stack through ALL layers x every
+    denoise forward x the re-noise chain of a streamed 3-block video
+    stays within a small relative error of the parity rollout — the
+    sampler's x0-reprediction CONTRACTS per-forward perturbations
+    instead of compounding them (measured ~4e-4 rel for w8a8 at tiny
+    geometry; per-op error is ~10x larger).  The fp8 e4m3 mode (the
+    literal torchao-FP8 analog the v6e registry defaults to, reference
+    demo.py:277-283) gets the same pin — on CPU/v5e XLA upcasts the
+    e4m3 dot, so the test exercises exactly the quantize/dequantize
+    numerics v6e would see.  The int8qk attention compound is measured
+    on real TPU (scripts/bench_quality.py; PERF.md round-4 table)."""
     import dataclasses
     from self_forcing_tpu.models.wan import dit
     from self_forcing_tpu.models.wan.configs import WAN_TINY
@@ -227,19 +232,19 @@ def test_w8a8_compounded_error_bound():
                             (B, 8, cfg.text_dim), jnp.float32)
     outs = {}
     for name, p in [("parity", params),
-                    ("w8a8", quantize_dit_params(params, min_dim=64,
-                                                 mode="w8a8"))]:
+                    ("quant", quantize_dit_params(params, min_dim=64,
+                                                  mode=mode))]:
         pipe = CausalInferencePipeline(args, p, cfg)
         chunks = [np.asarray(c)
                   for c in pipe.stream(noise, ctx, rng=jax.random.PRNGKey(7))]
         outs[name] = np.concatenate(chunks, axis=1)
-    d = np.abs(outs["w8a8"] - outs["parity"])
+    d = np.abs(outs["quant"] - outs["parity"])
     denom = np.abs(outs["parity"]).mean()
-    assert d.mean() / denom < 5e-3, d.mean() / denom
+    assert d.mean() / denom < bound, d.mean() / denom
     # no frame drifts worse than the bound either (later frames see
     # quantized context through the KV cache)
     per_frame = d.mean(axis=(0, 2, 3, 4)) / denom
-    assert per_frame.max() < 5e-3, per_frame
+    assert per_frame.max() < bound, per_frame
 
 
 @pytest.mark.slow
