@@ -1,0 +1,88 @@
+"""Wan-14B fit evidence: AOT-compile the real sharded programs at true
+14B dims against deviceless v5e topologies and record XLA's per-device
+memory analysis (parallel/aot.py; VERDICT r4 next #2).
+
+Writes one JSON artifact (default AOT14B.json at the repo root) with:
+- ``tp_sampler``: the TP=4 chunk-wise-AR denoise block on a v5e-4 —
+  the 14B single-host streaming deployment (parallel/tensor.py);
+- ``sp_dmd``: the DMD generator step with a 1.3B student + frozen 14B
+  ring-attention sp=4 teacher on a v5e-16 (fsdp=4 x sp=4) — the
+  pose-distillation training deployment (reference
+  pose_distillation_paths.md; xdit_context_parallel.py:66-184);
+- ``v5e8_state_accounting``: the exact per-shard byte refutation of the
+  same training step on a v5e-8 (fsdp=2 x sp=4): the teacher alone is
+  28 GB / fsdp=2 = 14 GB/device — over the budget before the student,
+  optimizer state, or a single activation.  (Sharding teacher params
+  over 'sp' too would need per-layer all-gathers inside the sp-manual
+  shard_map — ZeRO-3-over-sp — noted as the v5e-8 path if ever needed.)
+
+Usage: python scripts/aot_14b_fit.py [--out AOT14B.json]
+No TPU needed — the PJRT TPU compiler runs locally against the topology.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="AOT14B.json")
+    ap.add_argument("--skip_sp_dmd", action="store_true",
+                    help="TP sampler only (the sp-dmd compile is large)")
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_platforms", "cpu")  # topology compile is
+    # deviceless; never wake the axon tunnel
+    import numpy as np
+
+    from self_forcing_tpu.models.wan import dit
+    from self_forcing_tpu.models.wan.configs import WAN_1_3B, WAN_14B
+    from self_forcing_tpu.parallel import aot
+    from self_forcing_tpu.parallel.mesh import create_mesh, fsdp_shardings
+
+    out = {"tp_sampler": aot.tp_sampler_fit(tp=4, topology_name="v5e:2x2")}
+    print(json.dumps(out["tp_sampler"], indent=1))
+
+    if not args.skip_sp_dmd:
+        out["sp_dmd"] = aot.sp_dmd_fit(WAN_1_3B, topology_name="v5e:4x4",
+                                       fsdp=4, sp=4)
+        print(json.dumps(out["sp_dmd"], indent=1))
+
+    # v5e-8 refutation: exact per-shard bytes of the frozen teacher under
+    # the fsdp=2 x sp=4 mesh (teacher params cannot shard over the
+    # sp-manual axis — sequence.py in_specs replicate them over 'sp')
+    import jax.numpy as jnp
+    topo = aot.get_topology("v5e:2x4")
+    mesh8 = create_mesh(dp=1, fsdp=2, sp=4, devices=list(np.array(
+        topo.devices)))
+    real_shapes = jax.eval_shape(
+        lambda: dit.init_params(jax.random.PRNGKey(0), WAN_14B,
+                                jnp.bfloat16, causal=False))
+    real_s = jax.tree_util.tree_map(
+        lambda s, sh: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=sh),
+        real_shapes, fsdp_shardings(real_shapes, mesh8))
+    teacher8 = aot.per_device_bytes(real_s)
+    out["v5e8_state_accounting"] = {
+        "teacher_bytes_per_device_fsdp2": teacher8,
+        "hbm_limit_bytes": aot.hbm_limit("v5e:2x4"),
+        "fits": bool(teacher8 <= aot.hbm_limit("v5e:2x4")),
+        "note": "teacher alone at fsdp=2 — v5e-8 sp=4 training is "
+                "refuted by byte accounting; v5e-16 (sp_dmd above) is "
+                "the minimal sp=4 topology without ZeRO-3-over-sp",
+    }
+    print(json.dumps(out["v5e8_state_accounting"], indent=1))
+
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -180,23 +180,101 @@ def decode_video(params: Params, x: jax.Array,
     return out
 
 
-class TAEHVStreamer:
-    """Streaming chunk decode with latent overlap (demo.py:423-435):
-    keep the last `overlap` latent frames, re-decode [overlap | new] and
-    drop the overlap's pixels."""
+def decode_video_stateful(params: Params, x: jax.Array,
+                          state: Params | None = None,
+                          trim: bool = True
+                          ) -> tuple[jax.Array, Params]:
+    """Exact streaming decode: latents [N, T, 16, H, W] -> (RGB frames,
+    carry state).
 
-    def __init__(self, params: Params, overlap: int = 3, decode_fn=None):
+    The decoder's ONLY temporal mixing is the MemBlocks' one-frame
+    lookback (taehv.py:25-34) — TGrow/upsample/convs are per-frame — so
+    carrying each mem layer's last input frame (9 small tensors) makes
+    chunked decoding EXACTLY equal to decoding the whole video at once:
+    no 3-latent overlap re-decode (the reference demo's scheme,
+    demo.py:423-435, costs 2x the decode FLOPs per steady chunk AND is
+    only approximate — its re-decoded tail restarts from zero memory).
+
+    ``state=None`` = first chunk (zero memory + trim the 3 warmup
+    frames, like the one-shot decode); pass the returned state for the
+    following chunks with trim=False.
+    """
+    N, T, C, H, W = x.shape
+    h = x.transpose(0, 1, 3, 4, 2)  # channels last [N, T, H, W, C]
+    new_state: Params = {}
+
+    for kind, key, extra in _DECODER_SPEC:
+        if kind == "clamp":
+            h = jnp.tanh(h / 3.0) * 3.0
+        elif kind == "relu":
+            h = jax.nn.relu(h)
+        elif kind == "conv":
+            N_, T_ = h.shape[:2]
+            flat = h.reshape((N_ * T_,) + h.shape[2:])
+            flat = _conv(params[key], flat)
+            h = flat.reshape((N_, T_) + flat.shape[1:])
+        elif kind == "mem":
+            N_, T_ = h.shape[:2]
+            if state is None:
+                mem = _shift_mem(h)
+            else:
+                mem = jnp.concatenate(
+                    [state[key].astype(h.dtype), h[:, :-1]], axis=1)
+            new_state[key] = h[:, -1:]
+            flat = h.reshape((N_ * T_,) + h.shape[2:])
+            mflat = mem.reshape(flat.shape)
+            flat = _memblock(params[key], flat, mflat)
+            h = flat.reshape((N_, T_) + flat.shape[1:])
+        elif kind == "up":
+            h = jnp.repeat(jnp.repeat(h, extra, axis=2), extra, axis=3)
+        elif kind == "tgrow":
+            N_, T_ = h.shape[:2]
+            C_ = h.shape[-1]
+            flat = h.reshape((N_ * T_,) + h.shape[2:])
+            y = _conv1x1(params[key], flat)
+            Hh, Ww = y.shape[1:3]
+            y = y.reshape(N_, T_, Hh, Ww, extra, C_)
+            y = y.transpose(0, 1, 4, 2, 3, 5)
+            h = y.reshape(N_, T_ * extra, Hh, Ww, C_)
+    out = h.transpose(0, 1, 4, 2, 3)
+    if trim:
+        out = out[:, FRAMES_TO_TRIM:]
+    return out, new_state
+
+
+class TAEHVStreamer:
+    """Streaming chunk decode.
+
+    Default: the EXACT stateful path (decode_video_stateful — half the
+    decode FLOPs of the reference demo's 3-latent overlap re-decode and
+    bit-equal to a whole-video decode).  ``stateful=False`` reproduces
+    the reference's overlap scheme (demo.py:423-435): keep the last
+    `overlap` latent frames, re-decode [overlap | new] and drop the
+    overlap's pixels."""
+
+    def __init__(self, params: Params, overlap: int = 3, decode_fn=None,
+                 stateful: bool = True):
         self.params = params
         self.overlap = overlap
+        self.stateful = stateful
         self._tail = None
+        self._state = None
         # injectable decode (e.g. a jitted decode_video) — same signature
         self._decode_fn = decode_fn or decode_video
+        self._stateful_fn = jax.jit(decode_video_stateful,
+                                    static_argnames=("trim",))
 
     def reset(self):
         self._tail = None
+        self._state = None
 
     def decode_chunk(self, latents: jax.Array) -> jax.Array:
         """[N, T_new, 16, h, w] -> pixel frames for the new latents."""
+        if self.stateful:
+            out, self._state = self._stateful_fn(
+                self.params, latents, self._state,
+                trim=self._state is None)
+            return out
         if self._tail is None:
             out = self._decode_fn(self.params, latents, trim=True)
             emitted_new = out

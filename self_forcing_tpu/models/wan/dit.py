@@ -1186,10 +1186,19 @@ def forward_inference(params: Params, cfg: WanConfig, x: jax.Array,
                       cache_start_frame: jax.Array | None = None,
                       static_kv_hi: int | None = None,
                       write_cache: bool = True,
-                      assume_compacted: bool = False
+                      assume_compacted: bool = False,
+                      remat: bool = False
                       ) -> tuple[jax.Array, KVCache]:
     """KV-cached streaming forward (CausalWanModel._forward_inference,
     causal_model.py:725-893).
+
+    ``remat=True``: per-layer gradient checkpointing (nothing_saveable)
+    on the layer scan — REQUIRED for with-grad forwards at production
+    geometry (the training rollout's exit step): without it the scan
+    saves every layer's attention internals for backward (~5.4 GB fp32
+    per 21-frame block at 1.3B — 37.7 GB across a 7-block rollout,
+    measured by the 14B AOT compile, parallel/aot.py).  Inference-only
+    callers keep the default (no recompute cost).
 
     x: [B, F_blk, C, H, W] — the current chunk; t: [B, F_blk];
     ``ctx_kv`` from :func:`precompute_context`; ``start_frame``: i32 scalar,
@@ -1289,7 +1298,12 @@ def forward_inference(params: Params, cfg: WanConfig, x: jax.Array,
         else:
             xs = (params["blocks"], layer_ids, ctx_kv["k_txt"],
                   ctx_kv["v_txt"])
-        tokens, ys = jax.lax.scan(scan_body, tokens, xs)
+        body = scan_body
+        if remat:
+            body = jax.checkpoint(
+                scan_body, prevent_cse=False,
+                policy=jax.checkpoint_policies.nothing_saveable)
+        tokens, ys = jax.lax.scan(body, tokens, xs)
         new_kmax = cache.kmax
         if write_cache:
             if len(ys) == 3:

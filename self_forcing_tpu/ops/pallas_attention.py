@@ -38,6 +38,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import Optional
 
 import jax
@@ -1106,6 +1107,16 @@ def decode_attention_fresh_pallas(q: jax.Array, k_cache: jax.Array,
     (measured ~4.7 ms/block per excess buffer tile at 1.3B)."""
     D = q.shape[-1] if heads_packed is None else q.shape[-1] // heads_packed
     scale = (D ** -0.5) if scale is None else scale
+    # A/B sweep overrides (scripts/bench_windowed.py & friends): the tile
+    # heuristics below were swept at the FULL 32760-token window; these
+    # let the e2e benches re-sweep at other geometries (e.g. the windowed
+    # 20k-token live set) without forking the call chain.
+    _tq_env = os.environ.get("SF_TPU_ATTN_TQ")
+    _tk_env = os.environ.get("SF_TPU_ATTN_TK")
+    if _tq_env:
+        tq = int(_tq_env)
+    if _tk_env:
+        tk = int(_tk_env)
     if softmax in ("free", "free_noclamp") \
             and quant in (None, "int8qk") and tq == 512:
         # free mode drops the running-max scratch, which buys VMEM for
@@ -1114,7 +1125,11 @@ def decode_attention_fresh_pallas(q: jax.Array, k_cache: jax.Array,
         # the production heads-packed pipeline layout runs out of scoped
         # VMEM at 936 (16.12M > 16M) — 780 (qt=6 at Lq=4680) is the
         # largest tile that fits there.  PERF.md.
-        tq = 800
+        # The WINDOWED path's frame-aligned cache tiles (tk_align ->
+        # tk = frame_seqlen = 1560 < 2048) leave more VMEM: tq=936 fits
+        # AND wins there (773 -> 765 ms/block e2e, round-5 sweep at the
+        # 12f+sink windowed geometry).
+        tq = 800 if tk_align is None else 960
     # exact-fit tiles: pick the tile count from the requested size, then
     # shrink the tile to cover the length with minimal padding (e.g.
     # Lq=4680 with tq=512 -> 10 tiles of 472 rows: 0.9% pad instead of

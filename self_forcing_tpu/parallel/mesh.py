@@ -102,3 +102,43 @@ def data_sharding(mesh: Mesh, *batch_axes: str) -> NamedSharding:
     divides) — the DistributedSampler equivalent (inference.py:96-99)."""
     axes = batch_axes or (("dp", "fsdp"),)
     return NamedSharding(mesh, P(*axes))
+
+
+def rollout_cache_constraint(mesh: Mesh):
+    """Activation-sharding hook for the training rollout's KV cache
+    (pipelines/self_forcing_training.py): constrain the folded
+    [L, B*N, S, D] cache over the mesh so the per-block cache residuals
+    the with-grad backward must keep (values are required — the exit
+    step's attention VJP reads them) are sharded instead of replicated.
+    At 1.3B/21-frame geometry one cache is 6 GB bf16 and the 7-block
+    backward keeps all seven — replicated they alone bust a 16 GB chip;
+    sharded 16-way they are ~2.6 GB total (parallel/aot.py sp_dmd_fit).
+
+    Dims: B*N over ('dp','sp') (batch rides dp; heads ride sp — both
+    GSPMD-auto axes in the training step), S over 'fsdp'.  Falls back
+    per-dim to fewer axes / replicated when sizes don't divide.
+    """
+    import dataclasses as _dc
+
+    import jax as _jax
+
+    def _axes_for(size: int, *cands):
+        for axes in cands:
+            n = int(np.prod([mesh.shape[a] for a in axes]))
+            if size % n == 0:
+                return axes if len(axes) > 1 else axes[0]
+        return None
+
+    def constrain(cache):
+        L, BN, S, D = cache.k.shape
+        spec = P(None,
+                 _axes_for(BN, ("dp", "sp"), ("dp",)),
+                 _axes_for(S, ("fsdp",)),
+                 None)
+        sh = NamedSharding(mesh, spec)
+        return _dc.replace(
+            cache,
+            k=_jax.lax.with_sharding_constraint(cache.k, sh),
+            v=_jax.lax.with_sharding_constraint(cache.v, sh))
+
+    return constrain

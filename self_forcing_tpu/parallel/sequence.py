@@ -32,7 +32,8 @@ from self_forcing_tpu.models.wan.rope import RopeTables
 
 def ring_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                    axis_name: str, scale: Optional[float] = None,
-                   kv_valid: Optional[int] = None) -> jax.Array:
+                   kv_valid: Optional[int] = None,
+                   kv_chunk: int = 2048) -> jax.Array:
     """Bidirectional ring attention inside shard_map.
 
     q/k/v: [B, L_loc, N, D] local shards; full attention over the global
@@ -43,6 +44,14 @@ def ring_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     >= kv_valid are masked out (sequence padding to an sp multiple; the
     reference likewise rounds seq_len up to the sp world size,
     wan/text2video.py:160-162).
+
+    ``kv_chunk``: each ring step accumulates its resident KV in chunks of
+    ~this many tokens (online softmax — exact up to fp reassociation).
+    Without it the step materializes the full [B, N, L_loc, L_loc] f32
+    score matrix: 3.3 GB per buffered step at the 14B teacher's
+    21-frame/sp=4 geometry — measured as the largest allocation of the
+    DMD-step AOT compile (parallel/aot.py); chunked it is ~0.6 GB
+    transient.
     """
     d = q.shape[-1]
     scale = (d ** -0.5) if scale is None else scale
@@ -57,22 +66,39 @@ def ring_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     kc, vc = k, v
     perm = [(i, (i + 1) % sp) for i in range(sp)]
 
+    Lk = k.shape[1]
+    cw = max((c for c in range(1, min(kv_chunk, Lk) + 1) if Lk % c == 0),
+             default=Lk)
+    nc = Lk // cw
+
     for step in range(sp):
-        kf = jnp.swapaxes(kc, 1, 2).astype(jnp.float32)
-        vf = jnp.swapaxes(vc, 1, 2).astype(jnp.float32)
-        s = jnp.einsum("bnqd,bnkd->bnqk", qf, kf)
-        if kv_valid is not None:
-            # after `step` rotations device idx holds the KV that
-            # originated on device (idx - step) mod sp
-            src = (idx - step) % sp
-            col = src * kc.shape[1] + jnp.arange(kc.shape[1])
-            s = jnp.where(col[None, None, None, :] < kv_valid, s, -1e30)
-        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        corr = jnp.exp(m - m_new)
-        l = l * corr + jnp.sum(p, axis=-1, keepdims=True)
-        o = o * corr + jnp.einsum("bnqk,bnkd->bnqd", p, vf)
-        m = m_new
+        src = (idx - step) % sp  # after `step` rotations device idx
+        # holds the KV that originated on device (idx - step) mod sp
+
+        def chunk_body(carry, xs, src=src):
+            m, l, o = carry
+            kci, vci, ci = xs                       # [B, cw, N, D]
+            kf = jnp.swapaxes(kci, 1, 2).astype(jnp.float32)
+            vf = jnp.swapaxes(vci, 1, 2).astype(jnp.float32)
+            s = jnp.einsum("bnqd,bnkd->bnqk", qf, kf)
+            if kv_valid is not None:
+                col = src * Lk + ci * cw + jnp.arange(cw)
+                s = jnp.where(col[None, None, None, :] < kv_valid, s,
+                              -1e30)
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            corr = jnp.exp(m - m_new)
+            l = l * corr + jnp.sum(p, axis=-1, keepdims=True)
+            o = o * corr + jnp.einsum("bnqk,bnkd->bnqd", p, vf)
+            return (m_new, l, o), None
+
+        if nc == 1:
+            (m, l, o), _ = chunk_body((m, l, o), (kc, vc, jnp.int32(0)))
+        else:
+            xs = (kc.reshape(B, nc, cw, N, D).swapaxes(0, 1),
+                  vc.reshape(B, nc, cw, N, D).swapaxes(0, 1),
+                  jnp.arange(nc, dtype=jnp.int32))
+            (m, l, o), _ = jax.lax.scan(chunk_body, (m, l, o), xs)
         if step < sp - 1:  # the last rotation's result was never read
             kc = jax.lax.ppermute(kc, axis_name, perm)
             vc = jax.lax.ppermute(vc, axis_name, perm)
@@ -180,5 +206,17 @@ def forward_train_sp(params, cfg: WanConfig, x: jax.Array, t: jax.Array,
         out_specs=pspec,
         axis_names={axis_name},
         )
-    out = fn(*args)
+    # Trace with the XLA attention path: Pallas kernels carry no vma
+    # annotation, which partial-auto shard_map's vma checking rejects
+    # (and check_vma=False is incompatible with partial-auto: it
+    # re-infers out_specs over ALL mesh axes).  Inside this leg only the
+    # 512-token cross-attention would have dispatched Pallas — the ring
+    # self-attention is XLA math either way.
+    from self_forcing_tpu.ops import attention as _attn
+    prev = _attn._ATTENTION_BACKEND
+    _attn.set_attention_backend("xla")
+    try:
+        out = fn(*args)
+    finally:
+        _attn._ATTENTION_BACKEND = prev
     return out[:, :F] if F_pad != F else out

@@ -64,9 +64,22 @@ def _denoise_to_exit(params, cfg: WanConfig, scheduler, rope, ctx_kv,
         # afterwards rewrites the block's cache slots — the intermediate
         # writes are dead stores (same as the inference sampler).
         if is_exit and with_grad:
-            flow, _ = dit.forward_inference(
-                params, cfg, noisy, t, ctx_kv, cache, start_frame, rope,
-                y=y_blk, add_condition=cond_blk, write_cache=False)
+            # double remat (whole-forward + per-layer inside): without it
+            # the block scan saves every exit forward's attention
+            # internals — 37.7 GB fp32 at full 1.3B geometry (measured by
+            # the 14B AOT compile, parallel/aot.py).  The backward now
+            # replays the forward from (params, noisy) + the closed-over
+            # cache/ctx_kv values, layer by layer.
+            def _fwd(p, nz):
+                flow, _ = dit.forward_inference(
+                    p, cfg, nz, t, ctx_kv, cache, start_frame, rope,
+                    y=y_blk, add_condition=cond_blk, write_cache=False,
+                    remat=True)
+                return flow
+            flow = jax.checkpoint(
+                _fwd,
+                policy=jax.checkpoint_policies.nothing_saveable)(params,
+                                                                 noisy)
             x0 = scheduler.convert_flow_pred_to_x0(
                 flow.reshape(B * nb, C, H, W),
                 noisy.reshape(B * nb, C, H, W),
@@ -100,9 +113,15 @@ def _rollout_blocks(params, cfg: WanConfig, scheduler: FlowMatchScheduler,
                     context_noise: float, num_blocks: int,
                     with_grad: bool, start_frame0: jax.Array,
                     y: jax.Array | None = None,
-                    add_condition: jax.Array | None = None):
+                    add_condition: jax.Array | None = None,
+                    act_shard=None):
     """Scan over blocks, denoising steps[0..exit] per block; the exit-step
     forward carries gradient iff ``with_grad``.
+
+    ``act_shard``: optional callable KVCache -> KVCache applying sharding
+    constraints to the scan-carried cache (parallel/mesh.py
+    rollout_cache_constraint) — the with-grad backward keeps one cache
+    residual per block, which must be sharded at production scale.
 
     ``exit_idx``: a python int shared by every block
     (same_step_across_blocks=True), or an i32 array [num_blocks] of
@@ -132,6 +151,8 @@ def _rollout_blocks(params, cfg: WanConfig, scheduler: FlowMatchScheduler,
 
     def block_step(cache, xs):
         blk_id, noise_blk, blk_rng, blk_exit, y_blk, cond_blk = xs
+        if act_shard is not None:
+            cache = act_shard(cache)
         start_frame = start_frame0 + blk_id * nb
         if per_block:
             x0 = jax.lax.switch(
@@ -229,7 +250,8 @@ class SelfForcingTrainingPipeline:
                                   rng: jax.Array,
                                   initial_latent: Optional[jax.Array] = None,
                                   y: Optional[jax.Array] = None,
-                                  add_condition: Optional[jax.Array] = None):
+                                  add_condition: Optional[jax.Array] = None,
+                                  act_shard=None):
         """Returns (trajectory [B, F_out, C, H, W],
         denoised_timestep_from, denoised_timestep_to).
 
@@ -290,7 +312,8 @@ class SelfForcingTrainingPipeline:
                 params, cfg, self.scheduler, rope, ctx_kv, cache,
                 noise[:, :split_f], rng1,
                 self.denoising_step_list, exit_pre, self.context_noise,
-                grad_start_block, False, start, y_pre, cond_pre)
+                grad_start_block, False, start, y_pre, cond_pre,
+                act_shard=act_shard)
             outputs.append(_sg(pre))
             cache = _sg(cache)
             start = start + grad_start_block * nb
@@ -299,7 +322,8 @@ class SelfForcingTrainingPipeline:
             params, cfg, self.scheduler, rope, ctx_kv, cache,
             noise[:, split_f:], rng2,
             self.denoising_step_list, exit_post, self.context_noise,
-            num_blocks - grad_start_block, True, start, y_post, cond_post)
+            num_blocks - grad_start_block, True, start, y_post, cond_post,
+            act_shard=act_shard)
         outputs.append(post)
 
         trajectory = jnp.concatenate(outputs, axis=1)

@@ -179,6 +179,12 @@ class ModelBundle:
     # FSDP param sharding composes and a wider-than-chip teacher fits.
     teacher_sp_mesh: Optional[object] = None
     teacher_sp_axis: str = "sp"
+    # activation-sharding hook for the rollout's scan-carried KV cache
+    # (parallel/mesh.rollout_cache_constraint; set by the trainer when a
+    # mesh is active) — the with-grad backward keeps one cache residual
+    # per block, which must be sharded at production scale (the 14B AOT
+    # fit, parallel/aot.py)
+    rollout_act_shard: Optional[object] = None
 
     @classmethod
     def create(cls, generator_cfg: WanConfig, critic_cfg: WanConfig,
@@ -226,7 +232,8 @@ class ModelBundle:
             add_condition = add_condition[:, :F * fs]
         pred, t_from, t_to = self.pipeline.inference_with_trajectory(
             gen_params, self.generator_cfg, self.rope_g, noise, ctx_kv,
-            exit_idx, rng, y=y, add_condition=add_condition)
+            exit_idx, rng, y=y, add_condition=add_condition,
+            act_shard=self.rollout_act_shard)
         pred, gradient_mask = self.trim_rollout(pred)
         return pred, gradient_mask, t_from, t_to
 

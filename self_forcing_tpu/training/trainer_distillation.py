@@ -105,6 +105,13 @@ class ScoreDistillationTrainer:
                 and mesh.shape["sp"] > 1
                 and bool(getattr(config, "teacher_sequence_parallel", True))):
             self.bundle.teacher_sp_mesh = mesh
+        if mesh is not None and {"dp", "fsdp", "sp"} <= set(mesh.axis_names):
+            # shard the rollout's per-block cache residuals over the mesh
+            # (required for the 14B-teacher fit; no-op semantics —
+            # with_sharding_constraint only places data)
+            from self_forcing_tpu.parallel.mesh import (
+                rollout_cache_constraint)
+            self.bundle.rollout_act_shard = rollout_cache_constraint(mesh)
         if getattr(config, "warp_denoising_step", False):
             warped = warp_denoising_steps(
                 self.bundle.scheduler,
@@ -171,6 +178,13 @@ class ScoreDistillationTrainer:
         self.host_rng = np.random.default_rng(int(getattr(config, "seed", 0)))
         self._gen_step_fn = {}
         self._critic_step_fn = {}
+        # donate the updated params/opt-state into the step (halves their
+        # transient HBM — the difference between fitting and OOM at 14B-
+        # teacher scale, parallel/aot.py).  Opt-in: donation invalidates
+        # the caller's input buffers, so it is unsafe when the same params
+        # pytree is shared with another trainer (e.g. the dryrun's GAN
+        # trainer reuses the DMD generator).
+        self._donate = bool(getattr(config, "donate_step_buffers", False))
 
         # pose/image conditioning (reference trainer/distillation.py:
         # 106-122 builds a PoseImageConditioner when use_pose_conditioning)
@@ -234,7 +248,7 @@ class ScoreDistillationTrainer:
         optimizer = self.gen_optimizer
         per_block = exit_idx == "per_block"
 
-        @jax.jit
+        @partial(jax.jit, donate_argnums=(0, 3) if self._donate else ())
         def step_fn(gen_params, fake_params, real_params, opt_state,
                     noise, context, neg_context, rng, exit_arr=None,
                     cond=None):
@@ -263,7 +277,7 @@ class ScoreDistillationTrainer:
         optimizer = self.critic_optimizer
         per_block = exit_idx == "per_block"
 
-        @jax.jit
+        @partial(jax.jit, donate_argnums=(1, 2) if self._donate else ())
         def step_fn(gen_params, fake_params, opt_state, noise, context,
                     neg_context, rng, exit_arr=None, cond=None):
             loss_fn = lambda fp: dmd.critic_loss(

@@ -130,6 +130,8 @@ def load_ref_module(relpath: str, name: str, package_root: str | None = None):
     'refwan' with __path__ pointing at wan/modules).
     """
     _ensure_diffusers_stub()
+    if name in sys.modules:   # session-scope: test files share one exec
+        return sys.modules[name]
     path = f"{REF}/{relpath}"
     if package_root and package_root not in sys.modules:
         pkg = types.ModuleType(package_root)

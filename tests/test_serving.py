@@ -533,3 +533,110 @@ def test_demo_app_blocks_and_progress():
         s.close()
     finally:
         server.shutdown()
+
+
+@pytest.mark.slow
+def test_demo_app_windowed_soak_flat():
+    """Windowed infinite-streaming soak through the REAL product surface
+    (VERDICT r4 next #3): stream 40 blocks of a windowed-config
+    CausalInferencePipeline through DemoApp over the real WebSocket and
+    assert (a) every frame arrives, (b) the per-block wall time the
+    server reports stays FLAT — the constant-cost-at-any-length claim
+    (reference wan/modules/causal_model.py:203-229 rolling window;
+    demo.py:331-458 block loop) — and (c) the KV buffer stays at its
+    configured size across the ~17 host-scheduled compactions (bounded
+    memory).  A global config's cost would grow linearly over 40 blocks.
+    """
+    import time as _time
+    from self_forcing_tpu.config import Config
+    from self_forcing_tpu.models.wan import dit
+    from self_forcing_tpu.models.wan.configs import WanConfig
+    from self_forcing_tpu.pipelines.causal_inference import (
+        CausalInferencePipeline)
+    from self_forcing_tpu.serving.demo_server import DemoApp
+    from self_forcing_tpu.serving.websocket import make_server
+
+    cfg = WanConfig(dim=96, ffn_dim=192, num_heads=2, num_layers=2,
+                    text_dim=32, freq_dim=16, num_frame_per_block=2,
+                    local_attn_size=4, sink_size=1,
+                    windowed_buffer_frames=8)
+    args = Config({"denoising_step_list": [1000, 500],
+                   "warp_denoising_step": False, "timestep_shift": 5.0,
+                   "num_frame_per_block": 2,
+                   "independent_first_frame": False, "context_noise": 0})
+    params = dit.init_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    pipe = CausalInferencePipeline(args, params, cfg)
+    ctx = np.asarray(jax.random.normal(jax.random.PRNGKey(2),
+                                       (1, 8, 32), jnp.float32))
+
+    app = DemoApp(pipe, encode_text_fn=lambda p: ctx,
+                  decode_chunk_fn=lambda blk: np.zeros((2, 8, 8, 3),
+                                                       np.uint8),
+                  latent_shape=(1, 6, 16, 8, 8), fps=1000.0)
+    server = make_server("127.0.0.1", 0, {}, app.ws_handler)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    n_blocks = 40
+    try:
+        s = _client_handshake(port)
+        s.settimeout(120)
+        _client_send(s, "start_generation",
+                     {"prompt": "soak", "seed": 3, "blocks": n_blocks})
+        block_s, frames, complete = [], 0, False
+        deadline = _time.time() + 600
+        while _time.time() < deadline:
+            msg = _client_recv(s)
+            if msg["event"] == "block_ready":
+                block_s.append(msg["data"]["block_s"])
+            elif msg["event"] == "frame_ready":
+                frames += 1
+            elif msg["event"] == "generation_complete":
+                complete = True
+                break
+            elif msg["event"] == "error":
+                raise AssertionError(msg["data"])
+        s.close()
+    finally:
+        server.shutdown()
+
+    assert complete, (len(block_s), frames)
+    assert len(block_s) == n_blocks, len(block_s)
+    assert frames == n_blocks * 2, frames
+    # flatness: post-warmup medians must not drift (blocks 1-3 include
+    # the denoise/refresh/compaction compiles; a generous 2x bound keeps
+    # the 1-core CI host's scheduling noise out while still refuting
+    # linear growth, which would be ~4x between these windows)
+    early = sorted(block_s[5:15])[5]
+    late = sorted(block_s[-10:])[5]
+    assert late <= 2.0 * early + 0.05, (early, late, block_s)
+    # bounded memory: the append-only buffer never grew past its
+    # configured 8-frame size (fs = 4*4 tokens at 8x8 latents)
+    k = pipe._cache.k
+    assert k.shape[2] == 8 * 16, k.shape
+
+
+def test_taehv_stateful_stream_equals_full_decode(ref_taehv):
+    """The stateful streaming decode (decode_video_stateful) is EXACTLY
+    the whole-video decode, chunked — the mem-layer carry replaces the
+    reference demo's approximate 3-latent overlap re-decode
+    (demo.py:423-435) at half the steady-state FLOPs."""
+    _, model = ref_taehv
+    params = _torch_params_to_jax(model)
+    x = jax.random.normal(jax.random.PRNGKey(5), (1, 9, 16, 8, 8),
+                          jnp.float32)
+    full = np.asarray(taehv_mod.decode_video(params, x, trim=True))
+
+    streamer = taehv_mod.TAEHVStreamer(params)          # stateful default
+    chunks = [np.asarray(streamer.decode_chunk(x[:, i:i + 3]))
+              for i in range(0, 9, 3)]
+    out = np.concatenate(chunks, axis=1)
+    assert out.shape == full.shape
+    np.testing.assert_allclose(out, full, rtol=2e-5, atol=2e-5)
+
+    # short first chunk (the independent-first-frame serving case)
+    streamer.reset()
+    chunks = [np.asarray(streamer.decode_chunk(x[:, :1]))] + \
+        [np.asarray(streamer.decode_chunk(x[:, i:i + 4]))
+         for i in range(1, 9, 4)]
+    out = np.concatenate(chunks, axis=1)
+    np.testing.assert_allclose(out, full, rtol=2e-5, atol=2e-5)
