@@ -66,16 +66,21 @@ def _shift_mem(x5):
 
 
 # decoder spec: (kind, param_key or None, extra)
+# NOTE vs the reference stack order (taehv.py:181-190: up -> TGrow ->
+# conv): TGrow is a 1x1 conv and the upsample a nearest-neighbor repeat
+# — per-pixel ops on disjoint axes, so they COMMUTE exactly.  Running
+# TGrow BEFORE the 2x2 spatial repeat does its matmul+traffic at 1/4 the
+# pixels (bit-identical output; the torch goldens pin it).
 _DECODER_SPEC = (
     ("clamp", None, None),
     ("conv", "conv_in", None),        # 16 -> 256
     ("relu", None, None),
     ("mem", "mem0_0", None), ("mem", "mem0_1", None), ("mem", "mem0_2", None),
-    ("up", None, 2), ("tgrow", "tgrow0", 1), ("conv", "conv0", None),
+    ("tgrow", "tgrow0", 1), ("up", None, 2), ("conv", "conv0", None),
     ("mem", "mem1_0", None), ("mem", "mem1_1", None), ("mem", "mem1_2", None),
-    ("up", None, 2), ("tgrow", "tgrow1", 2), ("conv", "conv1", None),
+    ("tgrow", "tgrow1", 2), ("up", None, 2), ("conv", "conv1", None),
     ("mem", "mem2_0", None), ("mem", "mem2_1", None), ("mem", "mem2_2", None),
-    ("up", None, 2), ("tgrow", "tgrow2", 2), ("conv", "conv2", None),
+    ("tgrow", "tgrow2", 2), ("up", None, 2), ("conv", "conv2", None),
     ("relu", None, None),
     ("conv", "conv_out", None),       # 64 -> 3
 )
@@ -242,6 +247,20 @@ def decode_video_stateful(params: Params, x: jax.Array,
     return out, new_state
 
 
+_STATEFUL_JIT = None
+
+
+def _stateful_jit():
+    """Shared jitted decode_video_stateful (one trace cache for all
+    streamer instances — a per-instance jax.jit would re-trace per
+    generation)."""
+    global _STATEFUL_JIT
+    if _STATEFUL_JIT is None:
+        _STATEFUL_JIT = jax.jit(decode_video_stateful,
+                                static_argnames=("trim",))
+    return _STATEFUL_JIT
+
+
 class TAEHVStreamer:
     """Streaming chunk decode.
 
@@ -261,8 +280,7 @@ class TAEHVStreamer:
         self._state = None
         # injectable decode (e.g. a jitted decode_video) — same signature
         self._decode_fn = decode_fn or decode_video
-        self._stateful_fn = jax.jit(decode_video_stateful,
-                                    static_argnames=("trim",))
+        self._stateful_fn = _stateful_jit()
 
     def reset(self):
         self._tail = None

@@ -146,8 +146,12 @@ def tp_sampler_fit(cfg: WanConfig = WAN_14B, tp: int = 4,
                                           nz, r, steps, s, mesh)
 
         t0 = time.time()
-        compiled = step.lower(params_s, sched, ctx_s, cache_s, noise_s,
-                              rng_s, start_s).compile()
+        # pin the matmul precision TPU runs actually use — an ambient
+        # 'highest' (tests/conftest.py sets it for CPU numerics) makes
+        # Mosaic reject the bf16 kernel dots ('Bad lhs type')
+        with jax.default_matmul_precision("default"):
+            compiled = step.lower(params_s, sched, ctx_s, cache_s, noise_s,
+                                  rng_s, start_s).compile()
         out = _mem_dict(compiled, f"tp{tp}_denoise_block")
         out["compile_s"] = round(time.time() - t0, 1)
         out["params_bytes_per_device"] = per_device_bytes(params_s)
@@ -346,8 +350,9 @@ def sp_dmd_fit(student_cfg: WanConfig, teacher_cfg: WanConfig = WAN_14B,
             return gen, opt_state, loss, gnorm
 
         t0 = time.time()
-        compiled = step_fn.lower(gen_s, fake_s, real_s, opt_s, noise_s,
-                                 ctx_s, ctx_s, rng_s).compile()
+        with jax.default_matmul_precision("default"):  # see tp_sampler_fit
+            compiled = step_fn.lower(gen_s, fake_s, real_s, opt_s, noise_s,
+                                     ctx_s, ctx_s, rng_s).compile()
         out = _mem_dict(compiled, f"fsdp{fsdp}_sp{sp}_dmd_gen_step")
         out["compile_s"] = round(time.time() - t0, 1)
 

@@ -130,8 +130,13 @@ def load_ref_module(relpath: str, name: str, package_root: str | None = None):
     'refwan' with __path__ pointing at wan/modules).
     """
     _ensure_diffusers_stub()
-    if name in sys.modules:   # session-scope: test files share one exec
-        return sys.modules[name]
+    cached = sys.modules.get(name)
+    if cached is not None and getattr(cached, "__ref_loader__", False):
+        # session-scope: test files share one exec.  Only OUR loads are
+        # reusable — some test files pre-register plain STUB modules
+        # under the same names (e.g. test_pose_golden's empty
+        # utils.wan_wrapper); those must be replaced by the real file.
+        return cached
     path = f"{REF}/{relpath}"
     if package_root and package_root not in sys.modules:
         pkg = types.ModuleType(package_root)
@@ -141,6 +146,7 @@ def load_ref_module(relpath: str, name: str, package_root: str | None = None):
     mod = importlib.util.module_from_spec(spec)
     sys.modules[name] = mod
     spec.loader.exec_module(mod)
+    mod.__ref_loader__ = True
     return mod
 
 
