@@ -9,12 +9,13 @@ Writes one JSON artifact (default AOT14B.json at the repo root) with:
   ring-attention sp=4 teacher on a v5e-16 (fsdp=4 x sp=4) — the
   pose-distillation training deployment (reference
   pose_distillation_paths.md; xdit_context_parallel.py:66-184);
-- ``v5e8_state_accounting``: the exact per-shard byte refutation of the
-  same training step on a v5e-8 (fsdp=2 x sp=4): the teacher alone is
-  28 GB / fsdp=2 = 14 GB/device — over the budget before the student,
-  optimizer state, or a single activation.  (Sharding teacher params
-  over 'sp' too would need per-layer all-gathers inside the sp-manual
-  shard_map — ZeRO-3-over-sp — noted as the v5e-8 path if ever needed.)
+- ``sp_dmd_v5e8_zero3``: the SAME step on a v5e-8 (fsdp=2 x sp=4) with
+  the ZeRO-3-over-sp teacher layout (teacher sharded over fsdp x sp =
+  all 8 devices, one layer re-gathered at a time inside the sp forward
+  — parallel/sequence.py param_specs).  Without it the teacher alone is
+  28 GB / fsdp=2 = 14 GB/device (``v5e8_state_accounting`` pins that
+  refutation); with it the step fits the 15.75 GiB usable budget with
+  ~190 MiB to spare (tight — flagged).
 
 Usage: python scripts/aot_14b_fit.py [--out AOT14B.json]
 No TPU needed — the PJRT TPU compiler runs locally against the topology.
@@ -54,6 +55,10 @@ def main():
         out["sp_dmd"] = aot.sp_dmd_fit(WAN_1_3B, topology_name="v5e:4x4",
                                        fsdp=4, sp=4)
         print(json.dumps(out["sp_dmd"], indent=1))
+        out["sp_dmd_v5e8_zero3"] = aot.sp_dmd_fit(
+            WAN_1_3B, topology_name="v5e:2x4", fsdp=2, sp=4,
+            teacher_zero3=True)
+        print(json.dumps(out["sp_dmd_v5e8_zero3"], indent=1))
 
     # v5e-8 refutation: exact per-shard bytes of the frozen teacher under
     # the fsdp=2 x sp=4 mesh (teacher params cannot shard over the
@@ -72,10 +77,12 @@ def main():
     out["v5e8_state_accounting"] = {
         "teacher_bytes_per_device_fsdp2": teacher8,
         "hbm_limit_bytes": aot.hbm_limit("v5e:2x4"),
-        "fits": bool(teacher8 <= aot.hbm_limit("v5e:2x4")),
-        "note": "teacher alone at fsdp=2 — v5e-8 sp=4 training is "
-                "refuted by byte accounting; v5e-16 (sp_dmd above) is "
-                "the minimal sp=4 topology without ZeRO-3-over-sp",
+        "leaves_headroom_bytes": aot.hbm_limit("v5e:2x4") - teacher8,
+        "note": "teacher alone at fsdp=2 leaves ~2.4 GB for everything "
+                "else (students+opt 2.1 GB + >13 GB of step temps): "
+                "v5e-8 WITHOUT ZeRO-3-over-sp is refuted by byte "
+                "accounting; sp_dmd_v5e8_zero3 above is the layout "
+                "that fits",
     }
     print(json.dumps(out["v5e8_state_accounting"], indent=1))
 

@@ -65,6 +65,16 @@ def _shift_mem(x5):
     return jnp.pad(x5, ((0, 0), (1, 0), (0, 0), (0, 0), (0, 0)))[:, :-1]
 
 
+def _up2(h, s):
+    """Nearest sxs spatial upsample of [N, T, H, W, C] via
+    broadcast+reshape (jnp.repeat can lower to a gather; the broadcast
+    form is always a layout-level copy)."""
+    N_, T_, H_, W_, C_ = h.shape
+    h = jnp.broadcast_to(h[:, :, :, None, :, None, :],
+                         (N_, T_, H_, s, W_, s, C_))
+    return h.reshape(N_, T_, H_ * s, W_ * s, C_)
+
+
 # decoder spec: (kind, param_key or None, extra)
 # NOTE vs the reference stack order (taehv.py:181-190: up -> TGrow ->
 # conv): TGrow is a 1x1 conv and the upsample a nearest-neighbor repeat
@@ -167,7 +177,7 @@ def decode_video(params: Params, x: jax.Array,
             flat = _memblock(params[key], flat, mflat)
             h = flat.reshape((N_, T_) + flat.shape[1:])
         elif kind == "up":
-            h = jnp.repeat(jnp.repeat(h, extra, axis=2), extra, axis=3)
+            h = _up2(h, extra)
         elif kind == "tgrow":
             # torch TGrow (taehv.py:48-57): [NT, stride*C, H, W] ->
             # [NT*stride, C, H, W] — channel group g becomes frame g.
@@ -231,7 +241,7 @@ def decode_video_stateful(params: Params, x: jax.Array,
             flat = _memblock(params[key], flat, mflat)
             h = flat.reshape((N_, T_) + flat.shape[1:])
         elif kind == "up":
-            h = jnp.repeat(jnp.repeat(h, extra, axis=2), extra, axis=3)
+            h = _up2(h, extra)
         elif kind == "tgrow":
             N_, T_ = h.shape[:2]
             C_ = h.shape[-1]

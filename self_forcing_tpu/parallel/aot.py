@@ -32,8 +32,13 @@ from self_forcing_tpu.models.wan.configs import WAN_14B, WanConfig
 from self_forcing_tpu.models.wan.rope import RopeTables
 from self_forcing_tpu.scheduler import FlowMatchScheduler
 
-# HBM per chip by topology platform prefix (the fit bar).
-HBM_BYTES = {"v5e": 16 * 2 ** 30, "v5p": 95 * 2 ** 30, "v6e": 32 * 2 ** 30}
+# USABLE HBM per chip by topology platform prefix (the fit bar).  v5e is
+# the XLA-enforced budget its TPU compiler prints ("of 15.75G hbm") — 16
+# GiB minus the system carve-out; v5p/v6e keep the same ~1.6% reserve off
+# their nominal 95/32 GiB.
+HBM_BYTES = {"v5e": int(15.75 * 2 ** 30),
+             "v5p": int(93.5 * 2 ** 30),
+             "v6e": int(31.5 * 2 ** 30)}
 
 
 def get_topology(name: str = "v5e:2x2"):
@@ -173,32 +178,9 @@ def tp_sampler_fit(cfg: WanConfig = WAN_14B, tp: int = 4,
 # sp-teacher DMD step (the training-side 14B story)
 # ---------------------------------------------------------------------
 
-def combined_fsdp_specs(params, mesh: Mesh, axes=("fsdp", "sp"),
-                        min_size: int = 2 ** 16):
-    """FSDP-style PartitionSpecs over a COMBINED mesh-axis tuple: every
-    big leaf's largest divisible dim shards over ``prod(axes)`` devices.
-    Mirrors parallel.mesh.fsdp_shardings (same modulation /
-    time_projection exceptions) but with a tuple axis — the student /
-    optimizer-state sharding for the 14B-teacher fit (students run in
-    GSPMD-auto land, so sharding over the sp axis too is free)."""
-    size = int(np.prod([mesh.shape[a] for a in axes]))
-
-    def leaf(path, x):
-        ks = jax.tree_util.keystr(path)
-        if "modulation" in ks or x.size < min_size:
-            return P()
-        if "time_projection" in ks and x.ndim == 2 \
-                and x.shape[0] % size == 0:
-            return P(axes, None)
-        dims = list(x.shape)
-        for i in sorted(range(len(dims)), key=lambda i: -dims[i]):
-            if dims[i] % size == 0 and dims[i] >= size:
-                spec = [None] * len(dims)
-                spec[i] = axes
-                return P(*spec)
-        return P()
-
-    return jax.tree_util.tree_map_with_path(leaf, params)
+from self_forcing_tpu.parallel.mesh import combined_fsdp_specs  # noqa: E402
+# (re-exported here for back-compat; the implementation moved to
+# parallel/mesh.py so the ZeRO-3-over-sp teacher layout can share it)
 
 
 def _opt_state_structs(opt_shapes, param_structs, mesh: Mesh):
@@ -233,7 +215,8 @@ def sp_dmd_fit(student_cfg: WanConfig, teacher_cfg: WanConfig = WAN_14B,
                topology_name: str = "v5e:4x4", fsdp: int = 4, sp: int = 4,
                height: int = 480, width: int = 832, frames: int = 21,
                num_frame_per_block: int = 3,
-               steps=(1000, 750, 500, 250), dtype=jnp.bfloat16) -> dict:
+               steps=(1000, 750, 500, 250), dtype=jnp.bfloat16,
+               teacher_zero3: bool = False) -> dict:
     """AOT-compile the DMD *generator* training step — full 1.3B student
     rollout with gradient + 1.3B fake_score + the frozen Wan-14B
     real_score running ring-attention sequence-parallel over 'sp' (the
@@ -243,9 +226,12 @@ def sp_dmd_fit(student_cfg: WanConfig, teacher_cfg: WanConfig = WAN_14B,
     accounting of the persistent train state, and the fit verdict.
 
     Sharding layout (the 14B deployment story):
-    - teacher params: FSDP over 'fsdp' (they enter the sp-manual
-      shard_map, so they must be replicated over 'sp' — sequence.py
-      in_specs; ZeRO-3-over-sp gathering is a possible future extension);
+    - teacher params: FSDP over 'fsdp' by default (they enter the
+      sp-manual shard_map replicated over 'sp').  ``teacher_zero3=True``
+      shards them over fsdp x sp = ALL devices and re-gathers one layer
+      at a time inside the sp forward (sequence.py param_specs) — the
+      layout that fits a 14B teacher on a v5e-8 (fsdp=2 x sp=4), where
+      fsdp-only sharding leaves 14 GB/device of teacher alone;
     - student/critic params + Adam moments + EMA: FSDP over the COMBINED
       ('fsdp','sp') axes — all devices — legal because students run in
       GSPMD-auto land end to end;
@@ -293,7 +279,8 @@ def sp_dmd_fit(student_cfg: WanConfig, teacher_cfg: WanConfig = WAN_14B,
         bundle = ModelBundle.create(gen_cfg, student_cfg, teacher_cfg, obj,
                                     [int(s) for s in steps])
         bundle.teacher_sp_mesh = mesh  # ring-attention teacher forwards
-        from self_forcing_tpu.parallel.mesh import rollout_cache_constraint
+        from self_forcing_tpu.parallel.mesh import (
+            rollout_cache_constraint)
         bundle.rollout_act_shard = rollout_cache_constraint(mesh)
 
         # shapes only — never materialize 14B (or 1.3B) on the host
@@ -310,10 +297,15 @@ def sp_dmd_fit(student_cfg: WanConfig, teacher_cfg: WanConfig = WAN_14B,
                          combined_fsdp_specs(gen_shapes, mesh, both))
         fake_s = _structs(mesh, fake_shapes,
                           combined_fsdp_specs(fake_shapes, mesh, both))
-        real_s = jax.tree_util.tree_map(
-            lambda s, sh: jax.ShapeDtypeStruct(s.shape, s.dtype,
-                                               sharding=sh),
-            real_shapes, fsdp_shardings(real_shapes, mesh))
+        if teacher_zero3:
+            real_specs = combined_fsdp_specs(real_shapes, mesh, both)
+            real_s = _structs(mesh, real_shapes, real_specs)
+            bundle.teacher_param_sp_specs = real_specs
+        else:
+            real_s = jax.tree_util.tree_map(
+                lambda s, sh: jax.ShapeDtypeStruct(s.shape, s.dtype,
+                                                   sharding=sh),
+                real_shapes, fsdp_shardings(real_shapes, mesh))
 
         optimizer = make_optimizer(lr=1e-4, beta1=0.0, beta2=0.999,
                                    weight_decay=0.01, max_grad_norm=10.0)
@@ -371,6 +363,7 @@ def sp_dmd_fit(student_cfg: WanConfig, teacher_cfg: WanConfig = WAN_14B,
     limit = hbm_limit(topology_name)
     nonstep = state["critic_opt"] + state["generator_ema"]
     out.update(
+        teacher_zero3=teacher_zero3,
         topology=topology_name, fsdp=fsdp, sp=sp,
         student_dim=student_cfg.dim, teacher_dim=teacher_cfg.dim,
         teacher_layers=teacher_cfg.num_layers, frames=frames,

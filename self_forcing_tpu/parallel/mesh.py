@@ -104,6 +104,52 @@ def data_sharding(mesh: Mesh, *batch_axes: str) -> NamedSharding:
     return NamedSharding(mesh, P(*axes))
 
 
+def combined_fsdp_specs(params, mesh: Mesh, axes=("fsdp", "sp"),
+                        min_size: int = 2 ** 16):
+    """FSDP-style PartitionSpecs over a COMBINED mesh-axis tuple: every
+    big leaf's largest divisible dim shards over ``prod(axes)`` devices.
+    Mirrors fsdp_shardings (same modulation/time_projection exceptions)
+    but with a tuple axis — used for student/optimizer state at
+    14B-teacher scale (parallel/aot.py) and for the ZeRO-3-over-sp
+    teacher layout (parallel/sequence.py forward_train_sp param_specs).
+    """
+    size = int(np.prod([mesh.shape[a] for a in axes]))
+
+    def leaf(path, x):
+        ks = jax.tree_util.keystr(path)
+        if "modulation" in ks or x.size < min_size:
+            return P()
+        if "time_projection" in ks and x.ndim == 2 \
+                and x.shape[0] % size == 0:
+            return P(axes, None)
+        dims = list(x.shape)
+        for i in sorted(range(len(dims)), key=lambda i: -dims[i]):
+            if dims[i] % size == 0 and dims[i] >= size:
+                spec = [None] * len(dims)
+                spec[i] = axes
+                return P(*spec)
+        return P()
+
+    return jax.tree_util.tree_map_with_path(leaf, params)
+
+
+def spec_component(specs, axis: str):
+    """Project a PartitionSpec tree onto one mesh axis: every entry
+    keeps only ``axis`` (tuple entries reduce to it), everything else
+    becomes None — the MANUAL-axis view a partial-auto shard_map's
+    in_specs need for arrays sharded over mixed auto/manual axes."""
+    def one(sp):
+        out = []
+        for entry in (sp or ()):
+            axes = entry if isinstance(entry, tuple) else (entry,) \
+                if entry is not None else ()
+            out.append(axis if axis in axes else None)
+        return P(*out)
+
+    return jax.tree_util.tree_map(
+        one, specs, is_leaf=lambda x: isinstance(x, P))
+
+
 def rollout_cache_constraint(mesh: Mesh):
     """Activation-sharding hook for the training rollout's KV cache
     (pipelines/self_forcing_training.py): constrain the folded

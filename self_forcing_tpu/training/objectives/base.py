@@ -114,19 +114,23 @@ def score_x0(params, cfg: WanConfig, rope: RopeTables,
              scheduler: FlowMatchScheduler, noisy: jax.Array,
              t: jax.Array, context: jax.Array,
              remat: bool = True, y=None, clip_fea=None,
-             sp_mesh=None, sp_axis: str = "sp") -> jax.Array:
+             sp_mesh=None, sp_axis: str = "sp",
+             sp_param_specs=None) -> jax.Array:
     """Bidirectional score model forward -> x0 prediction
     (utils/wan_wrapper.py:253-349, non-causal branch).
 
     ``sp_mesh``: run the forward sequence-parallel over that mesh's
     ``sp_axis`` (ring attention; the 14B-teacher path — see
-    ModelBundle.teacher_sp_mesh)."""
+    ModelBundle.teacher_sp_mesh).  ``sp_param_specs``: the ZeRO-3-over-sp
+    layout's manual-sp spec tree (params sharded over fsdp x sp,
+    re-gathered per layer inside the forward — parallel/sequence.py)."""
     B, F, C, H, W = noisy.shape
     if sp_mesh is not None:
         from self_forcing_tpu.parallel.sequence import forward_train_sp
         flow = forward_train_sp(params, cfg, noisy, t, context, rope,
                                 sp_mesh, axis_name=sp_axis, y=y,
-                                clip_fea=clip_fea)
+                                clip_fea=clip_fea,
+                                param_specs=sp_param_specs)
     else:
         flow = dit.forward_train(params, cfg, noisy, t, context, None, rope,
                                  y=y, clip_fea=clip_fea, remat=remat)
@@ -138,18 +142,21 @@ def score_x0(params, cfg: WanConfig, rope: RopeTables,
 def cfg_combined_score(params, cfg, rope, scheduler, noisy, t,
                        context, neg_context, guidance_scale: float,
                        remat: bool = True, cond: Optional[dict] = None,
-                       sp_mesh=None, sp_axis: str = "sp") -> jax.Array:
+                       sp_mesh=None, sp_axis: str = "sp",
+                       sp_param_specs=None) -> jax.Array:
     """CFG: cond + (cond - uncond) * scale (model/dmd.py:93-110).  The
     image/pose conditioning rides both branches — the reference updates
     conditional AND unconditional dicts with it (trainer/distillation.py:
     274-276)."""
     y, clip_fea = model_cond(cfg, cond)
     pos = score_x0(params, cfg, rope, scheduler, noisy, t, context, remat,
-                   y, clip_fea, sp_mesh=sp_mesh, sp_axis=sp_axis)
+                   y, clip_fea, sp_mesh=sp_mesh, sp_axis=sp_axis,
+                   sp_param_specs=sp_param_specs)
     if guidance_scale == 0.0:
         return pos
     uncond = score_x0(params, cfg, rope, scheduler, noisy, t, neg_context,
-                      remat, y, clip_fea, sp_mesh=sp_mesh, sp_axis=sp_axis)
+                      remat, y, clip_fea, sp_mesh=sp_mesh, sp_axis=sp_axis,
+                      sp_param_specs=sp_param_specs)
     return pos + (pos - uncond) * guidance_scale
 
 
@@ -179,6 +186,11 @@ class ModelBundle:
     # FSDP param sharding composes and a wider-than-chip teacher fits.
     teacher_sp_mesh: Optional[object] = None
     teacher_sp_axis: str = "sp"
+    # ZeRO-3-over-sp teacher layout: manual-sp PartitionSpec tree for
+    # real_params (sharded over fsdp x sp; re-gathered per layer inside
+    # forward_train_sp) — what fits a 14B teacher on a v5e-8.  None =
+    # teacher replicated over sp (fsdp-only sharding).
+    teacher_param_sp_specs: Optional[object] = None
     # activation-sharding hook for the rollout's scan-carried KV cache
     # (parallel/mesh.rollout_cache_constraint; set by the trainer when a
     # mesh is active) — the with-grad backward keeps one cache residual

@@ -41,7 +41,8 @@ def compute_kl_grad(bundle: ModelBundle, obj: ObjectiveConfig,
         _sg(real_params), bundle.teacher_cfg, bundle.rope_t, bundle.scheduler,
         _sg(noisy), t, _sg(context), _sg(neg_context),
         obj.real_guidance_scale, cond=cond,
-        sp_mesh=bundle.teacher_sp_mesh, sp_axis=bundle.teacher_sp_axis)
+        sp_mesh=bundle.teacher_sp_mesh, sp_axis=bundle.teacher_sp_axis,
+        sp_param_specs=bundle.teacher_param_sp_specs)
 
     grad = fake_x0 - real_x0
     # normalization (model/dmd.py:117-120)

@@ -51,7 +51,9 @@ def distribution_matching_loss(bundle: ModelBundle, obj: ObjectiveConfig,
                                  context, neg_context,
                                  obj.real_guidance_scale, cond=cond,
                                  sp_mesh=bundle.teacher_sp_mesh,
-                                 sp_axis=bundle.teacher_sp_axis)
+                                 sp_axis=bundle.teacher_sp_axis,
+                                 sp_param_specs=(
+                                     bundle.teacher_param_sp_specs))
 
     rf = real_x0.astype(jnp.float32)
     ff = fake_x0.astype(jnp.float32)

@@ -105,6 +105,17 @@ class ScoreDistillationTrainer:
                 and mesh.shape["sp"] > 1
                 and bool(getattr(config, "teacher_sequence_parallel", True))):
             self.bundle.teacher_sp_mesh = mesh
+            if bool(getattr(config, "teacher_zero3_sp", False)):
+                # ZeRO-3-over-sp teacher: real_params sharded over
+                # fsdp x sp (28/(f*s) GB/chip at 14B), re-gathered one
+                # layer at a time inside the sp forward — the v5e-8
+                # fit layout (parallel/sequence.py, parallel/aot.py).
+                # Callers should device_put real_params with
+                # combined_fsdp_specs(mesh) to avoid a reshard.
+                from self_forcing_tpu.parallel.mesh import (
+                    combined_fsdp_specs)
+                self.bundle.teacher_param_sp_specs = \
+                    combined_fsdp_specs(real_params, mesh)
         if mesh is not None and {"dp", "fsdp", "sp"} <= set(mesh.axis_names):
             # shard the rollout's per-block cache residuals over the mesh
             # (required for the 14B-teacher fit; no-op semantics —

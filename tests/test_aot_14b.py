@@ -57,6 +57,17 @@ def test_aot_machinery_tiny():
     assert r2["fits"] and r2["peak_bytes"] > 0, r2
     assert r2["state_bytes_per_device"]["real_score_params"] > 0
 
+    # ZeRO-3-over-sp teacher layout: sharded over fsdp x sp, per-layer
+    # gathered inside the forward — must compile and halve the teacher's
+    # per-device residency vs the fsdp-only layout
+    r3 = aot.sp_dmd_fit(student, teacher, topology_name="v5e:2x2",
+                        fsdp=2, sp=2, height=64, width=64, frames=4,
+                        num_frame_per_block=2, steps=(1000, 500),
+                        teacher_zero3=True)
+    assert r3["fits"], r3
+    assert r3["state_bytes_per_device"]["real_score_params"] < \
+        r2["state_bytes_per_device"]["real_score_params"], (r3, r2)
+
 
 @pytest.mark.slow
 def test_aot_14b_tp_sampler_fits_v5e4():

@@ -121,3 +121,47 @@ def test_forward_sp_pads_non_divisible_frames():
     assert out.shape == ref.shape
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.slow
+def test_forward_train_sp_zero3_param_gather_matches():
+    """ZeRO-3-over-sp teacher layout (round 5): params sharded over
+    fsdp x sp with the sp factor re-gathered per layer inside the sp
+    forward (parallel/sequence.py param_specs; the per-layer all-gather
+    FSDP does by hand, here over the manual axis).  Bit-equal to the
+    sp-replicated path — this is what fits a Wan-14B teacher on a
+    v5e-8 (parallel/aot.py sp_dmd_fit teacher_zero3)."""
+    import numpy as np
+    from jax.sharding import NamedSharding
+    from self_forcing_tpu.models.wan import dit
+    from self_forcing_tpu.models.wan.configs import WanConfig
+    from self_forcing_tpu.models.wan.rope import RopeTables
+    from self_forcing_tpu.parallel import create_mesh
+    from self_forcing_tpu.parallel.mesh import combined_fsdp_specs
+    from self_forcing_tpu.parallel.sequence import forward_train_sp
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    cfg = WanConfig(dim=128, ffn_dim=256, num_heads=2, num_layers=3,
+                    text_dim=32, freq_dim=16)
+    mesh = create_mesh(dp=1, fsdp=2, sp=4)
+    rope = RopeTables.create(cfg.head_dim)
+    params = dit.init_params(jax.random.PRNGKey(0), cfg, jnp.float32,
+                             causal=False)
+    params["head"]["head"]["w"] = 0.02 * jax.random.normal(
+        jax.random.PRNGKey(3), params["head"]["head"]["w"].shape)
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 8, 16, 8, 8),
+                          jnp.float32)
+    t = jnp.full((1, 8), 500.0, jnp.float32)
+    ctx = jax.random.normal(jax.random.PRNGKey(4), (1, 8, 32), jnp.float32)
+
+    out_ref = forward_train_sp(params, cfg, x, t, ctx, rope, mesh)
+
+    specs = combined_fsdp_specs(params, mesh, min_size=128)
+    params_sh = jax.tree_util.tree_map(
+        lambda p, s: jax.device_put(p, NamedSharding(mesh, s)),
+        params, specs)
+    out_z3 = forward_train_sp(params_sh, cfg, x, t, ctx, rope, mesh,
+                              param_specs=specs)
+    np.testing.assert_allclose(np.asarray(out_z3), np.asarray(out_ref),
+                               rtol=2e-5, atol=2e-5)
