@@ -41,6 +41,12 @@ def main():
     import jax
     jax.config.update("jax_platforms", "cpu")  # topology compile is
     # deviceless; never wake the axon tunnel
+    # share the persistent compile cache with the test suite (the 14B
+    # compiles are minutes each on this 1-core host)
+    jax.config.update("jax_compilation_cache_dir", os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import numpy as np
 
     from self_forcing_tpu.models.wan import dit
