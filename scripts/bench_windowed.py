@@ -68,6 +68,8 @@ def main():
         tae = jax.tree.map(lambda x: x.astype(jnp.bfloat16),
                            taehv_mod.init_decoder_params(
                                jax.random.fold_in(key, 7)))
+        if os.environ.get("TAEHV_INT8", "0") == "1":  # opt-in A/B
+            tae = taehv_mod.quantize_decoder_params(tae)
         tae_decode = jax.jit(taehv_mod.decode_video,
                              static_argnames=("trim",))
 

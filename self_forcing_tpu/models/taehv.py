@@ -30,8 +30,28 @@ IMAGE_CHANNELS = 3
 N_F = (256, 128, 64, 64)
 
 
+def _conv_q(p, x, stride, pad):
+    """W8A8 int8 conv (opt-in, quantize_decoder_params): dynamic
+    per-tensor activation scale x per-output-channel weight scales,
+    s8 x s8 -> s32 on the conv MXU path — the TAEHV analog of the demo
+    DiT's int8 linears (ops/quant.py; reference demo.py:277-283)."""
+    xf = x.astype(jnp.float32)
+    sx = jnp.maximum(jnp.max(jnp.abs(xf)) / 127.0, 1e-8)
+    xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+    y = jax.lax.conv_general_dilated(
+        xq, p["w_q"], (stride, stride), pad,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+    y = y.astype(jnp.float32) * (sx * p["w_scale"])
+    if "b" in p:
+        y = y + p["b"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
 def _conv(p, x, stride=1):
     """3x3 NHWC conv, padding 1."""
+    if "w_q" in p:
+        return _conv_q(p, x, stride, ((1, 1), (1, 1)))
     y = jax.lax.conv_general_dilated(
         x, p["w"], (stride, stride), ((1, 1), (1, 1)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
@@ -41,12 +61,39 @@ def _conv(p, x, stride=1):
 
 
 def _conv1x1(p, x):
+    if "w_q" in p:
+        return _conv_q(p, x, 1, ((0, 0), (0, 0)))
     y = jax.lax.conv_general_dilated(
         x, p["w"], (1, 1), ((0, 0), (0, 0)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
     if "b" in p:
         y = y + p["b"]
     return y
+
+
+def quantize_decoder_params(params: Params) -> Params:
+    """int8 W8A8 conv weights for the fast decoder (opt-in speed toggle;
+    per-output-channel symmetric scales, exactly ops/quant.py's weight
+    scheme applied to HWIO convs).  The decoder is conv-bound at C=64
+    full-res stages — int8 halves both the MXU floor and the operand
+    bandwidth.  Measure before making it a default: VAE-class convs on
+    v5e have repeatedly been glue-bound, not MXU-bound (PERF.md)."""
+    def walk(node):
+        if isinstance(node, dict):
+            if "w" in node and getattr(node["w"], "ndim", 0) == 4:
+                w = node["w"].astype(jnp.float32)
+                s = jnp.maximum(
+                    jnp.max(jnp.abs(w), axis=(0, 1, 2)) / 127.0, 1e-8)
+                out = {"w_q": jnp.clip(jnp.round(w / s), -127,
+                                       127).astype(jnp.int8),
+                       "w_scale": s}
+                if "b" in node:
+                    out["b"] = node["b"]
+                return out
+            return {k: walk(v) for k, v in node.items()}
+        return node
+
+    return walk(params)
 
 
 def _memblock(p, x, mem):

@@ -640,3 +640,26 @@ def test_taehv_stateful_stream_equals_full_decode(ref_taehv):
          for i in range(1, 9, 4)]
     out = np.concatenate(chunks, axis=1)
     np.testing.assert_allclose(out, full, rtol=2e-5, atol=2e-5)
+
+
+def test_taehv_int8_decoder_accuracy(ref_taehv):
+    """Opt-in int8 W8A8 TAEHV decoder (taehv.quantize_decoder_params):
+    per-channel weight + per-tensor activation quantization through the
+    whole decoder stack stays in the int8-noise class vs the f32 decode
+    (the demo DiT's int8-linear quality class, PERF.md)."""
+    _, model = ref_taehv
+    params = _torch_params_to_jax(model)
+    x = jax.random.normal(jax.random.PRNGKey(11), (1, 6, 16, 8, 8),
+                          jnp.float32)
+    full = np.asarray(taehv_mod.decode_video(params, x, trim=True))
+    qp = taehv_mod.quantize_decoder_params(params)
+    quant = np.asarray(taehv_mod.decode_video(qp, x, trim=True))
+    assert quant.shape == full.shape
+    rel = np.abs(quant - full).mean() / (np.abs(full).mean() + 1e-8)
+    assert rel < 0.08, rel
+    # the stateful streamer path accepts the quantized tree too
+    streamer = taehv_mod.TAEHVStreamer(qp)
+    chunks = [np.asarray(streamer.decode_chunk(x[:, i:i + 3]))
+              for i in range(0, 6, 3)]
+    out = np.concatenate(chunks, axis=1)
+    np.testing.assert_allclose(out, quant, rtol=2e-3, atol=2e-3)
